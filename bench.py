@@ -1,0 +1,57 @@
+"""Bench harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) so the timing covers the
+whole plan including shuffles. Runs every registered query once to warm
+the JVM/code cache? No — warmup would hide cold-plan cost; we time a
+single cold run per query after one tiny warmup action to amortize
+session startup only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tiny_mapreduce_rpc_server_spark import get_spark
+from tiny_mapreduce_rpc_server_spark.registry import all_queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    # one trivial action to absorb session/JVM startup
+    spark.range(1).count()
+
+    specs = [s for s in all_queries().values() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count() if spec.oracle is None else len(df.collect())
+        dt = time.perf_counter() - t0
+        timings[spec.name] = round(dt, 3)
+        print(f"# {spec.name}: {dt:.3f}s rows~{n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

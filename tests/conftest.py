@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from tiny_mapreduce_rpc_server_spark import get_spark
+
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s

@@ -1,0 +1,51 @@
+"""Central query registry: every operator the engine claims, with oracle."""
+
+from __future__ import annotations
+
+from tiny_mapreduce_rpc_server_spark.operators.relational import RELATIONAL_QUERIES
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    specs: list[QuerySpec] = []
+    specs.extend(RELATIONAL_QUERIES)
+    try:
+        from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
+
+        specs.extend(DEDUP_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+            SIMILARITY_QUERIES,
+        )
+
+        specs.extend(SIMILARITY_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from tiny_mapreduce_rpc_server_spark.operators.text import TEXT_QUERIES
+
+        specs.extend(TEXT_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from tiny_mapreduce_rpc_server_spark.operators.multimodal import (
+            MULTIMODAL_QUERIES,
+        )
+
+        specs.extend(MULTIMODAL_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from tiny_mapreduce_rpc_server_spark.streaming import STREAMING_QUERIES
+
+        specs.extend(STREAMING_QUERIES)
+    except ImportError:
+        pass
+    out: dict[str, QuerySpec] = {}
+    for s in specs:
+        if s.name in out:
+            raise ValueError(f"duplicate query name {s.name}")
+        out[s.name] = s
+    return out

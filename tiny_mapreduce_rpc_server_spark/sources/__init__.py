@@ -1,0 +1,74 @@
+"""Sources: readers over the driver's parquet tables + text/csv/json.
+
+Reference counterparts: ``InputSplit.h:8-30`` (byte-range splits),
+``LineRecordReader.h:14-119`` (line records incl. split-straddle rule),
+``MapReduceUtil.cpp:139-166`` (fixed-size split planning). All of that is
+built into every Spark source (``spark.sql.files.maxPartitionBytes``
+plans the splits; TextInputFormat handles line straddling identically),
+so this module is a thin, schema-aware catalog layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan => column pruning +
+    predicate pushdown for free once Catalyst sees the full plan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw int64 (legacy conf, set
+    dynamically so it works under any session) and convert to a
+    microsecond timestamp with integer floor-division — the same ns->us
+    truncation DuckDB applies, so oracle comparisons stay exact."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer division — double math would lose precision above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so queries can use spark.sql."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's only input type: text lines (LineRecordReader).
+
+    One column ``value: string``; Spark's TextInputFormat reproduces the
+    reference's split-straddle rule (skip first partial line when
+    offset != 0, read one line past the split end — LineRecordReader.h:44-62)
+    """
+    return spark.read.text(path)
