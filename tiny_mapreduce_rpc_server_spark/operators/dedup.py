@@ -1,0 +1,446 @@
+"""[EXT] Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+No reference counterpart (the reference has no distinct/dedup of any kind
+— SURVEY §2.11); these are the corpus-dedup operators of an LLM data
+pipeline, built Spark-first:
+
+- signatures (minhash vectors, simhash, shingle sets) are computed as
+  per-row ARRAY expressions — whole-stage codegen, zero shuffle;
+- candidate generation shuffles only (band_key) or (shingle) pairs, never
+  the full cross product;
+- verification joins candidates back to per-doc token arrays and checks
+  exact similarity with ``array_intersect`` — again no explode.
+
+Scale notes for 100 TB: the shingle-join candidate generator must drop
+stop-shingles (document-frequency cap) to avoid hot keys — implemented
+via a max-DF filter; LSH band buckets are naturally bounded by band
+width. The only cross join in this file (embedding near-dup) is the
+*baseline* path and is documented as such — the scale path is the
+LSH-bucketed variant in similarity.py.
+
+Hashes are the engine-portable ones from functions/portable.py so the
+DuckDB oracle reproduces every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import cosine
+from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+# MinHash config: 16 permutations in 4 bands of 4 rows
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_VERIFY = 0.6  # exact-verify threshold on shingle jaccard
+SIMHASH_BITS = 31
+HAMMING_MAX = 3
+COSINE_DUP = 0.4
+# candidate-generation hygiene: ignore shingles shared by more than this
+# many docs (stop-shingle cap — prevents hot-key shuffle skew at scale)
+MAX_SHINGLE_DF = 50
+
+
+# ---------------------------------------------------------------------------
+# building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _toks(col):
+    return P.tokens(col)
+
+
+def _shingles(toks):
+    """Distinct 3-word shingles as an array column (per-row, no shuffle)."""
+    sh = F.transform(
+        toks,
+        lambda w, i: F.when(
+            i < F.size(toks) - 2,
+            F.concat_ws(" ", w, F.get(toks, i + 1), F.get(toks, i + 2)),
+        ),
+    )
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _shingles(_toks(F.col("text"))).alias("shingles")
+    )
+
+
+# DuckDB equivalents, generated from the same constants
+_T = P.sql_tokens("text")
+_SQL_SHINGLES = f"""
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len({_T})-1, 1)),
+           p -> {_T}[p::INT] || ' ' || {_T}[(p+1)::INT] || ' ' || {_T}[(p+2)::INT]
+         )) AS shingles
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text. Hash-groupBy
+    on the full text — at scale you'd group on sha256(text) to shrink
+    shuffle keys (that variant is q_dedup_exact_hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    ).select("keep_doc_id", "n_copies")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: shuffle carries 32-byte keys instead
+    of full documents — the 100 TB-friendly exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.col("text").cast("binary"), 256)
+    return (
+        docs.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT_HASH = """
+SELECT sha256(text) AS digest, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact pairwise via inverted index join)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.6.
+
+    Inverted-index join: explode shingles, drop stop-shingles (DF cap),
+    equi-join on shingle to count intersections, then Jaccard from
+    per-doc set sizes. Only docs sharing a rare-enough shingle ever meet
+    — no cross join."""
+    ds = _doc_shingles(spark, sf_dir).cache()
+    sizes = ds.select("doc_id", F.size("shingles").alias("n"))
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    ex = ex.join(rare.select("s"), "s")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_VERIFY)
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH ds AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, len(shingles) AS n FROM ds),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM ds),
+rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN rare ON ex0.s = rare.s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= {JACCARD_VERIFY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) near-dup, exact-verified.
+
+    Pipeline: per-row shingle -> minhash signature (array math, no
+    shuffle) -> explode 4 band keys -> self-join on band bucket
+    (candidates) -> verify exact shingle Jaccard via array_intersect on
+    the two docs' shingle arrays. The shuffle carries only
+    (band_key, doc_id) pairs; signature computation is embarrassingly
+    parallel — this is the shape that survives 100 TB."""
+    ds = _doc_shingles(spark, sf_dir).cache()
+    th = F.transform(F.col("shingles"), lambda s: P.h1(s))
+    sigs = ds.select("doc_id", "shingles", th.alias("th"))
+    def _perm_fn(i: int):
+        # closure factory (a `lambda x, i=i:` default would break PySpark's
+        # higher-order-function arity introspection)
+        return lambda x: P.perm(i, x)
+
+    mh = [
+        F.array_min(F.transform(F.col("th"), _perm_fn(i))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = sigs.select("doc_id", "shingles", *mh)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    ex = sigs.select("doc_id", "shingles", F.explode(bands).alias("bk")).select(
+        "doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sha"),
+            F.col("b.shingles").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.size("sha") + F.size("shb") - inter)
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_VERIFY
+    )
+
+
+def _sql_minhash_sig() -> str:
+    cols = ",\n         ".join(
+        f"list_min(list_transform(th, x -> {P.sql_perm(i, 'x')})) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    return cols
+
+
+def _sql_bands_union() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        key = " || '-' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sigs")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH ds AS ({_SQL_SHINGLES}),
+th AS (SELECT doc_id, shingles, list_transform(shingles, s -> {P.sql_h1("s")}) AS th FROM ds),
+sigs AS (
+  SELECT doc_id, shingles,
+         {_sql_minhash_sig()}
+  FROM th),
+ex AS ({_sql_bands_union()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN ds sa ON sa.doc_id = doc_a
+  JOIN ds sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_VERIFY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def _simhash_col(toks) -> F.Column:
+    """31-bit simhash over distinct tokens: bit j set iff the sum of
+    (+-1) votes from token-hash bit j is positive. Pure array math."""
+    th = F.transform(F.array_distinct(toks), lambda t: P.h2(t))
+
+    def _vote_fn(j: int):
+        # closure factory — see _perm_fn
+        return lambda acc, x: acc + 2 * F.shiftright(x, j).bitwiseAND(F.lit(1)) - 1
+
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(th, F.lit(0).cast("long"), _vote_fn(j))
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document simhash signature (the dedup key for hamming-distance
+    clustering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _simhash_col(_toks(F.col("text"))).alias("simhash"))
+
+
+def _sql_simhash(tok_expr: str) -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(th, x -> 2*((x >> {j}) & 1) - 1)) > 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        )
+    return (
+        f"SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM "
+        f"(SELECT doc_id, list_transform(list_distinct({tok_expr}), t -> {P.sql_h2('t')}) AS th "
+        f"FROM documents) s"
+    )
+
+
+ORACLE_TEXT_SIMHASH = _sql_simhash(_T)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= 3.
+
+    Candidate generation here is a block-join on the high 16 bits of the
+    signature (near-dups that differ only in low bits collide); the
+    full-precision check is popcount(xor). At 100 TB you'd use the
+    standard 4-block rotation to guarantee recall for <=3-bit flips; the
+    per-block joins are identical in shape to this one."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", _simhash_col(_toks(F.col("text"))).alias("simhash")
+    ).withColumn("blk", F.shiftright(F.col("simhash"), 15))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH sh AS ({_sql_simhash(_T)}),
+blk AS (SELECT doc_id, simhash, simhash >> 15 AS blk FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (baseline path; LSH-bucketed path in similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.4 over the full pair space.
+
+    BASELINE path: O(n^2) cross join — correct at any SF, affordable only
+    for small n. The scale path buckets by random-projection LSH first
+    (see similarity.ann_lsh_bucketed) so only same-bucket pairs are
+    scored. Dot products are ordered folds => bit-identical to the
+    oracle's list_dot_product over DOUBLE[]."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {COSINE_DUP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-idiomatic scale path: pyspark.ml MinHashLSH (rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH from pyspark.ml — the built-in, cluster-scale variant
+    (approxSimilarityJoin). Not oracle-expressible (its hash family is
+    Spark-internal), so the driver records a rows-only check; the
+    portable-SQL variant above is the hash-matched one."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    ds = _doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(ds)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_VERIFY, "jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )
+
+
+DEDUP_QUERIES: list[QuerySpec] = [
+    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("ext", "dedup")),
+    QuerySpec("dedup_exact_hash", q_dedup_exact_hash, ORACLE_DEDUP_EXACT_HASH, ("ext", "dedup")),
+    QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("ext", "dedup"), bench=True),
+    QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("ext", "dedup"), bench=True),
+    QuerySpec("text_simhash", q_text_simhash, ORACLE_TEXT_SIMHASH, ("ext", "dedup")),
+    QuerySpec("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH, ("ext", "dedup")),
+    QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("ext", "dedup", "embedding"), bench=True),
+    QuerySpec("dedup_minhash_ml", q_dedup_minhash_ml, None, ("ext", "dedup", "ml")),
+]

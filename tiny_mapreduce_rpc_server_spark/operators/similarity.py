@@ -1,0 +1,178 @@
+"""[EXT] Similarity search over the embeddings table.
+
+Brute-force cosine top-k as the correctness baseline, plus a
+sign-random-projection LSH-bucketed variant as the scale path (score only
+same-bucket candidates). A third entry uses Spark ML's
+BucketedRandomProjectionLSH — the built-in cluster-scale operator (not
+oracle-expressible; rows-only check).
+
+Determinism: dot products are ordered folds (functions.dot), hyperplanes
+are integer-derived literals — both reproducible bit-for-bit by the
+DuckDB oracle.
+
+100 TB shape: brute-force is O(Q*N) — fine when Q (queries) is small and
+N is scanned once with no shuffle (broadcast the queries). The LSH path
+cuts candidate count by 2^planes; for a real corpus you'd also IVF-train
+centroids, but LSH needs no training pass and stays deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
+from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+_PLANE_MOD = 1009
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: integer-derived doubles that
+    every engine computes/parses identically."""
+    return [((p * DIM + d) * P.C1 % _PLANE_MOD) / _PLANE_MOD - 0.5 for d in range(DIM)]
+
+
+def _sql_plane(p: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _plane(p)) + "]::DOUBLE[]"
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+
+    The query side is tiny -> broadcast; the corpus is scanned once and
+    never shuffled except the final per-query top-k (TakeOrdered via
+    window over Q partitions)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = cosine(F.col("qv"), F.col("embedding"))
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+ORACLE_ANN_BRUTEFORCE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qv, e.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+           AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8 sign-random-projection bits -> bucket; score
+    only same-bucket candidates (expected 1/256 of the corpus per query).
+    Approximate: a neighbor in another bucket is missed — that's the
+    recall/cost trade the bucket count controls."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        plane = F.lit(_plane(p))  # array<double> literal
+        bucket = bucket + F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << p)).otherwise(0)
+    eb = emb.withColumn("bucket", bucket)
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = cosine(F.col("qv"), F.col("embedding"))
+    scored = (
+        eb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+def _sql_bucket(vexpr: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vexpr}, {_sql_plane(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLE_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM eb WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, eb.vec_id AS neighbor_id,
+         list_dot_product(qv, eb.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(eb.v, eb.v)))
+           AS cos_sim
+  FROM q JOIN eb ON eb.bucket = q.qbucket AND eb.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def q_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH (pyspark.ml) approx nearest neighbors —
+    the built-in cluster-scale operator. Hash family is Spark-internal =>
+    rows-only check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    pairs = model.approxSimilarityJoin(q, emb, 10.0, "dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("dist"),
+        )
+    )
+
+
+SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec("ann_bruteforce", q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE, ("ext", "similarity"), bench=True),
+    QuerySpec("ann_lsh_bucketed", q_ann_lsh_bucketed, ORACLE_ANN_LSH, ("ext", "similarity")),
+    QuerySpec("ann_ml_brp", q_ann_ml_brp, None, ("ext", "similarity", "ml")),
+]

@@ -1,0 +1,203 @@
+"""[EXT] Text analysis over the documents table.
+
+No reference counterpart (the reference's only text operation is splitting
+lines — ``LineRecordReader.h:96-119``); these are the text-pipeline
+operators a training-data pipeline needs: token statistics, quality
+scoring, language-ID heuristics, document fingerprinting.
+
+Everything is built-in column expressions (whole-stage codegen, no UDFs),
+so each operator scales linearly with a parquet scan: no shuffle except
+the final per-doc aggregation, which groups on doc_id — already unique,
+so partial aggregation collapses it map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+# shared token-class regex for the BPE-ish tokenizer count
+_RE_TOKEN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "to", "in", "and", "is", "on")
+
+# language marker words -> predicted language (argmax, ties broken by the
+# fixed CASE order en < de < es < fr < zh; all-zero scores -> 'und')
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "es", "y"),
+    "fr": ("le", "la", "les", "est", "et"),
+    "zh": ("de", "shi", "he", "zai", "le"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, distinct tokens, a
+    BPE-ish regex token count, and character length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = P.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.regexp_count(F.col("text"), F.lit(_RE_TOKEN)).alias("n_re_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({P.sql_tokens("text")}) AS n_tokens,
+       len(list_distinct({P.sql_tokens("text")})) AS n_distinct,
+       len(regexp_extract_all(text, '{_RE_TOKEN}')) AS n_re_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/distinctness ratios combined into
+    a single score — the cheap heuristics used to filter web corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = P.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    n_dist = F.size(F.array_distinct(toks))
+    avg_len = F.length("text").cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    dist_ratio = n_dist.cast("double") / n_tok
+    score = stop_ratio * 0.25 + dist_ratio * 0.5 + F.least(avg_len / 10.0, F.lit(1.0)) * 0.25
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        dist_ratio.alias("distinct_ratio"),
+        avg_len.alias("avg_token_len"),
+        score.alias("quality"),
+    )
+
+
+_T = P.sql_tokens("text")
+ORACLE_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_T}) AS n_tokens,
+         len(list_filter({_T}, w -> w IN ({_sql_list(STOPWORDS)}))) AS n_stop,
+         len(list_distinct({_T})) AS n_dist,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_dist AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       (CAST(n_stop AS DOUBLE) / n_tokens) * 0.25
+         + (CAST(n_dist AS DOUBLE) / n_tokens) * 0.5
+         + least((CAST(n_chars AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.25 AS quality
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic; output is the confusion matrix
+    against the labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = P.tokens(F.col("text"))
+    def _in_set(ws: tuple[str, ...]):
+        # closure factory: a default arg (lambda w, ws=ws: ...) would make
+        # PySpark's lambda introspection think this is a 2-ary function
+        return lambda w: w.isin(*ws)
+
+    scores = {
+        lang: F.size(F.filter(toks, _in_set(ws))) for lang, ws in LANG_MARKERS.items()
+    }
+    # argmax with ties won by the earlier language in LANG_MARKERS order:
+    # lang wins if score>0, strictly beats every earlier lang, and >= later
+    order = list(LANG_MARKERS)
+    pred = F.lit("und")
+    for lang in reversed(order):
+        cond = scores[lang] > 0
+        for o in order:
+            if order.index(o) < order.index(lang):
+                cond = cond & (scores[lang] > scores[o])
+            elif o != lang:
+                cond = cond & (scores[lang] >= scores[o])
+        pred = F.when(cond, lang).otherwise(pred)
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_lang_scores() -> str:
+    cols = ",\n         ".join(
+        f"len(list_filter({_T}, w -> w IN ({_sql_list(ws)}))) AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    return cols
+
+
+def _sql_lang_pred() -> str:
+    order = list(LANG_MARKERS)
+    whens = []
+    for lang in order:
+        conds = [f"s_{lang} > 0"]
+        for o in order:
+            if order.index(o) < order.index(lang):
+                conds.append(f"s_{lang} > s_{o}")
+            elif o != lang:
+                conds.append(f"s_{lang} >= s_{o}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_sql_lang_scores()}
+  FROM documents)
+SELECT lang, {_sql_lang_pred()} AS pred_lang, count(*) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional document fingerprint: order-sensitive weighted sum of
+    token hashes (a rolling-hash-style signature; equal fingerprints =>
+    near-certain duplicate content *in the same order*)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = P.tokens(F.col("text"))
+    terms = F.transform(
+        toks, lambda w, i: P.h1(w) * (((i + 1) * F.lit(P.C1)) % 997 + 1)
+    )
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % P.M31
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest({_T}) AS w,
+         unnest(range(1, len({_T})+1)) AS p
+  FROM documents)
+SELECT doc_id,
+       COALESCE(sum({P.sql_h1("w")} * ((p*{P.C1}) % 997 + 1)), 0) % {P.M31} AS fingerprint
+FROM t GROUP BY doc_id
+"""
+
+
+TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec("text_token_stats", q_token_stats, ORACLE_TOKEN_STATS, ("ext", "text"), bench=True),
+    QuerySpec("text_quality_score", q_quality_score, ORACLE_QUALITY_SCORE, ("ext", "text")),
+    QuerySpec("text_lang_id", q_lang_id, ORACLE_LANG_ID, ("ext", "text")),
+    QuerySpec("text_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, ("ext", "text")),
+]

@@ -1,0 +1,137 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming (SURVEY §2.11) — this is the [EXT]
+streaming-ETL surface: readStream -> watermark -> windowed agg ->
+writeStream, exercised locally by replaying the events parquet through a
+memory sink (``processAllAvailable`` drives it to completion
+synchronously, which makes the result batch-equivalent and therefore
+oracle-checkable in complete output mode).
+
+At scale the same plan runs against Kafka with the watermark bounding
+state; nothing in the query changes, only the source/sink formats.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+_DEC = "DECIMAL(38,6)"
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same nanos handling as
+    the batch reader (sources._load_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming file source requires a directory: point at sf_dir and
+    # glob-filter to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed count/sum per event_type as a real
+    streaming query (watermark + window), replayed to completion through
+    a memory sink. Complete output mode => final state equals the batch
+    aggregation, so the DuckDB oracle is the batch date_trunc rollup."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC.lower())).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+ORACLE_STREAMING_TUMBLING = f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour, sliding 30 min): each event lands in two
+    windows. Oracle: union of the two half-hour-aligned hourly rollups."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"), "event_type", "n"
+    )
+
+
+ORACLE_STREAMING_SLIDING = """
+WITH half AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+           + CASE WHEN EXTRACT(minute FROM ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS slot,
+         event_type
+  FROM events)
+SELECT win_start, event_type, count(*) AS n FROM (
+  SELECT slot AS win_start, event_type FROM half
+  UNION ALL
+  SELECT slot - INTERVAL 30 MINUTE AS win_start, event_type FROM half) t
+GROUP BY 1, 2
+"""
+
+
+STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec("streaming_tumbling", q_streaming_tumbling, ORACLE_STREAMING_TUMBLING, ("streaming",)),
+    QuerySpec("streaming_sliding", q_streaming_sliding, ORACLE_STREAMING_SLIDING, ("streaming",)),
+]
