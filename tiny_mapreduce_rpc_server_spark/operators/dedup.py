@@ -377,17 +377,54 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.4 over the full pair space.
 
-    BASELINE path: O(n^2) cross join — correct at any SF, affordable only
-    for small n. The scale path buckets by random-projection LSH first
-    (see similarity.ann_lsh_bucketed) so only same-bucket pairs are
-    scored. Dot products are ordered folds => bit-identical to the
-    oracle's list_dot_product over DOUBLE[]."""
+    Two-phase exact all-pairs, the idiomatic Spark brute-force pattern:
+
+    1. *Candidates* — broadcast the (small) embedding matrix to every
+       executor and score each partition's rows against it with a blocked
+       float64 BLAS matmul inside ``mapInPandas``. A 1e-9 threshold
+       margin absorbs the summation-order difference between BLAS and an
+       ordered fold, so no true pair is lost.
+    2. *Exact re-score* — join the (tiny) candidate set back to the
+       vectors and recompute cosine as ordered ``F.aggregate`` folds,
+       bit-identical to the oracle's list_dot_product over DOUBLE[];
+       final filter at the exact threshold.
+
+    Scale note: the broadcast side must fit executor memory (same
+    contract as any broadcast join — ~1 GB ≈ 4M x 64-dim float32). Past
+    that, the scale path is LSH bucketing (similarity.ann_lsh_bucketed)
+    or a blocked A×B grid join; phase 2 is unchanged either way."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    pdf = emb.toPandas()  # small side — this IS the broadcast build, as in any broadcast join
+    ids_np = pdf["vec_id"].to_numpy(dtype="int64")
+    mat = np.array([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        inv_norms = 1.0 / np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_np, mat, inv_norms))
+    margin = COSINE_DUP - 1e-9
+
+    def _candidates(batches):
+        b_ids, b_mat, b_inv = bc.value
+        for pb in batches:
+            a_ids = pb["vec_id"].to_numpy(dtype="int64")
+            a_mat = np.array([np.asarray(v, dtype="float64") for v in pb["embedding"]])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a_inv = 1.0 / np.sqrt((a_mat * a_mat).sum(axis=1))
+                scores = (a_mat @ b_mat.T) * a_inv[:, None] * b_inv[None, :]
+                hit = (scores >= margin) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(hit)
+            yield pd.DataFrame({"vec_a": a_ids[ai], "vec_b": b_ids[bi]})
+
+    cand = emb.mapInPandas(_candidates, schema="vec_a long, vec_b long")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        F.broadcast(cand).join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_DUP)
     )
