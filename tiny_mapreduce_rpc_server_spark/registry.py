@@ -10,6 +10,12 @@ def all_queries() -> dict[str, QuerySpec]:
     specs: list[QuerySpec] = []
     specs.extend(RELATIONAL_QUERIES)
     try:
+        from tiny_mapreduce_rpc_server_spark.operators.tpch import TPCH_QUERIES
+
+        specs.extend(TPCH_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
 
         specs.extend(DEDUP_QUERIES)
