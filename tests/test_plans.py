@@ -1,0 +1,145 @@
+"""Physical-plan regression tests: the 100 TB discipline, asserted.
+
+Correctness tests prove the operators compute the right answer at sf0.01;
+these prove the *plans* are the ones we'd want on a 1000-executor cluster:
+dimensions broadcast, predicates and projections pushed into the parquet
+scan, no accidental cartesian products, aggregates partial+final. A
+refactor that silently turns a broadcast join into a cartesian product
+passes correctness and fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tiny_mapreduce_rpc_server_spark.registry import all_queries
+
+
+def plan(spark, df, mode: str = "formatted") -> str:
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _q(spark, name: str):
+    return all_queries()[name].fn(spark, SF_ORACLE)
+
+
+# --- joins ----------------------------------------------------------------
+
+BROADCAST_JOIN_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_JOIN_QUERIES)
+def test_dims_are_broadcast(spark, name):
+    p = plan(spark, _q(spark, name))
+    assert "BroadcastHashJoin" in p, f"{name}: no broadcast join in plan"
+
+
+# Queries where a nested-loop join would be a silent catastrophe at scale.
+# (q22/q14-style single-row broadcast crossings are fine and excluded.)
+NO_CARTESIAN_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_volume_cust",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN_QUERIES)
+def test_no_cartesian_product(spark, name):
+    p = plan(spark, _q(spark, name))
+    assert "CartesianProduct" not in p, f"{name}: cartesian product in plan"
+
+
+def test_q4_is_semi_join(spark):
+    p = plan(spark, _q(spark, "q4_order_priority"))
+    assert "LeftSemi" in p
+
+
+def test_q22_is_anti_join(spark):
+    p = plan(spark, _q(spark, "q22_sales_opportunity"))
+    assert "LeftAnti" in p
+
+
+# --- scan pushdown --------------------------------------------------------
+
+
+def test_q6_filters_fully_pushed(spark):
+    p = plan(spark, _q(spark, "q6_forecast_revenue"))
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in p, f"missing pushed filter {pushed}"
+
+
+def test_q6_columns_pruned(spark):
+    p = plan(spark, _q(spark, "q6_forecast_revenue"))
+    scan_schema = next(l for l in p.splitlines() if l.startswith("ReadSchema"))
+    inner = scan_schema.split("struct<", 1)[1]
+    # 4 of lineitem's 11 columns: the two aggregated + the two filter-only
+    assert inner.count(":") == 4, scan_schema
+    assert "l_orderkey" not in scan_schema
+
+
+def test_q1_columns_pruned(spark):
+    p = plan(spark, _q(spark, "q1_pricing_summary"))
+    scan_schema = next(l for l in p.splitlines() if l.startswith("ReadSchema"))
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in scan_schema, f"{col} read but never used"
+
+
+def test_q3_date_filters_pushed(spark):
+    p = plan(spark, _q(spark, "q3_shipping_priority"))
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+# --- aggregation ----------------------------------------------------------
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine (partial_sum before the exchange) — what the
+    reference's dead-code combiner (MapReduceUtil.cpp:48-65) wanted."""
+    p = plan(spark, _q(spark, "q1_pricing_summary"))
+    assert "partial_sum" in p, "no map-side partial aggregation in plan"
+
+
+def test_wordcount_partial_aggregation(spark):
+    p = plan(spark, _q(spark, "wordcount"))
+    assert "partial_count" in p
+
+
+# --- codegen --------------------------------------------------------------
+
+
+def test_q1_wholestage_codegen(spark):
+    """The whole pipeline (scan→filter→project→partial agg) must fuse into
+    WholeStageCodegen spans; visible only on the AQE-final executed plan."""
+    df = _q(spark, "q1_pricing_summary")
+    df.collect()
+    p = plan(spark, df)
+    assert "isFinalPlan=true" in p
+    assert "[codegen id :" in p, "no whole-stage codegen span in executed plan"
