@@ -131,7 +131,106 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min inactivity gap) per user —
+    the stateful merge operator the batch `sessionize` query emulates
+    with lag+cumsum. State is bounded by the watermark at scale.
+
+    Session merge rule: an event extends the session iff it lands
+    strictly inside [start, last_ts + gap) — the oracle's islands SQL
+    mirrors that with `>= gap → new session`."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("session_window.start").alias("session_start"), "user_id", "n_events"
+    )
+
+
+ORACLE_STREAMING_SESSION = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM gapped)
+SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q_streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, max value) kept in GroupState across
+    micro-batches — the escape hatch for stateful logic Spark's built-in
+    windows can't express (the reference has no counterpart; SURVEY
+    §2.11). Replayed to completion, the final state per user equals the
+    batch aggregate, so it stays oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def _update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf["value"].max()
+            mx = m if mx is None or (m == m and m > mx) else mx
+        state.update((n, float(mx)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    agg = events.groupBy("user_id").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per (user, micro-batch); keep the final
+    # (single-batch replay => already final, dedup defensively on n_events)
+    snap = spark.table(name)
+    return snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+
+
+ORACLE_STREAMING_STATEFUL = """
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("streaming_tumbling", q_streaming_tumbling, ORACLE_STREAMING_TUMBLING, ("streaming",)),
     QuerySpec("streaming_sliding", q_streaming_sliding, ORACLE_STREAMING_SLIDING, ("streaming",)),
+    QuerySpec("streaming_session_window", q_streaming_session_window, ORACLE_STREAMING_SESSION, ("streaming", "session")),
+    QuerySpec("streaming_stateful_user_stats", q_streaming_stateful_user_stats, ORACLE_STREAMING_STATEFUL, ("streaming", "stateful")),
 ]
