@@ -1,0 +1,184 @@
+"""Facade tests: MapReduce API shape, RPC registry, sinks.
+
+Reproduces the reference's own manual test scenarios (SURVEY §5.1) as
+automated tests: the word-count default job, the ``add`` RPC function and
+the test client's Fibonacci loop, sorted per-partition text output.
+"""
+
+from __future__ import annotations
+
+import glob
+import operator
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from tiny_mapreduce_rpc_server_spark.operators.mapreduce import (
+    MapReduceEngine,
+    line_count,
+    word_count,
+)
+from tiny_mapreduce_rpc_server_spark.rpc import FunctionRegistry, default_registry
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources.sinks import (
+    write_csv,
+    write_parquet,
+    write_sorted_kv_text,
+)
+
+# --- MapReduce facade -----------------------------------------------------
+
+
+def test_map_reduce_default_job(spark, tmp_path):
+    """The reference's default job: (line, 1) map + sum reduce
+    (Mapper.h:264-273, MapReduceUtil.cpp:114-135)."""
+    p = tmp_path / "in.txt"
+    p.write_text("b\na\nb\nc\nb\na\n")
+    eng = MapReduceEngine(spark)
+    kv = eng.map_reduce(str(p), num_partitions=2)
+    assert dict(kv.collect()) == {"a": 2, "b": 3, "c": 1}
+
+
+def test_map_reduce_sorted_within_partitions(spark, tmp_path):
+    """Per-partition key-sorted output — the reference's structural
+    guarantee (SURVEY §2.6.2)."""
+    p = tmp_path / "in.txt"
+    p.write_text("".join(f"k{i % 17:02d}\n" for i in range(100)))
+    eng = MapReduceEngine(spark)
+    kv = eng.map_reduce(str(p), num_partitions=3)
+    parts = kv.glom().collect()
+    assert len(parts) == 3
+    for part in parts:
+        keys = [k for k, _ in part]
+        assert keys == sorted(keys)
+
+
+def test_map_reduce_custom_map_and_reduce(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("1 2\n3 4\n5 6\n")
+    eng = MapReduceEngine(spark)
+    kv = eng.map_reduce(
+        str(p),
+        map_fn=lambda off, line: ("total", sum(int(x) for x in line.split())),
+        reduce_fn=operator.add,
+        num_partitions=1,
+    )
+    assert kv.collect() == [("total", 21)]
+
+
+def test_map_reduce_flat_map(spark, tmp_path):
+    """flatMap generalization (the reference is strictly 1-in-1-out,
+    Callbacks.h:14-15; Spark makes the generalization free)."""
+    p = tmp_path / "in.txt"
+    p.write_text("a b\nb c\n")
+    eng = MapReduceEngine(spark)
+    kv = eng.map_reduce(
+        str(p),
+        map_fn=lambda off, line: [(w, 1) for w in line.split()],
+        flat_map=True,
+        num_partitions=2,
+    )
+    assert dict(kv.collect()) == {"a": 1, "b": 2, "c": 1}
+
+
+def test_word_count_df_matches_rdd(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("x y\ny z\nx x\n")
+    df = spark.read.text(str(p))
+    got = {r["word"]: r["cnt"] for r in word_count(df).collect()}
+    assert got == {"x": 3, "y": 2, "z": 1}
+    lines = {r["line"]: r["cnt"] for r in line_count(df).collect()}
+    assert lines == {"x y": 1, "y z": 1, "x x": 1}
+
+
+# --- RPC registry ---------------------------------------------------------
+
+
+def test_rpc_add_and_fib_loop(spark):
+    """The reference's whole manual test suite: register ``add``
+    (Test/RpcServer.cpp:30-37), call it Fibonacci-style
+    (Test/RpcClient.cpp:57-78)."""
+    reg = default_registry()
+    assert reg.call("add", 1, 2) == 3
+    a, b = 1, 1
+    for _ in range(10):
+        a, b = b, reg.call("add", a, b)
+    assert b == 144
+
+
+def test_rpc_registry_dispatch_and_errors(spark):
+    reg = FunctionRegistry()
+    reg.register("upper", lambda s: s.upper())
+    assert reg.search("upper") is not None
+    assert reg.search("nope") is None
+    assert reg.call("upper", "abc") == "ABC"
+    try:
+        reg.call("nope")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+    reg.deregister("upper")
+    assert reg.names() == []
+
+
+def test_rpc_register_udf_sql_path(spark):
+    """Distributed path: the registered function callable from SQL."""
+    reg = default_registry()
+    reg.register("excite", lambda s: s + "!")
+    reg.register_udf(spark, "excite")
+    out = spark.sql("SELECT excite('go') AS v").collect()[0]["v"]
+    assert out == "go!"
+
+
+# --- sinks ----------------------------------------------------------------
+
+
+def test_write_sorted_kv_text(spark, tmp_path):
+    """Reference output contract: N hash-partitioned files, each
+    key-sorted, values persisted (TextOutputFormat defect fixed)."""
+    df = load_table(spark, SF_ORACLE, "events").groupBy("event_type").count()
+    out = str(tmp_path / "kv_out")
+    write_sorted_kv_text(df, out, "event_type", "count", num_partitions=3)
+    files = sorted(glob.glob(out + "/part-*"))
+    # ≤ num_partitions files (Spark skips empty hash buckets on write)
+    assert 1 <= len(files) <= 3
+    seen = {}
+    for f in files:
+        keys = []
+        for line in open(f):
+            k, v = line.rstrip("\n").split(" ")
+            assert int(v) > 0  # value persisted
+            keys.append(k)
+        assert keys == sorted(keys)  # per-partition sorted
+        seen.update(dict.fromkeys(keys))
+    expected = {r[0] for r in df.select("event_type").collect()}
+    assert set(seen) == expected
+
+
+def test_csv_parquet_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_ORACLE, "nation")
+    cpath, ppath = str(tmp_path / "c"), str(tmp_path / "p")
+    write_csv(df, cpath)
+    write_parquet(df, ppath, partition_by=["n_regionkey"])
+    back_c = spark.read.option("header", "true").csv(cpath)
+    back_p = spark.read.parquet(ppath)
+    assert back_c.count() == df.count()
+    assert back_p.count() == df.count()
+    # partitioned layout: one directory per region key => pruning works
+    pruned = back_p.filter(F.col("n_regionkey") == 0)
+    assert "PartitionFilters: [isnotnull(n_regionkey" in spark._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_csv_handles_forbidden_characters(spark, tmp_path):
+    """Keys with spaces/CRLF — forbidden by the reference
+    (Callbacks.h:49-53), handled here via csv quoting."""
+    df = spark.createDataFrame(
+        [("key with space", 1), ("key\r\nwith crlf", 2)], ["k", "v"]
+    )
+    path = str(tmp_path / "weird")
+    write_csv(df, path)
+    back = spark.read.option("header", "true").option("multiLine", "true").csv(path)
+    got = {r["k"]: int(r["v"]) for r in back.collect()}
+    assert got == {"key with space": 1, "key\r\nwith crlf": 2}
