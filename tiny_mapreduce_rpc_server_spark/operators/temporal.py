@@ -1,0 +1,192 @@
+"""Temporal operators: as-of join, range (band) join, time-bucket rollup.
+
+The reference has no time-series operators at all (SURVEY §2.11 — no
+joins, no windows, no timestamps), so these are part of the relational
+completion: the three temporal shapes a warehouse/hypertable engine is
+expected to provide, built from DataFrame primitives only.
+
+Scale notes:
+- The as-of join is the union-merge formulation: tag both inputs, union,
+  one window sorted by (key, ts) carrying the last-seen right-side row
+  forward. ONE shuffle on the join key, no range-explosion, no per-row
+  probe — this is the formulation that survives 100 TB (a naive
+  inequality join explodes to |L|x|R| per key). Per-key skew (one user
+  with millions of events) is the only hazard; mitigate by time-slicing
+  the window key when needed.
+- The band join broadcasts the (tiny) band table: a broadcast
+  nested-loop join with a range predicate, which Spark evaluates without
+  any shuffle of the fact side.
+- The time-bucket rollup computes multiple granularities in one pass via
+  ROLLUP grouping sets — partial aggregation happens map-side for every
+  granularity simultaneously, one shuffle total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import dsum
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+# ---------------------------------------------------------------------------
+# As-of join: each event matched to the user's most recent order at event time
+# ---------------------------------------------------------------------------
+
+
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the most recent order (o_orderdate <= event ts)
+    of the same user, ties broken by max orderkey.
+
+    Union-merge as-of: orders sort before events at equal timestamps
+    (tag 0 < 1) so an order placed exactly at the event time matches;
+    ``last(..., ignorenulls)`` over the running window carries the
+    latest order's date/key forward to each event row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("tag"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("okey"),
+        F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "tag", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = orders.unionByName(events).select(
+        "uid",
+        "ts",
+        "tag",
+        "event_id",
+        F.last("okey", ignorenulls=True).over(w).alias("last_order_key"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_order_date"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        "ts",
+        "last_order_date",
+        "last_order_key",
+    )
+
+
+# ANSI formulation: the arg-max is expressed as max-date then max-key at
+# that date (two grouped left joins) — identical tie-breaking semantics.
+ORACLE_ASOF = """
+WITH lod AS (
+  SELECT e.event_id, e.user_id, e.ts, max(o.o_orderdate) AS last_order_date
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts)
+SELECT l.event_id, l.user_id, l.ts, l.last_order_date,
+       max(o.o_orderkey) AS last_order_key
+FROM lod l
+LEFT JOIN orders o
+  ON o.o_custkey = l.user_id AND o.o_orderdate = l.last_order_date
+GROUP BY l.event_id, l.user_id, l.ts, l.last_order_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join: fact values bucketed by a small interval table
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("qty_01_10", 1.0, 11.0),
+    ("qty_11_20", 11.0, 21.0),
+    ("qty_21_30", 21.0, 31.0),
+    ("qty_31_40", 31.0, 41.0),
+    ("qty_41_50", 41.0, 51.0),
+]
+
+
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per quantity band via an interval join: lineitem.l_quantity
+    joined into [lo, hi) bands. The band table is 5 rows — broadcast
+    nested-loop, zero shuffle on the fact side; the aggregate then
+    shuffles 5 groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+_BAND_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+ORACLE_RANGE_JOIN = f"""
+SELECT band, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (VALUES {_BAND_VALUES}) AS bands(band, lo, hi)
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket rollup: hypertable-style multi-granularity aggregate
+# ---------------------------------------------------------------------------
+
+
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stats at day and day+hour granularity in ONE aggregation
+    pass (ROLLUP grouping sets; the all-null grand-total row is dropped).
+    This is the continuous-aggregate/hypertable rollup pattern: coarser
+    buckets come from the same shuffle as the finer ones, so adding a
+    granularity costs no extra scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket_day", F.date_trunc("day", F.col("ts")))
+        .withColumn("bucket_hour", F.date_trunc("hour", F.col("ts")))
+        .rollup("bucket_day", "bucket_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("bucket_day").isNotNull())
+    )
+
+
+ORACLE_TIME_BUCKET = """
+SELECT * FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+         date_trunc('hour', ts) AS bucket_hour,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+         count(DISTINCT user_id) AS n_users
+  FROM events
+  GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+) WHERE bucket_day IS NOT NULL
+"""
+
+
+TEMPORAL_QUERIES: list[QuerySpec] = [
+    QuerySpec("asof_join", asof_join_last_order, ORACLE_ASOF, ("temporal", "asof"), bench=True),
+    QuerySpec("range_join_bands", range_join_quantity_bands, ORACLE_RANGE_JOIN, ("temporal", "range-join")),
+    QuerySpec("time_bucket_rollup", time_bucket_rollup, ORACLE_TIME_BUCKET, ("temporal", "rollup")),
+]

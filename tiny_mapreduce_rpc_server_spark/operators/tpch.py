@@ -589,6 +589,247 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (global-total scalar subquery)
+# ---------------------------------------------------------------------------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value (from NATION_4 suppliers) exceeds a
+    fraction of the total shipped value — the Q11 shape with lineitem
+    standing in for partsupp (the trimmed schema has no partsupp table).
+    The global total is a 1-row aggregate broadcast into the HAVING
+    filter; the per-part aggregate shuffles once on l_partkey."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    scoped = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    per_part = scoped.groupBy("l_partkey").agg(dsum("l_extendedprice", "part_value"))
+    total = scoped.agg((dsum("l_extendedprice") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+ORACLE_Q11 = f"""
+SELECT l_partkey,
+       CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS part_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+GROUP BY l_partkey
+HAVING CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) >
+       (SELECT CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) * 0.001
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_4')
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-priority classes (conditional counting)
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority order lines per return flag for lineitems
+    shipped in 1996 — the Q12 conditional-count shape with l_returnflag
+    standing in for the absent l_shipmode. One fact-fact join hashed on
+    orderkey, one aggregate pass computing both counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _t("1996-01-01"))
+        & (F.col("l_shipdate") < _t("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (NOT IN → anti join, count distinct)
+# ---------------------------------------------------------------------------
+
+
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) bucket for selected
+    sizes, excluding one brand and excluding suppliers in deficit
+    (s_acctbal < 0) — the Q16 shape with lineitem as the part↔supplier
+    link. The NOT IN subquery is a left-anti join against a tiny
+    broadcast side; countDistinct shuffles once on the group key."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#13'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested aggregate → share filter)
+# ---------------------------------------------------------------------------
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in NATION_5 that shipped more than half of some part's
+    total 1996 volume — the Q20 nested-subquery shape with shipped
+    quantity standing in for partsupp availability. Both aggregates
+    reuse the same filtered scan and hash on the same partkey, so AQE
+    can plan the join back without a second full shuffle; qualification
+    is a semi join into supplier."""
+    li96 = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _t("1996-01-01"))
+        & (F.col("l_shipdate") < _t("1997-01-01"))
+    )
+    per_sp = li96.groupBy("l_suppkey", "l_partkey").agg(dsum("l_quantity", "supp_qty"))
+    per_part = li96.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum("l_quantity") * F.lit(0.5)).alias("half_qty")
+    )
+    dominant = (
+        per_sp.join(per_part, per_sp.l_partkey == per_part.pk)
+        .filter(F.col("supp_qty") > F.col("half_qty"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = f"""
+SELECT s_suppkey, s_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey) sp
+    JOIN (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) * 0.5 AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey) pp
+    ON sp.l_partkey = pp.pk
+    WHERE sp.supp_qty > pp.half_qty)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS rewrite)
+# ---------------------------------------------------------------------------
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late lineitems (shipped > 60 days after the order date, order
+    status 'F') whose supplier was the *only* late supplier on a
+    multi-supplier order, counted per supplier — the Q21 double
+    EXISTS/NOT EXISTS shape with shipdate-vs-orderdate lateness standing
+    in for the absent commit/receipt dates.
+
+    Rewrite: one per-order aggregate computes (distinct suppliers,
+    distinct late suppliers) — turning the two correlated EXISTS probes
+    into a single groupBy — then late lines join the qualifying orders
+    (nsupp > 1, nlate = 1). Each EXISTS becomes part of one shuffle on
+    orderkey instead of a per-row probe."""
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    waiting = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        lines.filter(F.col("is_late"))
+        .join(waiting, F.col("l_orderkey") == waiting.ok, "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 TPCH_QUERIES: list[QuerySpec] = [
     QuerySpec("q2_min_cost_part", q2_min_cost_part, ORACLE_Q2, ("tpch", "subquery")),
     QuerySpec("q4_order_priority", q4_order_priority, ORACLE_Q4, ("tpch", "semi")),
@@ -604,4 +845,9 @@ TPCH_QUERIES: list[QuerySpec] = [
     QuerySpec("q18_large_volume_cust", q18_large_volume_cust, ORACLE_Q18, ("tpch", "having"), bench=True),
     QuerySpec("q19_discounted_revenue", q19_discounted_revenue, ORACLE_Q19, ("tpch", "disjunction")),
     QuerySpec("q22_sales_opportunity", q22_sales_opportunity, ORACLE_Q22, ("tpch", "anti")),
+    QuerySpec("q11_important_parts", q11_important_parts, ORACLE_Q11, ("tpch", "having")),
+    QuerySpec("q12_priority_classes", q12_priority_classes, ORACLE_Q12, ("tpch", "condcount")),
+    QuerySpec("q16_parts_suppliers", q16_parts_suppliers, ORACLE_Q16, ("tpch", "anti")),
+    QuerySpec("q20_dominant_suppliers", q20_dominant_suppliers, ORACLE_Q20, ("tpch", "nested-agg")),
+    QuerySpec("q21_suppliers_kept_waiting", q21_suppliers_kept_waiting, ORACLE_Q21, ("tpch", "exists"), bench=True),
 ]

@@ -16,6 +16,14 @@ def all_queries() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from tiny_mapreduce_rpc_server_spark.operators.temporal import (
+            TEMPORAL_QUERIES,
+        )
+
+        specs.extend(TEMPORAL_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
 
         specs.extend(DEDUP_QUERIES)
