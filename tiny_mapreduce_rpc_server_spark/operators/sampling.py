@@ -1,0 +1,133 @@
+"""[EXT] Deterministic sampling / dataset splitting for training pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent, which
+makes results unreproducible across cluster sizes and impossible to
+oracle-check. Training-data pipelines instead sample by *content hash*:
+``bucket(id) = h(id) mod 100`` picks a stable pseudo-random subset that is
+
+- reproducible on any cluster layout (pure per-row function of the id),
+- consistent across tables/runs (the same id always lands in the same
+  bucket — joins between sampled tables stay aligned),
+- a pure filter: it pushes down past everything Catalyst can move it
+  through, and costs zero shuffles.
+
+Uses the engine-portable arithmetic hash (functions/portable.py) so the
+DuckDB oracle recomputes the identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+
+def _bucket(col):
+    """Stable 0..99 bucket of a bigint id column."""
+    return P.h1(col.cast("string")) % 100
+
+
+def _sql_bucket(expr: str) -> str:
+    return f"({P.sql_h1(f'CAST({expr} AS VARCHAR)')} % 100)"
+
+
+# ---------------------------------------------------------------------------
+# 5% deterministic sample
+# ---------------------------------------------------------------------------
+
+
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents whose id hashes into the first 5 of 100 buckets —
+    a reproducible 5% sample, computed as a plain pushed-down filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_bucket(F.col("doc_id")) < 5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_sql_bucket("doc_id")} < 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split (80/10/10) with per-language accounting
+# ---------------------------------------------------------------------------
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by hash bucket (80/10/10)
+    and report per-(split, lang) document and character counts. The
+    assignment is a per-row expression — at 100 TB the split is a free
+    column, not a 3-way shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_SPLIT = f"""
+SELECT CASE WHEN {_sql_bucket("doc_id")} < 80 THEN 'train'
+            WHEN {_sql_bucket("doc_id")} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source stratified sample (different rate per stratum)
+# ---------------------------------------------------------------------------
+
+_RATES = [("src0", 10), ("src1", 50), ("src2", 80), ("src3", 25), ("src4", 100)]
+
+
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample each source at its own rate (10%..100%) — the
+    quality-weighted mixture step of a pretraining pipeline. The rate
+    table broadcasts; the filter stays per-row. Sources not in the rate
+    table are dropped (inner join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(_RATES, "src string, pct int")
+    return (
+        docs.join(F.broadcast(rates), docs.source == rates.src)
+        .filter(_bucket(F.col("doc_id")) < F.col("pct"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+_RATE_VALUES = ", ".join(f"('{s}', {p})" for s, p in _RATES)
+
+ORACLE_STRATIFIED = f"""
+SELECT source, count(*) AS n_docs
+FROM documents
+JOIN (VALUES {_RATE_VALUES}) AS rates(src, pct) ON source = src
+WHERE {_sql_bucket("doc_id")} < pct
+GROUP BY source
+ORDER BY source
+"""
+
+
+SAMPLING_QUERIES: list[QuerySpec] = [
+    QuerySpec("sample_hash_bucket", sample_hash_bucket, ORACLE_SAMPLE, ("ext", "sampling")),
+    QuerySpec("train_val_test_split", train_val_test_split, ORACLE_SPLIT, ("ext", "sampling")),
+    QuerySpec("stratified_hash_sample", stratified_hash_sample, ORACLE_STRATIFIED, ("ext", "sampling")),
+]

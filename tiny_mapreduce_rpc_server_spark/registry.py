@@ -24,6 +24,20 @@ def all_queries() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from tiny_mapreduce_rpc_server_spark.operators.sampling import (
+            SAMPLING_QUERIES,
+        )
+
+        specs.extend(SAMPLING_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from tiny_mapreduce_rpc_server_spark.operators.skew import SKEW_QUERIES
+
+        specs.extend(SKEW_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
 
         specs.extend(DEDUP_QUERIES)
