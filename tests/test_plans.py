@@ -143,3 +143,49 @@ def test_q1_wholestage_codegen(spark):
     p = plan(spark, df)
     assert "isFinalPlan=true" in p
     assert "[codegen id :" in p, "no whole-stage codegen span in executed plan"
+
+
+# --- temporal / sampling / skew operators ---------------------------------
+
+
+def test_asof_join_single_shuffle(spark):
+    """Union-merge as-of: exactly one hash exchange (on the join key) and
+    no join operator at all — the formulation that survives 100 TB."""
+    p = plan(spark, _q(spark, "asof_join"))
+    assert "Window" in p
+    assert "Join" not in p, "as-of should be window-based, not a join"
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_range_join_is_broadcast_nlj(spark):
+    """Band join: the 5-row band table must broadcast; the fact side must
+    not shuffle before the aggregate's own exchange."""
+    p = plan(spark, _q(spark, "range_join_bands"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_time_bucket_rollup_single_scan(spark):
+    """ROLLUP grouping sets: both granularities from ONE scan of events."""
+    p = plan(spark, _q(spark, "time_bucket_rollup"))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_sample_filter_no_shuffle(spark):
+    """Deterministic hash sampling is a pure filter: no exchange at all."""
+    p = plan(spark, _q(spark, "sample_hash_bucket"))
+    assert "Exchange" not in p, p
+
+
+def test_q21_no_cartesian(spark):
+    p = plan(spark, _q(spark, "q21_suppliers_kept_waiting"))
+    assert "CartesianProduct" not in p
+
+
+def test_q16_anti_join(spark):
+    p = plan(spark, _q(spark, "q16_parts_suppliers"))
+    assert "LeftAnti" in p
