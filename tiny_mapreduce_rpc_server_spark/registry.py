@@ -32,6 +32,12 @@ def all_queries() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from tiny_mapreduce_rpc_server_spark.operators.stats import STATS_QUERIES
+
+        specs.extend(STATS_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.operators.skew import SKEW_QUERIES
 
         specs.extend(SKEW_QUERIES)

@@ -228,9 +228,42 @@ FROM events GROUP BY user_id
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication on (user_id, event_type) with
+    ``dropDuplicatesWithinWatermark`` — the stream-ETL dedup stage. State
+    is bounded by the watermark (keys older than the horizon are evicted),
+    which is what makes dedup viable on an unbounded stream; replayed to
+    completion the kept-key set equals batch DISTINCT, so the oracle is
+    exact."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("streaming_tumbling", q_streaming_tumbling, ORACLE_STREAMING_TUMBLING, ("streaming",)),
     QuerySpec("streaming_sliding", q_streaming_sliding, ORACLE_STREAMING_SLIDING, ("streaming",)),
     QuerySpec("streaming_session_window", q_streaming_session_window, ORACLE_STREAMING_SESSION, ("streaming", "session")),
     QuerySpec("streaming_stateful_user_stats", q_streaming_stateful_user_stats, ORACLE_STREAMING_STATEFUL, ("streaming", "stateful")),
+    QuerySpec("streaming_dedup", q_streaming_dedup, ORACLE_STREAMING_DEDUP, ("streaming", "dedup")),
 ]
