@@ -145,6 +145,96 @@ SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+N_CELLS = 16
+N_PROBE = 2
+# deterministic "trained" centroids: a fixed stride of corpus vectors
+# (a real deployment would k-means these; fixing them keeps the operator
+# oracle-checkable and the plan identical)
+CENTROID_IDS = [20 + 30 * i for i in range(N_CELLS)]
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells around 16
+    centroids, probe the 2 nearest cells per query, exact-score only
+    those candidates.
+
+    100 TB shape: the centroid table is tiny and broadcast twice (cell
+    assignment + query probing), so the corpus is scanned once with no
+    shuffle until the final per-query top-k; candidate count scales with
+    nprobe/ncells, not corpus size. Unlike LSH buckets, cells adapt to
+    the data's density around the chosen centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id").isin(CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    sim = cosine(F.col("embedding"), F.col("cv"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cent_id", sim.alias("csim"))
+        .withColumn("crnk", F.row_number().over(w_assign))
+    )
+    cells = assigned.filter(F.col("crnk") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        assigned.filter((F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cent_id").alias("probe_cell"),
+        )
+    )
+    cos = cosine(F.col("qv"), F.col("embedding"))
+    scored = (
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+_SQL_CENTROID_IDS = ", ".join(str(i) for i in CENTROID_IDS)
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         WHERE vec_id IN ({_SQL_CENTROID_IDS})),
+assigned AS (
+  SELECT e.vec_id, e.v, cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(cv, cv))) DESC,
+                    cent_id ASC) AS crnk
+  FROM e CROSS JOIN cent),
+cells AS (SELECT vec_id, v, cent_id AS cell FROM assigned WHERE crnk = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS probe_cell
+           FROM assigned WHERE vec_id < {N_QUERIES} AND crnk <= {N_PROBE}),
+scored AS (
+  SELECT query_id, cells.vec_id AS neighbor_id,
+         list_dot_product(qv, cells.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cells.v, cells.v)))
+           AS cos_sim
+  FROM probes JOIN cells
+    ON cells.cell = probes.probe_cell AND cells.vec_id <> probes.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 def q_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH (pyspark.ml) approx nearest neighbors —
     the built-in cluster-scale operator. Hash family is Spark-internal =>
@@ -174,5 +264,6 @@ def q_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_QUERIES: list[QuerySpec] = [
     QuerySpec("ann_bruteforce", q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE, ("ext", "similarity"), bench=True),
     QuerySpec("ann_lsh_bucketed", q_ann_lsh_bucketed, ORACLE_ANN_LSH, ("ext", "similarity")),
+    QuerySpec("ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, ("ext", "similarity", "ivf")),
     QuerySpec("ann_ml_brp", q_ann_ml_brp, None, ("ext", "similarity", "ml")),
 ]
