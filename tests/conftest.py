@@ -13,5 +13,9 @@ def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     from tiny_mapreduce_rpc_server_spark import get_spark
 
-    s = get_spark("tests", shuffle_partitions=8)
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse"},
+    )
     yield s
