@@ -264,6 +264,6 @@ def q_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_QUERIES: list[QuerySpec] = [
     QuerySpec("ann_bruteforce", q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE, ("ext", "similarity"), bench=True),
     QuerySpec("ann_lsh_bucketed", q_ann_lsh_bucketed, ORACLE_ANN_LSH, ("ext", "similarity")),
-    QuerySpec("ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, ("ext", "similarity", "ivf")),
+    QuerySpec("ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, ("ext", "similarity", "ivf"), bench=True),
     QuerySpec("ann_ml_brp", q_ann_ml_brp, None, ("ext", "similarity", "ml")),
 ]

@@ -188,5 +188,5 @@ SELECT * FROM (
 TEMPORAL_QUERIES: list[QuerySpec] = [
     QuerySpec("asof_join", asof_join_last_order, ORACLE_ASOF, ("temporal", "asof"), bench=True),
     QuerySpec("range_join_bands", range_join_quantity_bands, ORACLE_RANGE_JOIN, ("temporal", "range-join")),
-    QuerySpec("time_bucket_rollup", time_bucket_rollup, ORACLE_TIME_BUCKET, ("temporal", "rollup")),
+    QuerySpec("time_bucket_rollup", time_bucket_rollup, ORACLE_TIME_BUCKET, ("temporal", "rollup"), bench=True),
 ]
