@@ -189,3 +189,41 @@ def test_q21_no_cartesian(spark):
 def test_q16_anti_join(spark):
     p = plan(spark, _q(spark, "q16_parts_suppliers"))
     assert "LeftAnti" in p
+
+
+# --- analytic surface (arrays / windows / grouping sets) ------------------
+
+
+def test_array_funcs_no_shuffle(spark):
+    """Per-row array ops: no exchange — embarrassingly parallel at 100 TB."""
+    p = plan(spark, _q(spark, "array_funcs"))
+    assert "Exchange" not in p, p
+
+
+def test_higher_order_funcs_no_shuffle(spark):
+    p = plan(spark, _q(spark, "higher_order_funcs"))
+    assert "Exchange" not in p, p
+
+
+def test_window_lag_lead_partitioned(spark):
+    """Navigation window must hash-partition on o_custkey (distributed),
+    never collapse to a single global partition."""
+    p = plan(spark, _q(spark, "window_lag_lead"))
+    assert "Window" in p
+    assert "hashpartitioning(o_custkey" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_ntile_buckets_partitioned_window(spark):
+    p = plan(spark, _q(spark, "ntile_buckets"))
+    assert "hashpartitioning(o_custkey" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """GROUPING SETS = one scan + one Expand, not one job per grouping."""
+    import re
+
+    p = plan(spark, _q(spark, "grouping_sets"))
+    assert "Expand" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p

@@ -1,0 +1,235 @@
+"""Analytic surface: array / higher-order / map functions, navigation
+windows (lag/lead/ntile), and grouping sets.
+
+Reference parity: the reference engine has NO window functions, arrays,
+maps, or multi-level aggregation (SURVEY.md §2.11 — verified absent);
+its only aggregate is the fixed sum-merge in ``Reducer.cpp``. These are
+capability-gap fills [EXT in BASELINE.json] expressed entirely with
+built-in Catalyst expressions — no Python UDFs — so every one of them
+stays inside WholeStageCodegen and scales with ordinary shuffles.
+
+Scale notes:
+- Higher-order array functions (``filter``/``exists``/``forall``/
+  ``transform``) evaluate per-row JVM-side: no shuffle at all, embarrassingly
+  parallel at any scale.
+- ``lag``/``lead``/``row_number``/``ntile`` are PARTITIONED windows
+  (``PARTITION BY o_custkey``): one hash shuffle on the partition key, then
+  a per-partition sort. A GLOBAL window (no partition key) would funnel
+  100 TB through one task — never do that; for global quantile bucketing at
+  scale use ``approx_percentile`` (see stats.py) instead of ntile().
+- GROUPING SETS computes all groupings in one pass over one shuffle
+  (Catalyst's Expand operator), not one job per grouping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tiny_mapreduce_rpc_server_spark.functions import dsum
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+_DEC = "DECIMAL(38,6)"
+
+
+# ---------------------------------------------------------------------------
+# Array functions (embeddings.embedding: array<float>)
+# ---------------------------------------------------------------------------
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.array_max("embedding").alias("elem_max"),
+        F.array_min("embedding").alias("elem_min"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_elem,
+       list_max(embedding) AS elem_max,
+       list_min(embedding) AS elem_min
+FROM embeddings
+"""
+
+
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter / exists / forall / transform lambdas — per-row, shuffle-free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: F.abs(x) > F.lit(2.0)).alias("any_big"),
+        F.forall("embedding", lambda x: F.abs(x) < F.lit(10.0)).alias("all_small"),
+        F.size(
+            F.filter("embedding", lambda x: (x > -0.5) & (x < 0.5))
+        ).alias("n_near_zero"),
+    )
+
+
+ORACLE_HIGHER_ORDER_FUNCS = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       list_aggregate(list_transform(embedding, x -> abs(x) > 2.0), 'bool_or')
+           AS any_big,
+       list_aggregate(list_transform(embedding, x -> abs(x) < 10.0), 'bool_and')
+           AS all_small,
+       len(list_filter(embedding, x -> x > -0.5 AND x < 0.5)) AS n_near_zero
+FROM embeddings
+"""
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element access; oracle is the unwrapped expression."""
+    part = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand"),
+        F.element_at(m, "type").alias("ptype"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_csv"),
+    )
+
+
+ORACLE_MAP_FUNCS = """
+SELECT p_partkey,
+       p_brand AS brand,
+       p_type AS ptype,
+       2 AS n_keys,
+       'brand,type' AS keys_csv
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Navigation windows: lag / lead / row_number / ntile (partitioned!)
+# ---------------------------------------------------------------------------
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history navigation. PARTITION BY o_custkey keeps
+    the window distributed (one shuffle + per-partition sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+    )
+
+
+ORACLE_WINDOW_LAG_LEAD = """
+SELECT o_custkey,
+       o_orderkey,
+       row_number() OVER w AS order_seq,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       date_diff('day',
+                 lag(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing WITHIN each customer (partitioned ntile), then a
+    per-bucket rollup. The deterministic tiebreak (orderkey) makes the
+    bucket assignment engine-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(F.ntile(4).over(w).alias("spend_quartile"), "o_totalprice")
+        .groupBy("spend_quartile")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+ORACLE_NTILE_BUCKETS = f"""
+SELECT spend_quartile, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price,
+       max(o_totalprice) AS max_price
+FROM (
+  SELECT ntile(4) OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice, o_orderkey) AS spend_quartile,
+         o_totalprice
+  FROM orders
+)
+GROUP BY spend_quartile
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — all groupings in one Expand pass, one shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+ANALYTIC_QUERIES = [
+    QuerySpec("array_funcs", q_array_funcs, ORACLE_ARRAY_FUNCS, ("array",)),
+    QuerySpec(
+        "higher_order_funcs",
+        q_higher_order_funcs,
+        ORACLE_HIGHER_ORDER_FUNCS,
+        ("array", "lambda"),
+    ),
+    QuerySpec("map_funcs", q_map_funcs, ORACLE_MAP_FUNCS, ("map",)),
+    QuerySpec(
+        "window_lag_lead",
+        q_window_lag_lead,
+        ORACLE_WINDOW_LAG_LEAD,
+        ("window",),
+    ),
+    QuerySpec(
+        "ntile_buckets", q_ntile_buckets, ORACLE_NTILE_BUCKETS, ("window",)
+    ),
+    QuerySpec(
+        "grouping_sets",
+        q_grouping_sets,
+        ORACLE_GROUPING_SETS,
+        ("agg", "grouping"),
+    ),
+]

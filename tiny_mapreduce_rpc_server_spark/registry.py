@@ -72,6 +72,22 @@ def all_queries() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from tiny_mapreduce_rpc_server_spark.sources.formats import (
+            FORMAT_QUERIES,
+        )
+
+        specs.extend(FORMAT_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from tiny_mapreduce_rpc_server_spark.operators.analytic import (
+            ANALYTIC_QUERIES,
+        )
+
+        specs.extend(ANALYTIC_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.streaming import STREAMING_QUERIES
 
         specs.extend(STREAMING_QUERIES)

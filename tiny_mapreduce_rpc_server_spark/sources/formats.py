@@ -1,0 +1,95 @@
+"""Text-format sources: CSV and JSON-lines readers, proven by round-trip.
+
+Reference parity: the reference's ONE input format is line-delimited text
+files split into byte ranges (``InputSplit.h:8-30``) with the straddling
+rule in ``LineRecordReader.h:14-119`` — a record belongs to the split
+where it *starts*. Spark's text-based sources (csv/json/text) implement
+the identical rule inside FileScanRDD, with split planning governed by
+``spark.sql.files.maxPartitionBytes``, so these readers ARE the
+reference's source operator, generalized with schema + quoting.
+
+Each query writes a driver table out through the text sink and reads it
+back through the text source before aggregating; the DuckDB oracle runs
+the same aggregate on the original parquet, so a pass proves the
+round-trip is lossless (quoting, escaping, header handling, float
+round-tripping via shortest-repr). Scale: both writer and reader are
+embarrassingly parallel (one task per file split); the aggregate after
+the read is a normal one-shuffle hash aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import dsum
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+_DEC = "DECIMAL(38,6)"
+
+
+def _tmp(sf_dir: str, tag: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"tmrs_fmt_{tag}_{sf}")
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    path = _tmp(sf_dir, "csv_nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(nation.schema).option("header", "true").csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT n_regionkey,
+       count(*) AS n_nations,
+       min(n_name) AS first_name,
+       max(n_name) AS last_name
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = _tmp(sf_dir, "json_supplier")
+    supplier.write.mode("overwrite").json(path)
+    back = spark.read.schema(supplier.schema).json(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        dsum("s_acctbal", "sum_acctbal"),
+        F.max("s_acctbal").alias("max_acctbal"),
+    )
+
+
+ORACLE_JSON_ROUNDTRIP = f"""
+SELECT s_nationkey,
+       count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS {_DEC})) AS DOUBLE) AS sum_acctbal,
+       max(s_acctbal) AS max_acctbal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+FORMAT_QUERIES = [
+    QuerySpec(
+        "csv_source_roundtrip",
+        q_csv_roundtrip,
+        ORACLE_CSV_ROUNDTRIP,
+        ("source", "csv"),
+    ),
+    QuerySpec(
+        "json_source_roundtrip",
+        q_json_roundtrip,
+        ORACLE_JSON_ROUNDTRIP,
+        ("source", "json"),
+    ),
+]
