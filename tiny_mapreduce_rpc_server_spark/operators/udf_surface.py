@@ -1,0 +1,115 @@
+"""User-defined function surface: pandas UDAF and Python UDTF.
+
+Reference parity (SURVEY.md §2.10):
+- ``ReduceCallback`` (``Callbacks.h:18``, applied per sorted run in
+  ``Reducer.h:130``) is a user-defined aggregate over the values of one
+  key. Spark's equivalent DataFrame surface is the GROUPED_AGG pandas
+  UDF: Arrow ships each group's column to Python as a ``pd.Series``,
+  the callback reduces it to a scalar. That is ``pandas_udaf_sum``.
+- a custom ``RecordReader`` (``RecordReader.h:23-33``, wired at
+  ``Mapper.h:83-84``) is a user function that turns one input unit into
+  many records — a table function. Spark's equivalent is the Python
+  UDTF used via LATERAL join. That is ``python_udtf_words``.
+
+Scale notes: the GROUPED_AGG pandas UDF partial-aggregates per shuffle
+partition only on the final side (no map-side combine — Spark ships whole
+groups), so it is strictly slower than a built-in ``sum``; it exists as
+surface parity and for aggregates built-ins can't express. The UDTF is
+row-at-a-time Python — the SLOW path by design; the production path for
+record-splitting is ``split``+``explode`` (see wordcount), which stays in
+WholeStageCodegen. Both run embarrassingly parallel (per-group /
+per-row), so they scale out even though per-core throughput is lower.
+
+Exactness: the UDAF aggregates ``l_quantity``, which is integral-valued;
+float64 sums of integers < 2^53 are exact under any summation order, so
+the pandas ``Series.sum`` (pairwise) hash-matches DuckDB's sequential sum
+without the decimal-cast trick needed for fractional doubles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+
+def q_pandas_udaf_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas_udf parses its DDL return type against the active session,
+    # so the decorators must run inside the query, not at import time.
+    @pandas_udf("double")
+    def _psum(s: pd.Series) -> float:
+        """User reduce callback: Arrow-batched sum over one group's values."""
+        return float(s.sum())
+
+    @pandas_udf("double")
+    def _pmax(s: pd.Series) -> float:
+        return float(s.max())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _psum("l_quantity").alias("sum_qty"),
+        _pmax("l_extendedprice").alias("max_price"),
+    )
+
+
+ORACLE_PANDAS_UDAF_SUM = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+class _SplitWordsImpl:
+    """Table function: one input string -> N word rows (RecordReader
+    analog: one input unit -> many records)."""
+
+    def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+        for w in (text or "").split(" "):
+            if w:
+                yield (w,)
+
+
+def q_python_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register(
+        "tmrs_split_words", udtf(_SplitWordsImpl, returnType="word: string")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("udtf_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey, word, count(*) AS n
+        FROM udtf_nation, LATERAL tmrs_split_words(n_name)
+        GROUP BY n_regionkey, word
+        """
+    )
+
+
+ORACLE_PYTHON_UDTF_WORDS = """
+SELECT n_regionkey, word, count(*) AS n
+FROM (
+  SELECT n_regionkey, unnest(string_split(n_name, ' ')) AS word FROM nation
+)
+WHERE word <> ''
+GROUP BY n_regionkey, word
+"""
+
+
+UDF_SURFACE_QUERIES = [
+    QuerySpec(
+        "pandas_udaf_sum",
+        q_pandas_udaf_sum,
+        ORACLE_PANDAS_UDAF_SUM,
+        ("udf", "udaf"),
+    ),
+    QuerySpec(
+        "python_udtf_words",
+        q_python_udtf_words,
+        ORACLE_PYTHON_UDTF_WORDS,
+        ("udf", "udtf"),
+    ),
+]

@@ -72,6 +72,14 @@ def all_queries() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from tiny_mapreduce_rpc_server_spark.operators.udf_surface import (
+            UDF_SURFACE_QUERIES,
+        )
+
+        specs.extend(UDF_SURFACE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.sources.formats import (
             FORMAT_QUERIES,
         )
