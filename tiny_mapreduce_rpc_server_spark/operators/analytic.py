@@ -208,7 +208,75 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+# ---------------------------------------------------------------------------
+# Rank-family windows + unpivot (melt)
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist per nation over supplier
+    account balances. Partitioned on s_nationkey — distributed window."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+ORACLE_WINDOW_RANK_STATS = """
+SELECT s_nationkey, s_suppkey,
+       rank() OVER w AS bal_rank,
+       dense_rank() OVER w AS bal_dense_rank,
+       percent_rank() OVER w AS bal_pct_rank,
+       cume_dist() OVER w AS bal_cume_dist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt: per-row, shuffle-free (Expand), then one hash agg."""
+    part = load_table(spark, sf_dir, "part")
+    long = part.unpivot(
+        "p_partkey",
+        [F.col("p_size").cast("double").alias("size"),
+         F.col("p_retailprice").alias("retailprice")],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        dsum("value", "sum_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+ORACLE_UNPIVOT = f"""
+SELECT measure, count(*) AS n,
+       CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value,
+       max(value) AS max_value
+FROM (
+  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+)
+GROUP BY measure
+"""
+
+
 ANALYTIC_QUERIES = [
+    QuerySpec(
+        "window_rank_stats",
+        q_window_rank_stats,
+        ORACLE_WINDOW_RANK_STATS,
+        ("window",),
+    ),
+    QuerySpec("unpivot", q_unpivot, ORACLE_UNPIVOT, ("reshape",)),
     QuerySpec("array_funcs", q_array_funcs, ORACLE_ARRAY_FUNCS, ("array",)),
     QuerySpec(
         "higher_order_funcs",
