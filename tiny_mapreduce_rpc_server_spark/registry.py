@@ -72,6 +72,14 @@ def all_queries() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from tiny_mapreduce_rpc_server_spark.operators.graph import (
+            GRAPH_QUERIES,
+        )
+
+        specs.extend(GRAPH_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.operators.udf_surface import (
             UDF_SURFACE_QUERIES,
         )
