@@ -195,7 +195,108 @@ FROM t GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals + keep/drop flag (Gopher-style):
+    duplicate-word fraction, top-word fraction, duplicate-bigram fraction.
+
+    All list expressions — per-row, shuffle-free, whole-stage codegen.
+    The top-word frequency is O(distinct x tokens) per document, fine for
+    web-scale docs (hundreds of tokens); for pathological multi-MB docs
+    the two-phase explode->count->max shape (see wordcount) is the
+    fallback. Thresholds: keep iff dup_word_frac <= 0.5 AND
+    top_word_frac <= 0.3 AND dup_2gram_frac <= 0.35."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = P.tokens(F.lower(F.col("text")))
+    d = docs.select("doc_id", t.alias("t"))
+    n = F.size("t")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct("t"),
+            lambda w: F.size(F.filter("t", lambda x: x == w)),
+        )
+    )
+    d = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(F.array_distinct("t")).alias("nd"),
+        F.size(bigrams).alias("n2"),
+        F.size(F.array_distinct(bigrams)).alias("n2d"),
+        max_freq.alias("max_freq"),
+    )
+    dup_word = F.when(
+        F.col("n_words") > 0,
+        (F.col("n_words") - F.col("nd")) / F.col("n_words"),
+    ).otherwise(F.lit(0.0))
+    top_word = F.when(
+        F.col("n_words") > 0, F.col("max_freq") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    dup_bi = F.when(
+        F.col("n2") > 0, (F.col("n2") - F.col("n2d")) / F.col("n2")
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        "n_words",
+        dup_word.alias("dup_word_frac"),
+        top_word.alias("top_word_frac"),
+        dup_bi.alias("dup_2gram_frac"),
+        (
+            (dup_word <= 0.5) & (top_word <= 0.3) & (dup_bi <= 0.35)
+        ).alias("keep"),
+    )
+
+
+_TL = P.sql_tokens("lower(text)")
+
+ORACLE_REPETITION_FILTER = f"""
+WITH d AS (SELECT doc_id, {_TL} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         len(list_distinct(t)) AS nd,
+         CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n2,
+         CASE WHEN len(t) >= 2 THEN len(list_distinct(
+           list_transform(generate_series(1, len(t)-1),
+                          i -> t[i] || ' ' || t[i+1])))
+         ELSE 0 END AS n2d,
+         list_max(list_transform(list_distinct(t),
+                                 w -> len(list_filter(t, x -> x = w))))
+           AS max_freq
+  FROM d)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0 THEN (n_words - nd) / n_words ELSE 0.0 END
+         AS dup_word_frac,
+       CASE WHEN n_words > 0 THEN max_freq / n_words ELSE 0.0 END
+         AS top_word_frac,
+       CASE WHEN n2 > 0 THEN (n2 - n2d) / n2 ELSE 0.0 END AS dup_2gram_frac,
+       (CASE WHEN n_words > 0 THEN (n_words - nd) / n_words ELSE 0.0 END) <= 0.5
+       AND (CASE WHEN n_words > 0 THEN max_freq / n_words ELSE 0.0 END) <= 0.3
+       AND (CASE WHEN n2 > 0 THEN (n2 - n2d) / n2 ELSE 0.0 END) <= 0.35
+         AS keep
+FROM m
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "text_repetition_filter",
+        q_repetition_filter,
+        ORACLE_REPETITION_FILTER,
+        ("ext", "text", "quality"),
+    ),
     QuerySpec("text_token_stats", q_token_stats, ORACLE_TOKEN_STATS, ("ext", "text"), bench=True),
     QuerySpec("text_quality_score", q_quality_score, ORACLE_QUALITY_SCORE, ("ext", "text")),
     QuerySpec("text_lang_id", q_lang_id, ORACLE_LANG_ID, ("ext", "text")),
