@@ -496,6 +496,43 @@ SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
 """
 
 
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersect: keeps duplicate multiplicity (min of the
+    two sides' counts per value)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp)
+
+
+ORACLE_SET_INTERSECT_ALL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics except: per-value multiplicity = count(left) - count(right)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(supp)
+
+
+ORACLE_SET_EXCEPT_ALL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar function library passthrough (string / date / math / JSON)
 # ---------------------------------------------------------------------------
@@ -738,6 +775,8 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("set_union", q_set_union, ORACLE_SET_UNION, ("setop",)),
     QuerySpec("set_intersect", q_set_intersect, ORACLE_SET_INTERSECT, ("setop",)),
     QuerySpec("set_except", q_set_except, ORACLE_SET_EXCEPT, ("setop",)),
+    QuerySpec("set_intersect_all", q_set_intersect_all, ORACLE_SET_INTERSECT_ALL, ("setop",)),
+    QuerySpec("set_except_all", q_set_except_all, ORACLE_SET_EXCEPT_ALL, ("setop",)),
     QuerySpec("string_funcs", q_string_funcs, ORACLE_STRING_FUNCS, ("scalar",)),
     QuerySpec("date_funcs", q_date_funcs, ORACLE_DATE_FUNCS, ("scalar",)),
     QuerySpec("math_funcs", q_math_funcs, ORACLE_MATH_FUNCS, ("scalar",)),

@@ -261,7 +261,86 @@ def q_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding feature ops: unit-normalization + per-label centroids
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding (per-row, shuffle-free). The unit
+    vector is computed in full; the checked output projects it to exact
+    scalars (norm, first/max/min components) so the comparison is robust
+    to how a comparator canonicalizes array columns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(dot(v, v))
+    unit = F.transform(v, lambda x: x / l2)
+    return emb.select(
+        "vec_id",
+        l2.alias("l2_norm"),
+        F.element_at(unit, 1).alias("first_unit"),
+        F.array_max(unit).alias("max_unit"),
+        F.array_min(unit).alias("min_unit"),
+    )
+
+
+ORACLE_EMBEDDING_NORMALIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT vec_id,
+             sqrt(list_dot_product(v, v)) AS l2_norm,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+      FROM e)
+SELECT vec_id, l2_norm,
+       unit[1] AS first_unit,
+       list_max(unit) AS max_unit,
+       list_min(unit) AS min_unit
+FROM u
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (class centroids), exactly: posexplode to
+    (label, dim, x), then a decimal-exact average per (label, dim). One
+    shuffle on (label, pos) with map-side partial aggregation; output is
+    labels x dims — tiny at any corpus size. Order-independent thanks to
+    the decimal sum, so any partitioning gives bit-identical centroids."""
+    from tiny_mapreduce_rpc_server_spark.functions import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"), davg("x", "centroid")
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label,
+              unnest(range(0, len(v))) AS pos,
+              unnest(v) AS x
+       FROM e)
+SELECT label, pos, count(*) AS n,
+       CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(x) AS centroid
+FROM ex GROUP BY label, pos
+"""
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "embedding_normalize",
+        q_embedding_normalize,
+        ORACLE_EMBEDDING_NORMALIZE,
+        ("ext", "embedding"),
+    ),
+    QuerySpec(
+        "embedding_centroids",
+        q_embedding_centroids,
+        ORACLE_EMBEDDING_CENTROIDS,
+        ("ext", "embedding", "ml"),
+    ),
     QuerySpec("ann_bruteforce", q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE, ("ext", "similarity"), bench=True),
     QuerySpec("ann_lsh_bucketed", q_ann_lsh_bucketed, ORACLE_ANN_LSH, ("ext", "similarity")),
     QuerySpec("ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, ("ext", "similarity", "ivf"), bench=True),
