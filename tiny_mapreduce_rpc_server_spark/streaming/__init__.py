@@ -260,7 +260,58 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the streaming escape hatch for arbitrary batch
+    sinks with exactly-once semantics. Each micro-batch writes its own
+    epoch directory with mode=overwrite, so a replayed epoch (failure +
+    restart from checkpoint) lands idempotently instead of duplicating.
+    The checked output re-reads everything written and aggregates; the
+    oracle is the same aggregate straight off the events table, so a pass
+    proves no batch was lost or double-counted."""
+    import os
+    import shutil
+    import tempfile
+
+    events = read_events_stream(spark, sf_dir)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"tmrs_foreach_batch_{sf}")
+    out_dir = os.path.join(base, "data")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)  # deterministic re-run
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    return written.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC.lower())).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_STREAMING_FOREACH_BATCH = f"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "streaming_foreach_batch",
+        q_streaming_foreach_batch,
+        ORACLE_STREAMING_FOREACH_BATCH,
+        ("streaming", "sink"),
+    ),
     QuerySpec("streaming_tumbling", q_streaming_tumbling, ORACLE_STREAMING_TUMBLING, ("streaming",)),
     QuerySpec("streaming_sliding", q_streaming_sliding, ORACLE_STREAMING_SLIDING, ("streaming",)),
     QuerySpec("streaming_session_window", q_streaming_session_window, ORACLE_STREAMING_SESSION, ("streaming", "session")),
