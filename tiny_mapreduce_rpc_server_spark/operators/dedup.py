@@ -471,7 +471,70 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check
+# ---------------------------------------------------------------------------
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: flag corpus documents sharing any 3-gram
+    shingle with a held-out benchmark set (here: source='src0' plays the
+    benchmark/eval corpus; everything else is training data).
+
+    Shape: the benchmark shingle set is tiny relative to the corpus, so
+    it BROADCASTS against the exploded training shingles — at 100 TB this
+    is one corpus scan with a map-side hash probe, no fact-side shuffle
+    except the final per-doc count (which partial-aggregates map-side).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ds = _doc_shingles(spark, sf_dir).join(docs, "doc_id")
+    bench = (
+        ds.filter(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = ds.filter(F.col("source") != "src0")
+    ex = train.select("doc_id", F.explode("shingles").alias("s"))
+    shared = (
+        ex.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    n_shared = F.coalesce("n_shared", F.lit(0))
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_shared.alias("n_shared"),
+            (n_shared > 0).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_CONTAMINATION_CHECK = f"""
+WITH ds AS ({_SQL_SHINGLES}),
+d AS (SELECT ds.doc_id, shingles, source
+      FROM ds JOIN documents USING (doc_id)),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM d WHERE source = 'src0'),
+train AS (SELECT doc_id, shingles FROM d WHERE source <> 'src0'),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM train),
+shared AS (SELECT doc_id, count(*) AS n_shared
+           FROM ex JOIN bench USING (s) GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(n_shared, 0) AS n_shared,
+       COALESCE(n_shared, 0) > 0 AS contaminated
+FROM train t LEFT JOIN shared USING (doc_id)
+"""
+
+
 DEDUP_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "contamination_check",
+        q_contamination_check,
+        ORACLE_CONTAMINATION_CHECK,
+        ("ext", "dedup", "quality"),
+    ),
     QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("ext", "dedup")),
     QuerySpec("dedup_exact_hash", q_dedup_exact_hash, ORACLE_DEDUP_EXACT_HASH, ("ext", "dedup")),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("ext", "dedup"), bench=True),
