@@ -227,3 +227,37 @@ def test_grouping_sets_single_scan_expand(spark):
     p = plan(spark, _q(spark, "grouping_sets"))
     assert "Expand" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+# --- LLM-pipeline additions (contamination, embeddings) -------------------
+
+
+def test_contamination_bench_set_broadcast(spark):
+    """The benchmark shingle set must broadcast: the corpus side of the
+    probe join must not shuffle."""
+    p = plan(spark, _q(spark, "contamination_check"))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_embedding_normalize_no_shuffle(spark):
+    p = plan(spark, _q(spark, "embedding_normalize"))
+    assert "Exchange" not in p, p
+
+
+def test_embedding_centroids_partial_agg(spark):
+    """Centroid aggregation must partial-aggregate map-side (decimal sums
+    merge associatively), shuffling only (label, pos) partials."""
+    import re
+
+    p = plan(spark, _q(spark, "embedding_centroids"))
+    assert "partial_sum" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_fact_fact_join_is_not_nested_loop(spark):
+    """q18 joins lineitem to orders (both facts): must be a hash/merge
+    join on the key, never a broadcast NLJ or cartesian."""
+    p = plan(spark, _q(spark, "q18_large_volume_cust"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
