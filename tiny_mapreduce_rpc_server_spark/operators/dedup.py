@@ -498,14 +498,21 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the final per-doc count (which partial-aggregates map-side).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ds = _doc_shingles(spark, sf_dir).join(docs, "doc_id")
+    # cache: the shingle computation feeds both the benchmark-set build
+    # and the training-side probe — without it the corpus tokenizes twice
+    ds = _doc_shingles(spark, sf_dir).join(docs, "doc_id").cache()
+    # probe on xxhash64(shingle): 8-byte broadcast keys (same collision
+    # argument as q_dedup_ngram_jaccard)
     bench = (
         ds.filter(F.col("source") == "src0")
         .select(F.explode("shingles").alias("s"))
+        .select(F.xxhash64("s").alias("s"))
         .distinct()
     )
     train = ds.filter(F.col("source") != "src0")
-    ex = train.select("doc_id", F.explode("shingles").alias("s"))
+    ex = train.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("s")
+    )
     shared = (
         ex.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
@@ -545,6 +552,7 @@ DEDUP_QUERIES: list[QuerySpec] = [
         q_contamination_check,
         ORACLE_CONTAMINATION_CHECK,
         ("ext", "dedup", "quality"),
+        bench=True,
     ),
     QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("ext", "dedup")),
     QuerySpec("dedup_exact_hash", q_dedup_exact_hash, ORACLE_DEDUP_EXACT_HASH, ("ext", "dedup")),

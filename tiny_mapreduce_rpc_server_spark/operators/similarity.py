@@ -340,6 +340,7 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         q_embedding_centroids,
         ORACLE_EMBEDDING_CENTROIDS,
         ("ext", "embedding", "ml"),
+        bench=True,
     ),
     QuerySpec("ann_bruteforce", q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE, ("ext", "similarity"), bench=True),
     QuerySpec("ann_lsh_bucketed", q_ann_lsh_bucketed, ORACLE_ANN_LSH, ("ext", "similarity")),

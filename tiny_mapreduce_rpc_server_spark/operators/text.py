@@ -296,6 +296,7 @@ TEXT_QUERIES: list[QuerySpec] = [
         q_repetition_filter,
         ORACLE_REPETITION_FILTER,
         ("ext", "text", "quality"),
+        bench=True,
     ),
     QuerySpec("text_token_stats", q_token_stats, ORACLE_TOKEN_STATS, ("ext", "text"), bench=True),
     QuerySpec("text_quality_score", q_quality_score, ORACLE_QUALITY_SCORE, ("ext", "text")),
