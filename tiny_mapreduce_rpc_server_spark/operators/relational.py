@@ -496,6 +496,26 @@ SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
 """
 
 
+def q_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set surface, made deterministic: collection
+    order under parallelism is arbitrary, so the collected set is sorted
+    before concatenation — the only way a gather aggregate can be
+    reproducible on a cluster."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names_csv"),
+        F.size(F.collect_set("n_name")).alias("n_distinct"),
+    )
+
+
+ORACLE_STRING_AGG_SORTED = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+       count(DISTINCT n_name) AS n_distinct
+FROM nation GROUP BY n_regionkey
+"""
+
+
 def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics intersect: keeps duplicate multiplicity (min of the
     two sides' counts per value)."""
@@ -775,6 +795,7 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("set_union", q_set_union, ORACLE_SET_UNION, ("setop",)),
     QuerySpec("set_intersect", q_set_intersect, ORACLE_SET_INTERSECT, ("setop",)),
     QuerySpec("set_except", q_set_except, ORACLE_SET_EXCEPT, ("setop",)),
+    QuerySpec("string_agg_sorted", q_string_agg_sorted, ORACLE_STRING_AGG_SORTED, ("agg", "collect")),
     QuerySpec("set_intersect_all", q_set_intersect_all, ORACLE_SET_INTERSECT_ALL, ("setop",)),
     QuerySpec("set_except_all", q_set_except_all, ORACLE_SET_EXCEPT_ALL, ("setop",)),
     QuerySpec("string_funcs", q_string_funcs, ORACLE_STRING_FUNCS, ("scalar",)),

@@ -185,7 +185,44 @@ SELECT * FROM (
 """
 
 
+def q_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC upsert / SCD latest-wins): treat events
+    as a change feed and keep the latest row per (user_id, event_type),
+    ordered by ts with event_id as the deterministic tiebreak.
+
+    One shuffle on the key, per-partition sort, row_number filter — the
+    same shape Delta/Iceberg MERGE compaction runs. At 100 TB the key
+    space partitions evenly (user_id is high-cardinality); no global
+    sort anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+
+
+ORACLE_CHANGELOG_UPSERT = """
+SELECT user_id, event_type, ts, event_id, value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 TEMPORAL_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "changelog_upsert",
+        q_changelog_upsert,
+        ORACLE_CHANGELOG_UPSERT,
+        ("temporal", "cdc"),
+    ),
     QuerySpec("asof_join", asof_join_last_order, ORACLE_ASOF, ("temporal", "asof"), bench=True),
     QuerySpec("range_join_bands", range_join_quantity_bands, ORACLE_RANGE_JOIN, ("temporal", "range-join")),
     QuerySpec("time_bucket_rollup", time_bucket_rollup, ORACLE_TIME_BUCKET, ("temporal", "rollup"), bench=True),

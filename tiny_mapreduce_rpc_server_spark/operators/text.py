@@ -290,7 +290,101 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25-style retrieval scoring
+# ---------------------------------------------------------------------------
+
+# fixed "query" for the retrieval operator
+BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style lexical retrieval: score every document against a fixed
+    term set and return the matches.
+
+    The idf factor uses the BM25 ratio (N - df + 0.5)/(df + 0.5) WITHOUT
+    the log — +,*,/ are correctly-rounded IEEE ops, so the score is
+    bit-identical across engines, while log/ln may differ in the last ulp
+    between libm implementations. Ranking order is unchanged (the map is
+    monotone).
+
+    Shape: per-doc tf's are list expressions (no shuffle); corpus stats
+    (N, df per term) are ONE aggregate row broadcast back over the scan —
+    at 100 TB that's two corpus scans and a scalar broadcast, no
+    fact-side shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = P.tokens(F.lower(F.col("text")))
+    def _eq(w: str):
+        # closure factory: a `lambda x, w=w:` default arg would make PySpark's
+        # lambda-arity introspection pass the element INDEX as the 2nd arg
+        return lambda x: x == F.lit(w)
+
+    tf_cols = [
+        F.size(F.filter(t, _eq(w))).alias(f"tf_{i}")
+        for i, w in enumerate(BM25_TERMS)
+    ]
+    d = docs.select("doc_id", *tf_cols)
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = d.join(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        term = (
+            tf
+            * (F.col("n_docs") - df + 0.5)
+            / (df + 0.5)
+            / (tf + _BM25_K1)
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+    )
+
+
+def _sql_bm25() -> str:
+    tl = P.sql_tokens("lower(text)")
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{w}')) AS tf_{i}"
+        for i, w in enumerate(BM25_TERMS)
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"tf_{i} * (n_docs - df_{i} + 0.5) / (df_{i} + 0.5) / (tf_{i} + {_BM25_K1})"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH d0 AS (SELECT doc_id, {tl} AS t FROM documents),
+d AS (SELECT doc_id,
+         {tf_exprs}
+      FROM d0),
+stats AS (SELECT count(*) AS n_docs, {df_exprs} FROM d)
+SELECT doc_id, {score} AS score
+FROM d, stats
+WHERE {score} > 0
+"""
+
+
+ORACLE_BM25_SEARCH = _sql_bm25()
+
+
 TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "text_bm25_search",
+        q_bm25_search,
+        ORACLE_BM25_SEARCH,
+        ("ext", "text", "retrieval"),
+    ),
     QuerySpec(
         "text_repetition_filter",
         q_repetition_filter,
