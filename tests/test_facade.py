@@ -182,3 +182,46 @@ def test_csv_handles_forbidden_characters(spark, tmp_path):
     back = spark.read.option("header", "true").option("multiLine", "true").csv(path)
     got = {r["k"]: int(r["v"]) for r in back.collect()}
     assert got == {"key with space": 1, "key\r\nwith crlf": 2}
+
+
+# --- linefile Python DataSource (the reference's split + straddle rule) ---
+
+
+def test_linefile_straddle_rule_all_split_sizes(spark, tmp_path):
+    """Every line read exactly once regardless of where splits fall —
+    including lines that END exactly on a split boundary (the off-by-one
+    the seek-back-one-byte rule exists for)."""
+    from tiny_mapreduce_rpc_server_spark.sources.linefile import register
+
+    register(spark)
+    f = tmp_path / "lines.txt"
+    with open(f, "wb") as fh:
+        for i in range(500):
+            fh.write((f"line-{i}-" + "x" * (i % 37) + "\n").encode())
+    expect = sorted(r.value for r in spark.read.text(str(f)).collect())
+    for split in (64, 257, 1031, 10**6):
+        df = (
+            spark.read.format("linefile")
+            .option("path", str(f))
+            .option("split_size", split)
+            .load()
+        )
+        rows = df.collect()
+        assert sorted(r.line for r in rows) == expect, f"split={split}"
+        offs = [r.offset for r in rows]
+        assert len(offs) == len(set(offs)), f"split={split}: duplicate offsets"
+
+
+def test_linefile_one_task_per_split(spark, tmp_path):
+    from tiny_mapreduce_rpc_server_spark.sources.linefile import register
+
+    register(spark)
+    f = tmp_path / "ten.txt"
+    f.write_bytes(b"a\n" * 100)  # 200 bytes
+    df = (
+        spark.read.format("linefile")
+        .option("path", str(f))
+        .option("split_size", 50)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # 200/50 byte-range splits

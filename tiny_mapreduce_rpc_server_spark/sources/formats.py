@@ -79,7 +79,22 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def _linefile_spec() -> QuerySpec:
+    from tiny_mapreduce_rpc_server_spark.sources.linefile import (
+        ORACLE_LINEFILE_WORDCOUNT,
+        q_linefile_wordcount,
+    )
+
+    return QuerySpec(
+        "linefile_wordcount",
+        q_linefile_wordcount,
+        ORACLE_LINEFILE_WORDCOUNT,
+        ("source", "linefile", "datasource-v2"),
+    )
+
+
 FORMAT_QUERIES = [
+    _linefile_spec(),
     QuerySpec(
         "csv_source_roundtrip",
         q_csv_roundtrip,

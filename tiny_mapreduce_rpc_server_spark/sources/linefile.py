@@ -1,0 +1,164 @@
+"""`linefile` — a Python DataSource V2 implementing the reference's source.
+
+The reference's entire input stack is: stat the file, cut fixed-size
+byte-range splits (``MapReduceUtil.cpp:139-166``, default 128 MiB
+``Callbacks.h:40``), then read line records per split with the
+STRADDLE RULE (``LineRecordReader.h:14-119``): a split with offset != 0
+skips its first (partial) line, and every split reads one line PAST its
+end byte — so a line belongs to the split where it *starts*, each line
+is read exactly once, and no coordination between readers is needed.
+
+Spark's built-in text sources implement the same rule internally; this
+module implements it *explicitly* as a Spark 4 Python DataSource so the
+parity is auditable line-for-line: ``partitions()`` is the split planner
+(one InputPartition per byte range => one Spark task per split, exactly
+the reference's one-mapper-thread-per-split), ``read()`` is the record
+reader. Emits ``(offset, line)`` — the reference reader's key/value pair
+(``LineRecordReader.h`` yields (int offset, string line)).
+
+Scale: split planning is O(files) on the driver; reads are independent
+per split (no shuffle, no cross-task coordination) — identical cost
+model to the built-in text scan. This source exists for parity and for
+custom-format lessons; production paths should keep using
+``spark.read.text`` (JVM-side, vectorized).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+DEFAULT_SPLIT_SIZE = 128 * 1024 * 1024  # reference Callbacks.h:40
+
+
+class _ByteRangeSplit(InputPartition):
+    def __init__(self, path: str, start: int, length: int):
+        self.path = path
+        self.start = start
+        self.length = length
+
+
+class LineFileReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("linefile source requires option 'path'")
+        self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith(("_", "."))
+                and os.path.isfile(os.path.join(self.path, f))
+            )
+        return [self.path]
+
+    def partitions(self) -> list[_ByteRangeSplit]:
+        """Split planner: fixed-size byte ranges, last split = remainder
+        (MapReduceUtil.cpp:139-166)."""
+        out = []
+        for f in self._files():
+            size = os.stat(f).st_size
+            off = 0
+            while off < size:
+                out.append(_ByteRangeSplit(f, off, min(self.split_size, size - off)))
+                off += self.split_size
+        # zero-byte inputs still need one (empty) partition for a valid scan
+        return out or [_ByteRangeSplit(self._files()[0], 0, 0)]
+
+    def read(self, part: _ByteRangeSplit):
+        """Record reader with the straddle rule (LineRecordReader.h:44-62):
+        skip the first partial line unless offset==0; keep reading one
+        line past the split end so the line that *starts* inside this
+        split is fully consumed here and nowhere else."""
+        end = part.start + part.length
+        with open(part.path, "rb") as fh:
+            pos = part.start
+            if part.start != 0:
+                # Hadoop-style: seek one byte BACK and discard through the
+                # first newline. If byte start-1 is itself '\n', the discard
+                # consumes only that byte and the line starting exactly at
+                # `start` is correctly kept; skipping unconditionally from
+                # `start` would lose lines that begin on a split boundary.
+                fh.seek(part.start - 1)
+                skipped = fh.readline()
+                pos = part.start - 1 + len(skipped)
+            else:
+                fh.seek(0)
+            while pos < end:
+                line = fh.readline()
+                if not line:
+                    break
+                yield (pos, line.rstrip(b"\n").decode("utf-8"))
+                pos += len(line)
+
+
+class LineFileDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "linefile"
+
+    def schema(self) -> str:
+        return "offset bigint, line string"
+
+    def reader(self, schema) -> LineFileReader:
+        return LineFileReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LineFileDataSource)
+
+
+# ---------------------------------------------------------------------------
+# registered query: the reference's default job on the reference's source
+# ---------------------------------------------------------------------------
+
+
+def q_linefile_wordcount(spark, sf_dir: str):
+    """End-to-end parity run: dump documents.text as plain line files
+    (the reference's on-disk format), read them back through the
+    `linefile` DataSource with small splits (forcing straddles), and run
+    the reference's default job (word count, SURVEY §2.6.4) on the
+    result. The oracle tokenizes the documents table directly, so a pass
+    proves the split planner + straddle rule lose and duplicate nothing.
+    """
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.functions import portable as P
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    register(spark)
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(tempfile.gettempdir(), f"tmrs_linefile_{sf}")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = (
+        spark.read.format("linefile")
+        .option("path", path)
+        .option("split_size", 64 * 1024)  # force straddles at test scale
+        .load()
+    )
+    return (
+        lines.select(F.explode(P.tokens(F.col("line"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _oracle_linefile_wordcount() -> str:
+    from tiny_mapreduce_rpc_server_spark.functions import portable as P
+
+    return f"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest({P.sql_tokens("text")}) AS word FROM documents)
+GROUP BY word
+"""
+
+
+ORACLE_LINEFILE_WORDCOUNT = _oracle_linefile_wordcount()
