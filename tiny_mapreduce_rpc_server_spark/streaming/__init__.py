@@ -305,7 +305,110 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (customer, keyed by user_id). The static side is re-read per
+    micro-batch and broadcast — no stream-side state, no watermark needed
+    for the join itself. At 100 TB of stream this is the standard
+    dimension-enrichment topology."""
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = events.join(cust, "user_id")  # static side broadcasts
+    agg = joined.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC.lower())).cast("double").alias("sum_value"),
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_STATIC_JOIN = f"""
+SELECT c_nationkey, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound: every
+    (click, view) pair per user where the view follows the click within
+    10 minutes. Both sides carry watermarks so the join state is bounded
+    — the engine can discard a click once no view within its 10-minute
+    horizon can still arrive. Output rows are (finalized) exact pairs, so
+    the batch join is the oracle."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_STREAM_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       c.ts AS click_ts, v.ts AS view_ts
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "streaming_static_join",
+        q_streaming_static_join,
+        ORACLE_STREAMING_STATIC_JOIN,
+        ("streaming", "join"),
+    ),
+    QuerySpec(
+        "streaming_stream_join",
+        q_streaming_stream_join,
+        ORACLE_STREAMING_STREAM_JOIN,
+        ("streaming", "join"),
+    ),
     QuerySpec(
         "streaming_foreach_batch",
         q_streaming_foreach_batch,
