@@ -126,7 +126,116 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixing
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_SQRT = True  # rate ∝ sqrt(min_count / count): upweights small sources
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing for pretraining: downsample large sources toward a
+    temperature-flattened distribution. Each source keeps
+    ``floor(100 * sqrt(min_count/count))`` of its 100 hash buckets — a
+    deterministic per-row filter once the (tiny) per-source rate table is
+    computed and broadcast. sqrt is a correctly-rounded IEEE op, so the
+    rates are bit-identical across engines.
+
+    Scale: one light aggregate over source counts (dimension-sized),
+    broadcast back over the corpus scan; the sample itself is a pure
+    filter — zero corpus shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("c"))
+    min_c = counts.agg(F.min("c").alias("min_c"))
+    rates = (
+        counts.join(F.broadcast(min_c))
+        .select(
+            "source",
+            F.floor(100 * F.sqrt(F.col("min_c") / F.col("c")))
+            .cast("int")
+            .alias("keep_buckets"),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_bucket(F.col("doc_id")) < F.col("keep_buckets"))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("keep_buckets").alias("keep_buckets"),
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+m AS (SELECT min(c) AS min_c FROM counts),
+rates AS (SELECT source,
+                 CAST(floor(100 * sqrt(min_c / c)) AS INT) AS keep_buckets
+          FROM counts, m)
+SELECT d.source, count(*) AS n_kept, min(keep_buckets) AS keep_buckets
+FROM documents d JOIN rates USING (source)
+WHERE {_sql_bucket("doc_id")} < keep_buckets
+GROUP BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-chunk assignment)
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 50_000
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-size training chunks: within each source,
+    documents are laid out in doc_id order and cut into ~50k-char chunks
+    by cumulative length (a doc belongs to the chunk where it STARTS —
+    the same ownership rule as the byte-range line splits in
+    sources/linefile.py, applied to sequence packing).
+
+    The running sum is a window PARTITIONED BY source — each source packs
+    independently and in parallel; no global sort exists anywhere.
+    Integer arithmetic only => engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_chars").over(w)
+    start = (cum - F.col("n_chars")).alias("start_offset")
+    chunk = F.floor((cum - F.col("n_chars")) / _CHUNK_CHARS).cast("long")
+    per_doc = docs.select(
+        "source", "doc_id", "n_chars", chunk.alias("chunk_id")
+    )
+    return per_doc.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH per_doc AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor((sum(n_chars) OVER w - n_chars) / {_CHUNK_CHARS}) AS BIGINT)
+           AS chunk_id
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, chunk_id, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM per_doc GROUP BY source, chunk_id
+"""
+
+
 SAMPLING_QUERIES: list[QuerySpec] = [
+    QuerySpec("temperature_mix", temperature_mix, ORACLE_TEMPERATURE_MIX, ("ext", "sampling", "mixing")),
+    QuerySpec("sequence_packing", sequence_packing, ORACLE_SEQUENCE_PACKING, ("ext", "sampling", "packing")),
     QuerySpec("sample_hash_bucket", sample_hash_bucket, ORACLE_SAMPLE, ("ext", "sampling")),
     QuerySpec("train_val_test_split", train_val_test_split, ORACLE_SPLIT, ("ext", "sampling")),
     QuerySpec("stratified_hash_sample", stratified_hash_sample, ORACLE_STRATIFIED, ("ext", "sampling")),
