@@ -205,7 +205,6 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum("n_chars").over(w)
-    start = (cum - F.col("n_chars")).alias("start_offset")
     chunk = F.floor((cum - F.col("n_chars")) / _CHUNK_CHARS).cast("long")
     per_doc = docs.select(
         "source", "doc_id", "n_chars", chunk.alias("chunk_id")
