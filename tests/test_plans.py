@@ -261,3 +261,31 @@ def test_fact_fact_join_is_not_nested_loop(spark):
     p = plan(spark, _q(spark, "q18_large_volume_cust"))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_temperature_mix_rate_table_broadcast(spark):
+    """The per-source rate table must broadcast; the corpus side must not
+    shuffle before its own final aggregate."""
+    p = plan(spark, _q(spark, "temperature_mix"))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_sequence_packing_window_partitioned(spark):
+    p = plan(spark, _q(spark, "sequence_packing"))
+    assert "hashpartitioning(source" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_changelog_upsert_partitioned_window(spark):
+    p = plan(spark, _q(spark, "changelog_upsert"))
+    assert "hashpartitioning(user_id" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_bm25_no_fact_shuffle(spark):
+    """BM25: corpus stats broadcast back over the scan — the doc side must
+    never hash-shuffle (only the scalar-stats aggregate exchanges)."""
+    p = plan(spark, _q(spark, "text_bm25_search"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
