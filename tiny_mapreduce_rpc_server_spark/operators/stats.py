@@ -63,7 +63,77 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEC38 = "decimal(38,6)"
+
+
+def q_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance + correlation of (l_quantity, l_extendedprice)
+    per return flag, built from DECIMAL moment sums instead of the
+    built-in covar_pop/corr: the five moments (Σx, Σy, Σxy, Σx², Σy²) are
+    order-independent decimal sums, so the derived statistics are
+    bit-identical at any parallelism — the built-ins accumulate doubles
+    in partition order and are not. One shuffle, partial-aggregated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # The inputs are exact 2-dp quantities, so EVERYTHING up to the final
+    # double cast happens in decimal arithmetic: squaring in DOUBLE first
+    # and then casting rounds the product twice, and the double->decimal
+    # rounding rule differs between engines in the last ulp. decimal x
+    # decimal products and sums are exact, so each moment is rounded to
+    # double exactly once, identically everywhere.
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = li.select(
+        "l_returnflag",
+        x.alias("x"),
+        y.alias("y"),
+        (x * y).alias("xy"),
+        (x * x).alias("xx"),
+        (y * y).alias("yy"),
+    )
+    g = d.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(c)).cast("double").alias(f"s_{c}")
+            for c in ("x", "y", "xy", "xx", "yy")
+        ],
+    )
+    n = F.col("n")
+    cov = (F.col("s_xy") - F.col("s_x") * F.col("s_y") / n) / n
+    var_x = (F.col("s_xx") - F.col("s_x") * F.col("s_x") / n) / n
+    var_y = (F.col("s_yy") - F.col("s_y") * F.col("s_y") / n) / n
+    return g.select(
+        "l_returnflag",
+        "n",
+        cov.alias("covar_pop"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr"),
+    )
+
+
+ORACLE_COVAR_CORR = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(12,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+  FROM lineitem),
+g AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS s_x,
+         CAST(sum(y) AS DOUBLE) AS s_y,
+         CAST(sum(x * y) AS DOUBLE) AS s_xy,
+         CAST(sum(x * x) AS DOUBLE) AS s_xx,
+         CAST(sum(y * y) AS DOUBLE) AS s_yy
+  FROM d GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (s_xy - s_x * s_y / n) / n AS covar_pop,
+       ((s_xy - s_x * s_y / n) / n)
+         / (sqrt((s_xx - s_x * s_x / n) / n) * sqrt((s_yy - s_y * s_y / n) / n))
+         AS corr
+FROM g
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec("covar_corr", q_covar_corr, ORACLE_COVAR_CORR, ("stats",)),
     QuerySpec("quantiles_by_flag", quantiles_by_flag, ORACLE_QUANTILES, ("stats", "quantile")),
     QuerySpec("approx_distinct_users", approx_distinct_users, None, ("stats", "sketch")),
 ]
