@@ -611,6 +611,70 @@ FROM orders GROUP BY 1, 2, 3, 4
 """
 
 
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: interval add (month arithmetic clamps to month
+    end in both engines), last_day, day-of-week. Spark's dayofweek is
+    1=Sunday vs DuckDB's 0=Sunday — normalized to 0-based here."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 1).alias("plus_1mo"),
+        F.last_day(d).alias("month_end"),
+        (F.dayofweek(d) - 1).alias("dow"),
+    )
+
+
+ORACLE_DATE_ARITHMETIC = """
+-- plus_30d is DATE + 30 (integer days), NOT "+ INTERVAL 30 DAY": DuckDB
+-- interval equality says INTERVAL 1 MONTH = INTERVAL 30 DAY, and common-
+-- subexpression elimination then merges the two additions into one,
+-- silently returning the +30d value for both columns.
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       dayofweek(CAST(o_orderdate AS DATE)) AS dow
+FROM orders
+"""
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics end-to-end: nulls are introduced with nullif, then
+    flow through coalesce/nvl2-style defaults and aggregates (count(col)
+    skips nulls, count(*) does not) — the SQL null contract the
+    reference never had to define (its values were raw strings)."""
+    orders = load_table(spark, sf_dir, "orders")
+    maybe = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        orders.select(
+            "o_orderpriority",
+            maybe.alias("status_or_null"),
+            F.coalesce(maybe, F.lit("OPEN")).alias("status_defaulted"),
+            F.when(maybe.isNull(), 0).otherwise(1).alias("has_status"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("status_or_null").alias("n_nonnull"),
+            F.sum("has_status").alias("sum_flag"),
+            F.min("status_defaulted").alias("min_defaulted"),
+        )
+    )
+
+
+ORACLE_NULL_HANDLING = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(nullif(o_orderstatus, 'O')) AS n_nonnull,
+       sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END)
+         AS sum_flag,
+       min(coalesce(nullif(o_orderstatus, 'O'), 'OPEN')) AS min_defaulted
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
@@ -800,6 +864,8 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("set_except_all", q_set_except_all, ORACLE_SET_EXCEPT_ALL, ("setop",)),
     QuerySpec("string_funcs", q_string_funcs, ORACLE_STRING_FUNCS, ("scalar",)),
     QuerySpec("date_funcs", q_date_funcs, ORACLE_DATE_FUNCS, ("scalar",)),
+    QuerySpec("date_arithmetic", q_date_arithmetic, ORACLE_DATE_ARITHMETIC, ("scalar", "temporal")),
+    QuerySpec("null_handling", q_null_handling, ORACLE_NULL_HANDLING, ("scalar", "nulls")),
     QuerySpec("math_funcs", q_math_funcs, ORACLE_MATH_FUNCS, ("scalar",)),
     QuerySpec("json_funcs", q_json_funcs, ORACLE_JSON_FUNCS, ("scalar", "json")),
     QuerySpec("case_when", q_case_when, ORACLE_CASE_WHEN, ("scalar",)),
