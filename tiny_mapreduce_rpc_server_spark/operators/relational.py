@@ -725,6 +725,36 @@ FROM events GROUP BY event_type
 """
 
 
+def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json -> typed struct), as opposed to
+    the path-extraction in json_funcs: the parse happens once per row and
+    every field access afterwards is a cheap struct getter — the right
+    shape when several fields are consumed."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    k = F.col("p.k")
+    return (
+        events.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.sum((k % 2).cast("long")).alias("n_odd"),
+        )
+    )
+
+
+ORACLE_JSON_STRUCT_PARSE = """
+WITH p AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events)
+SELECT event_type, count(*) AS n, sum(k) AS sum_k, min(k) AS min_k,
+       sum(k % 2) AS n_odd
+FROM p GROUP BY event_type
+"""
+
+
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional bucketing (CASE WHEN) + conditional aggregation."""
     orders = load_table(spark, sf_dir, "orders")
@@ -868,6 +898,7 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("null_handling", q_null_handling, ORACLE_NULL_HANDLING, ("scalar", "nulls")),
     QuerySpec("math_funcs", q_math_funcs, ORACLE_MATH_FUNCS, ("scalar",)),
     QuerySpec("json_funcs", q_json_funcs, ORACLE_JSON_FUNCS, ("scalar", "json")),
+    QuerySpec("json_struct_parse", q_json_struct_parse, ORACLE_JSON_STRUCT_PARSE, ("scalar", "json")),
     QuerySpec("case_when", q_case_when, ORACLE_CASE_WHEN, ("scalar",)),
     QuerySpec("tumbling_hour", q_tumbling_hour, ORACLE_TUMBLING_HOUR, ("events", "window"), bench=True),
     QuerySpec("sessionize", q_sessionize, ORACLE_SESSIONIZE, ("events", "window"), bench=True),
