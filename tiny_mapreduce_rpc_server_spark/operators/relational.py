@@ -725,6 +725,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract / replace-all / match-test. Patterns stay in
+    the dialect-portable subset (character classes, anchors, groups) that
+    Java regex and DuckDB's RE2 interpret identically; Spark's
+    regexp_replace is replace-all by default, DuckDB needs the 'g' flag."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"r.d").alias("has_rxd"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+ORACLE_REGEX_FUNCS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_name, 'r.d') AS has_rxd,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+FROM part
+"""
+
+
 def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-full JSON parsing (from_json -> typed struct), as opposed to
     the path-extraction in json_funcs: the parse happens once per row and
@@ -899,6 +924,7 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("math_funcs", q_math_funcs, ORACLE_MATH_FUNCS, ("scalar",)),
     QuerySpec("json_funcs", q_json_funcs, ORACLE_JSON_FUNCS, ("scalar", "json")),
     QuerySpec("json_struct_parse", q_json_struct_parse, ORACLE_JSON_STRUCT_PARSE, ("scalar", "json")),
+    QuerySpec("regex_funcs", q_regex_funcs, ORACLE_REGEX_FUNCS, ("scalar", "regex")),
     QuerySpec("case_when", q_case_when, ORACLE_CASE_WHEN, ("scalar",)),
     QuerySpec("tumbling_hour", q_tumbling_hour, ORACLE_TUMBLING_HOUR, ("events", "window"), bench=True),
     QuerySpec("sessionize", q_sessionize, ORACLE_SESSIONIZE, ("events", "window"), bench=True),

@@ -216,7 +216,52 @@ FROM (
 """
 
 
+def q_rolling_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing-7-day spend for the
+    same customer (RANGE BETWEEN 7 DAYS PRECEDING, not ROWS — the frame
+    is defined by event time, so gaps and bursts are handled correctly).
+
+    Spark range frames need a numeric ordering column: order by unix
+    seconds with a [-604800, 0] range — identical membership to DuckDB's
+    INTERVAL 7 DAYS PRECEDING on the timestamp. Partitioned by customer
+    => distributed; decimal frame sums => order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    secs = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(secs)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count("*").over(w).alias("n_orders_7d"),
+    )
+
+
+ORACLE_ROLLING_WINDOW_7D = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         AS spend_7d,
+       count(*) OVER w AS n_orders_7d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 TEMPORAL_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "rolling_window_7d",
+        q_rolling_window_7d,
+        ORACLE_ROLLING_WINDOW_7D,
+        ("temporal", "window"),
+    ),
     QuerySpec(
         "changelog_upsert",
         q_changelog_upsert,
