@@ -289,3 +289,14 @@ def test_bm25_no_fact_shuffle(spark):
     p = plan(spark, _q(spark, "text_bm25_search"))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_rolling_window_7d_partitioned(spark):
+    p = plan(spark, _q(spark, "rolling_window_7d"))
+    assert "hashpartitioning(o_custkey" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_regex_funcs_no_shuffle(spark):
+    p = plan(spark, _q(spark, "regex_funcs"))
+    assert "Exchange" not in p, p
