@@ -725,6 +725,53 @@ FROM events GROUP BY event_type
 """
 
 
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar ops + bit_and/bit_or/bit_xor aggregates (hex output
+    lower-cased for engine-neutral comparison)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    d = supp.select(
+        "s_nationkey",
+        (k.bitwiseAND(F.lit(255))).alias("low_byte"),
+        (k.bitwiseOR(F.lit(16))).alias("with_flag"),
+        (k.bitwiseXOR(F.col("s_nationkey"))).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 1).alias("shr1"),
+        F.lower(F.hex(k)).alias("key_hex"),
+    )
+    return d.groupBy("s_nationkey").agg(
+        F.bit_and("low_byte").alias("and_low"),
+        F.bit_or("low_byte").alias("or_low"),
+        F.bit_xor("xored").alias("xor_all"),
+        F.max("shl2").alias("max_shl2"),
+        F.min("shr1").alias("min_shr1"),
+        F.max("key_hex").alias("max_hex"),
+        F.max("with_flag").alias("max_flagged"),
+    )
+
+
+ORACLE_BITWISE_FUNCS = """
+WITH d AS (
+  SELECT s_nationkey,
+         s_suppkey & 255 AS low_byte,
+         s_suppkey | 16 AS with_flag,
+         xor(s_suppkey, s_nationkey) AS xored,
+         s_suppkey << 2 AS shl2,
+         s_suppkey >> 1 AS shr1,
+         lower(to_hex(s_suppkey)) AS key_hex
+  FROM supplier)
+SELECT s_nationkey,
+       bit_and(low_byte) AS and_low,
+       bit_or(low_byte) AS or_low,
+       bit_xor(xored) AS xor_all,
+       max(shl2) AS max_shl2,
+       min(shr1) AS min_shr1,
+       max(key_hex) AS max_hex,
+       max(with_flag) AS max_flagged
+FROM d GROUP BY s_nationkey
+"""
+
+
 def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex surface: extract / replace-all / match-test. Patterns stay in
     the dialect-portable subset (character classes, anchors, groups) that
@@ -925,6 +972,7 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("json_funcs", q_json_funcs, ORACLE_JSON_FUNCS, ("scalar", "json")),
     QuerySpec("json_struct_parse", q_json_struct_parse, ORACLE_JSON_STRUCT_PARSE, ("scalar", "json")),
     QuerySpec("regex_funcs", q_regex_funcs, ORACLE_REGEX_FUNCS, ("scalar", "regex")),
+    QuerySpec("bitwise_funcs", q_bitwise_funcs, ORACLE_BITWISE_FUNCS, ("scalar", "bitwise")),
     QuerySpec("case_when", q_case_when, ORACLE_CASE_WHEN, ("scalar",)),
     QuerySpec("tumbling_hour", q_tumbling_hour, ORACLE_TUMBLING_HOUR, ("events", "window"), bench=True),
     QuerySpec("sessionize", q_sessionize, ORACLE_SESSIONIZE, ("events", "window"), bench=True),
