@@ -79,6 +79,35 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read-back:
+    orders written partitionBy(o_orderstatus), then read with a status
+    filter that prunes to ONE partition directory (no data from the
+    others is even opened — at 100 TB this is the difference between a
+    full scan and a directory listing). The aggregate over the pruned
+    read must match the same filter+aggregate on the original table."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "part_orders")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+ORACLE_PARTITIONED_SINK = f"""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
 def _linefile_spec() -> QuerySpec:
     from tiny_mapreduce_rpc_server_spark.sources.linefile import (
         ORACLE_LINEFILE_WORDCOUNT,
@@ -95,6 +124,12 @@ def _linefile_spec() -> QuerySpec:
 
 FORMAT_QUERIES = [
     _linefile_spec(),
+    QuerySpec(
+        "partitioned_sink_roundtrip",
+        q_partitioned_sink_roundtrip,
+        ORACLE_PARTITIONED_SINK,
+        ("sink", "partitioning"),
+    ),
     QuerySpec(
         "csv_source_roundtrip",
         q_csv_roundtrip,
