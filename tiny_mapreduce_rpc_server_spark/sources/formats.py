@@ -108,6 +108,35 @@ GROUP BY o_orderpriority
 """
 
 
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: a fragmented write (64 tiny files) is
+    compacted into 4 by a coalesce rewrite — the maintenance job every
+    streaming-ingest lake needs, since at 100 TB a million tiny files
+    costs more in scan/task overhead than the data itself. coalesce(4)
+    narrows partitions WITHOUT a shuffle (unlike repartition). The check
+    proves the rewrite is lossless AND the file count actually dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    frag, compact = _tmp(sf_dir, "frag_docs"), _tmp(sf_dir, "compact_docs")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    n_files = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    if n_files > 4:
+        raise AssertionError(f"compaction produced {n_files} files, expected <= 4")
+    back = spark.read.parquet(compact)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+ORACLE_COMPACTION = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       min(doc_id) AS min_doc
+FROM documents GROUP BY lang
+"""
+
+
 def _linefile_spec() -> QuerySpec:
     from tiny_mapreduce_rpc_server_spark.sources.linefile import (
         ORACLE_LINEFILE_WORDCOUNT,
@@ -124,6 +153,12 @@ def _linefile_spec() -> QuerySpec:
 
 FORMAT_QUERIES = [
     _linefile_spec(),
+    QuerySpec(
+        "compaction_roundtrip",
+        q_compaction_roundtrip,
+        ORACLE_COMPACTION,
+        ("sink", "compaction"),
+    ),
     QuerySpec(
         "partitioned_sink_roundtrip",
         q_partitioned_sink_roundtrip,
