@@ -1,0 +1,142 @@
+"""Iterative ML on DataFrames: deterministic Lloyd's k-means.
+
+The reference has no ML of any kind (SURVEY §2.11); this [EXT] operator
+shows the iterative-refinement pattern a Spark-native pipeline uses for
+clustering — the same loop shape as pyspark.ml's KMeans, but built on
+public DataFrame ops end-to-end so every step is auditable and
+oracle-checkable:
+
+  assign:  corpus x broadcast(centroids) -> argmin squared-L2 (ordered
+           fold => deterministic), tiebreak on cluster id
+  update:  posexplode members -> decimal-exact per-(cluster, dim) means
+           (order-independent at any parallelism) -> re-collect arrays
+
+Two unrolled iterations keep the oracle a straight CTE chain (no
+recursion); the convergence-loop version is operators/graph.py's
+pattern (localCheckpoint per round) applied to this step function.
+
+100 TB shape: each iteration is one corpus scan with a broadcast of K
+centroid rows, one shuffle for the (cluster, dim) means (K x dim rows
+out — tiny), and zero corpus-sized shuffles. K-means at scale is
+scan-bound, exactly this plan.
+
+Determinism notes: init centroids are fixed corpus rows; distances are
+ordered folds (matches DuckDB's sequential list_dot_product); means go
+through DECIMAL(38,6) sums; ties broken by cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import davg
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+K = 8
+INIT_IDS = [7 + 31 * i for i in range(K)]  # fixed corpus rows as seeds
+
+
+def _sq_dist(v, cv):
+    return F.aggregate(
+        F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster): nearest centroid, ties to lowest cluster id."""
+    d = _sq_dist(F.col("v"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    return (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "v", "cluster", d.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(cluster, cv): decimal-exact per-dimension means, re-collected in
+    dimension order."""
+    ex = assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+    means = ex.groupBy("cluster", "pos").agg(davg("x", "cval"))
+    return means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cv")
+    )
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent0 = emb.filter(F.col("vec_id").isin(INIT_IDS)).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    a1 = _assign(emb, cent0)
+    cent1 = _update(a1)
+    a2 = _assign(emb, cent1)
+    return a2.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+    )
+
+
+_IDS_SQL = ", ".join(str(i) for i in INIT_IDS)
+
+ORACLE_KMEANS_LLOYD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id IN ({_IDS_SQL})),
+d1 AS (
+  SELECT e.vec_id, e.v, c0.cluster,
+         list_dot_product(
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i]),
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i])
+         ) AS dist
+  FROM e, c0),
+a1 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1) WHERE rn = 1),
+ex AS (SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM a1),
+c1l AS (
+  SELECT cluster, pos,
+         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(x) AS cval
+  FROM ex GROUP BY cluster, pos),
+c1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM c1l GROUP BY cluster),
+d2 AS (
+  SELECT e.vec_id, c1.cluster,
+         list_dot_product(
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i]),
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i])
+         ) AS dist
+  FROM e, c1),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2) WHERE rn = 1)
+SELECT cluster, count(*) AS n_members,
+       min(vec_id) AS min_member, max(vec_id) AS max_member
+FROM a2 GROUP BY cluster
+"""
+
+
+ML_QUERIES = [
+    QuerySpec(
+        "kmeans_lloyd",
+        q_kmeans_lloyd,
+        ORACLE_KMEANS_LLOYD,
+        ("ext", "ml", "clustering"),
+    ),
+]

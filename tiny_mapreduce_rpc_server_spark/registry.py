@@ -72,6 +72,12 @@ def all_queries() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     try:
+        from tiny_mapreduce_rpc_server_spark.operators.ml import ML_QUERIES
+
+        specs.extend(ML_QUERIES)
+    except ImportError:
+        pass
+    try:
         from tiny_mapreduce_rpc_server_spark.operators.graph import (
             GRAPH_QUERIES,
         )
