@@ -300,3 +300,11 @@ def test_rolling_window_7d_partitioned(spark):
 def test_regex_funcs_no_shuffle(spark):
     p = plan(spark, _q(spark, "regex_funcs"))
     assert "Exchange" not in p, p
+
+
+def test_kmeans_assignment_broadcast(spark):
+    """K-means assignment: centroids broadcast (BroadcastNestedLoopJoin
+    over K rows), never a corpus-sized shuffle join."""
+    p = plan(spark, _q(spark, "kmeans_lloyd"))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
