@@ -269,7 +269,42 @@ GROUP BY measure
 """
 
 
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit ROWS frame
+    (unbounded-to-current), per customer in deterministic order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.last_value("o_totalprice").over(w).alias("running_last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+ORACLE_WINDOW_VALUE_FUNCS = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS running_last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 ANALYTIC_QUERIES = [
+    QuerySpec(
+        "window_value_funcs",
+        q_window_value_funcs,
+        ORACLE_WINDOW_VALUE_FUNCS,
+        ("window",),
+    ),
     QuerySpec(
         "window_rank_stats",
         q_window_rank_stats,
