@@ -298,7 +298,38 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / max_by-min_by aggregates. The
+    arg-max key is o_orderkey (unique), so max_by is deterministic —
+    arg-max on a non-unique key is engine-dependent and never used."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_key_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("earliest_key_price"),
+    )
+
+
+ORACLE_CONDITIONAL_AGGS = """
+SELECT o_orderpriority,
+       count_if(o_totalprice > 100000) AS n_large,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       max_by(o_totalprice, o_orderkey) AS latest_key_price,
+       min_by(o_totalprice, o_orderkey) AS earliest_key_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 ANALYTIC_QUERIES = [
+    QuerySpec(
+        "conditional_aggs",
+        q_conditional_aggs,
+        ORACLE_CONDITIONAL_AGGS,
+        ("agg", "conditional"),
+    ),
     QuerySpec(
         "window_value_funcs",
         q_window_value_funcs,
