@@ -323,7 +323,46 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union/intersect/except) on two overlapping
+    slices of each embedding. Result arrays have engine-dependent element
+    ORDER, so the checked outputs are the (deterministic) cardinalities."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = F.slice("embedding", 1, 40)
+    b = F.slice("embedding", 25, 40)
+    return emb.select(
+        "vec_id",
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_intersect(a, b)).alias("n_intersect"),
+        F.size(F.array_except(a, b)).alias("n_except"),
+        F.array_contains(b, F.element_at("embedding", 30)).alias("b_has_e30"),
+    )
+
+
+ORACLE_ARRAY_SET_OPS = """
+WITH e AS (SELECT vec_id,
+                  embedding[1:40] AS a,
+                  embedding[25:64] AS b,
+                  embedding[30] AS e30
+           FROM embeddings)
+SELECT vec_id,
+       len(list_distinct(a || b)) AS n_union,
+       len(list_filter(list_distinct(a), x -> list_contains(b, x)))
+         AS n_intersect,
+       len(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))
+         AS n_except,
+       list_contains(b, e30) AS b_has_e30
+FROM e
+"""
+
+
 ANALYTIC_QUERIES = [
+    QuerySpec(
+        "array_set_ops",
+        q_array_set_ops,
+        ORACLE_ARRAY_SET_OPS,
+        ("array", "setop"),
+    ),
     QuerySpec(
         "conditional_aggs",
         q_conditional_aggs,
