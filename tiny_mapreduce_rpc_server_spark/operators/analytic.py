@@ -314,7 +314,7 @@ def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CONDITIONAL_AGGS = """
 SELECT o_orderpriority,
-       count_if(o_totalprice > 100000) AS n_large,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_large,
        bool_and(o_totalprice > 0) AS all_positive,
        bool_or(o_orderstatus = 'F') AS any_finished,
        max_by(o_totalprice, o_orderkey) AS latest_key_price,

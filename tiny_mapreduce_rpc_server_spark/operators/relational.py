@@ -668,8 +668,8 @@ ORACLE_NULL_HANDLING = """
 SELECT o_orderpriority,
        count(*) AS n_rows,
        count(nullif(o_orderstatus, 'O')) AS n_nonnull,
-       sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END)
-         AS sum_flag,
+       CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END)
+         AS BIGINT) AS sum_flag,
        min(coalesce(nullif(o_orderstatus, 'O'), 'OPEN')) AS min_defaulted
 FROM orders GROUP BY o_orderpriority
 """
@@ -718,7 +718,8 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_FUNCS = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
        count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
 FROM events GROUP BY event_type
@@ -821,8 +822,8 @@ ORACLE_JSON_STRUCT_PARSE = """
 WITH p AS (SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS INT) AS k
            FROM events)
-SELECT event_type, count(*) AS n, sum(k) AS sum_k, min(k) AS min_k,
-       sum(k % 2) AS n_odd
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, CAST(sum(k % 2) AS BIGINT) AS n_odd
 FROM p GROUP BY event_type
 """
 
@@ -852,7 +853,8 @@ SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
             WHEN o_totalprice < 10000 THEN 'medium'
             ELSE 'large' END AS price_bucket,
        count(*) AS n,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished
 FROM orders GROUP BY 1
 """
 

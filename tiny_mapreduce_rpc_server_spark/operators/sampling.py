@@ -84,7 +84,7 @@ SELECT CASE WHEN {_sql_bucket("doc_id")} < 80 THEN 'train'
             ELSE 'test' END AS split,
        lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -226,7 +226,8 @@ WITH per_doc AS (
   WINDOW w AS (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT source, chunk_id, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT source, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM per_doc GROUP BY source, chunk_id
 """

@@ -190,7 +190,8 @@ WITH t AS (
          unnest(range(1, len({_T})+1)) AS p
   FROM documents)
 SELECT doc_id,
-       COALESCE(sum({P.sql_h1("w")} * ((p*{P.C1}) % 997 + 1)), 0) % {P.M31} AS fingerprint
+       CAST(COALESCE(sum({P.sql_h1("w")} * ((p*{P.C1}) % 997 + 1)), 0) % {P.M31}
+            AS BIGINT) AS fingerprint
 FROM t GROUP BY doc_id
 """
 

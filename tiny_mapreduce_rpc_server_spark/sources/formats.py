@@ -131,7 +131,7 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COMPACTION = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_doc
 FROM documents GROUP BY lang
 """
