@@ -31,26 +31,31 @@ def main() -> None:
 
     specs = [s for s in all_queries().values() if s.bench]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for spec in specs:
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count() if spec.oracle is None else len(df.collect())
+        try:
+            df = spec.fn(spark, sf_dir)
+            n = df.count() if spec.oracle is None else len(df.collect())
+        except Exception as exc:  # one broken query must not kill the bench
+            errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {spec.name}: FAILED {type(exc).__name__}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[spec.name] = round(dt, 3)
         print(f"# {spec.name}: {dt:.3f}s rows~{n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -890,13 +890,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming session windows."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # testdata parquet stores naive timestamps (TIMESTAMP_NTZ in Spark 4);
+    # unix_micros requires TIMESTAMP, and with session tz pinned to UTC the
+    # cast is value-preserving and matches DuckDB's epoch_us on naive ts.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gapped = events.select(
         "user_id",
         "event_id",
         "ts",
         F.when(
-            (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts")), 1).over(w))
-            > 1800 * 1_000_000,
+            (ts_us - F.lag(ts_us, 1).over(w)) > 1800 * 1_000_000,
             1,
         )
         .otherwise(0)

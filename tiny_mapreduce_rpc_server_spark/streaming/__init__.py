@@ -20,34 +20,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+from tiny_mapreduce_rpc_server_spark.sources import table_path
 
 _DEC = "DECIMAL(38,6)"
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same nanos handling as
-    the batch reader (sources._load_events)."""
+    """readStream over the events parquet, matching the batch reader's
+    layout handling (sources._load_events). The testdata has shipped two
+    layouts for events.ts — parquet TIMESTAMP(NANOS), which Spark can only
+    read as raw int64 (legacy conf) and needs ns->us truncation, and plain
+    us-precision naive timestamps (TIMESTAMP_NTZ). Probe the footer via a
+    batch read, build the matching stream schema, and normalize ts to a
+    session-UTC TIMESTAMP either way so watermarks/windows and the DuckDB
+    oracles see identical instants."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
+    nanos_layout = batch_ts == "bigint"
+    ts_type = T.LongType() if nanos_layout else T.TimestampNTZType()
     # streaming file source requires a directory: point at sf_dir and
     # glob-filter to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos_layout:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
