@@ -1,123 +1,57 @@
-"""Central query registry: every operator the engine claims, with oracle."""
+"""Central query registry: every operator the engine claims, with oracle.
+
+Imports are deliberately NOT guarded: a syntax error or missing symbol in
+any operator module must crash the registry (and therefore the driver's
+smoke check, the bench, and the tests) instead of silently shrinking
+``queries()``. Genuinely optional dependencies (e.g. PIL) are gated
+inside the operator modules themselves, at call time.
+"""
 
 from __future__ import annotations
 
+from tiny_mapreduce_rpc_server_spark.operators.analytic import ANALYTIC_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.graph import GRAPH_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.ml import ML_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.multimodal import MULTIMODAL_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.relational import RELATIONAL_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.sampling import SAMPLING_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.similarity import SIMILARITY_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.skew import SKEW_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.stats import STATS_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.temporal import TEMPORAL_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.text import TEXT_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.tpch import TPCH_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.udf_surface import UDF_SURFACE_QUERIES
+from tiny_mapreduce_rpc_server_spark.sources.formats import FORMAT_QUERIES
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+from tiny_mapreduce_rpc_server_spark.streaming import STREAMING_QUERIES
+
+_ALL_GROUPS: list[list[QuerySpec]] = [
+    RELATIONAL_QUERIES,
+    TPCH_QUERIES,
+    TEMPORAL_QUERIES,
+    SAMPLING_QUERIES,
+    STATS_QUERIES,
+    SKEW_QUERIES,
+    DEDUP_QUERIES,
+    SIMILARITY_QUERIES,
+    TEXT_QUERIES,
+    MULTIMODAL_QUERIES,
+    ML_QUERIES,
+    GRAPH_QUERIES,
+    UDF_SURFACE_QUERIES,
+    FORMAT_QUERIES,
+    ANALYTIC_QUERIES,
+    STREAMING_QUERIES,
+]
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    specs: list[QuerySpec] = []
-    specs.extend(RELATIONAL_QUERIES)
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.tpch import TPCH_QUERIES
-
-        specs.extend(TPCH_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.temporal import (
-            TEMPORAL_QUERIES,
-        )
-
-        specs.extend(TEMPORAL_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.sampling import (
-            SAMPLING_QUERIES,
-        )
-
-        specs.extend(SAMPLING_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.stats import STATS_QUERIES
-
-        specs.extend(STATS_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.skew import SKEW_QUERIES
-
-        specs.extend(SKEW_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
-
-        specs.extend(DEDUP_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.similarity import (
-            SIMILARITY_QUERIES,
-        )
-
-        specs.extend(SIMILARITY_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.text import TEXT_QUERIES
-
-        specs.extend(TEXT_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.multimodal import (
-            MULTIMODAL_QUERIES,
-        )
-
-        specs.extend(MULTIMODAL_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.ml import ML_QUERIES
-
-        specs.extend(ML_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.graph import (
-            GRAPH_QUERIES,
-        )
-
-        specs.extend(GRAPH_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.udf_surface import (
-            UDF_SURFACE_QUERIES,
-        )
-
-        specs.extend(UDF_SURFACE_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.sources.formats import (
-            FORMAT_QUERIES,
-        )
-
-        specs.extend(FORMAT_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.operators.analytic import (
-            ANALYTIC_QUERIES,
-        )
-
-        specs.extend(ANALYTIC_QUERIES)
-    except ImportError:
-        pass
-    try:
-        from tiny_mapreduce_rpc_server_spark.streaming import STREAMING_QUERIES
-
-        specs.extend(STREAMING_QUERIES)
-    except ImportError:
-        pass
     out: dict[str, QuerySpec] = {}
-    for s in specs:
-        if s.name in out:
-            raise ValueError(f"duplicate query name {s.name}")
-        out[s.name] = s
+    for group in _ALL_GROUPS:
+        for s in group:
+            if s.name in out:
+                raise ValueError(f"duplicate query name {s.name}")
+            out[s.name] = s
     return out
