@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiny_mapreduce_rpc_server_spark.functions import cosine
+from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
 from tiny_mapreduce_rpc_server_spark.sources import load_table
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
@@ -345,37 +345,76 @@ def _sql_simhash(tok_expr: str) -> str:
 ORACLE_TEXT_SIMHASH = _sql_simhash(_T)
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with simhash hamming distance <= 3.
+# (offset, width) partition of the 31 signature bits into 4 disjoint
+# blocks. By pigeonhole, two signatures at hamming distance <= 3 agree
+# EXACTLY on at least one of the 4 blocks, so the union of the 4
+# block-equality joins has guaranteed recall for HAMMING_MAX = 3
+# (Manku/Charikar simhash dedup). At 100 TB you'd widen the fingerprint
+# to 64 bits (16-bit blocks => 65k keys/block, smaller buckets) — the
+# plan shape below is unchanged, only the hash width grows.
+_SIMHASH_BLOCKS = [(0, 8), (8, 8), (16, 8), (24, 7)]
 
-    Candidate generation here is a block-join on the high 16 bits of the
-    signature (near-dups that differ only in low bits collide); the
-    full-precision check is popcount(xor). At 100 TB you'd use the
-    standard 4-block rotation to guarantee recall for <=3-bit flips; the
-    per-block joins are identical in shape to this one."""
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= 3, 4-block rotation.
+
+    Candidate generation: explode each signature into its 4 bit-blocks
+    and self-join on (block_id, block_key) — one shuffle join on the
+    exploded index, identical in shape to LSH banding, with recall
+    guaranteed by the pigeonhole argument on ``_SIMHASH_BLOCKS``. A pair
+    colliding in several blocks is deduplicated before output; the
+    full-precision verify is popcount(xor) <= HAMMING_MAX."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", _simhash_col(_toks(F.col("text"))).alias("simhash")
-    ).withColumn("blk", F.shiftright(F.col("simhash"), 15))
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = docs.select("doc_id", _simhash_col(_toks(F.col("text"))).alias("simhash"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk_id"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("blk_key"),
+            )
+            for i, (off, width) in enumerate(_SIMHASH_BLOCKS)
+        ]
+    )
+    ex = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk_id").alias("blk_id"), F.col("b.blk_key").alias("blk_key")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk_key") == F.col("b.blk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
+
+
+def _sql_simhash_blocks() -> str:
+    parts = [
+        f"SELECT doc_id, simhash, {i} AS blk_id, "
+        f"(simhash >> {off}) & {(1 << width) - 1} AS blk_key FROM sh"
+        for i, (off, width) in enumerate(_SIMHASH_BLOCKS)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 ORACLE_DEDUP_SIMHASH = f"""
 WITH sh AS ({_sql_simhash(_T)}),
-blk AS (SELECT doc_id, simhash, simhash >> 15 AS blk FROM sh)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+ex AS ({_sql_simhash_blocks()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM ex a JOIN ex b
+  ON a.blk_id = b.blk_id AND a.blk_key = b.blk_key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
@@ -385,8 +424,35 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 # ---------------------------------------------------------------------------
 
 
+# Above this row count the driver-side broadcast build (~0.5 KB/row at
+# 64-dim float64) would exceed a sane broadcast budget; switch to the
+# LSH-bucketed candidate path, which never collects the table.
+DEDUP_EMB_BROADCAST_MAX_ROWS = 1_000_000
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.4 over the full pair space.
+    """Embedding near-dup pairs: cosine >= COSINE_DUP.
+
+    Auto-switches on build-side size (parquet count is metadata-only):
+
+    - <= DEDUP_EMB_BROADCAST_MAX_ROWS: exact all-pairs via the broadcast
+      + blocked-BLAS path (``_dedup_embedding_broadcast``).
+    - larger: LSH-bucketed candidates (``_dedup_embedding_bucketed``) —
+      no driver-side collect anywhere; same exact cosine verify, with the
+      documented recall trade of sign-random-projection bucketing.
+
+    The registered oracle is the exact all-pairs SQL, which is the
+    contract of the broadcast path (the one exercised at test SFs); the
+    bucketed path has its own oracle-checked entry
+    (``dedup_embedding_bucketed``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb.count() > DEDUP_EMB_BROADCAST_MAX_ROWS:
+        return _dedup_embedding_bucketed(emb)
+    return _dedup_embedding_broadcast(spark, emb)
+
+
+def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Exact all-pairs cosine >= COSINE_DUP, broadcast flavor.
 
     Two-phase exact all-pairs, the idiomatic Spark brute-force pattern:
 
@@ -400,14 +466,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
        bit-identical to the oracle's list_dot_product over DOUBLE[];
        final filter at the exact threshold.
 
-    Scale note: the broadcast side must fit executor memory (same
-    contract as any broadcast join — ~1 GB ≈ 4M x 64-dim float32). Past
-    that, the scale path is LSH bucketing (similarity.ann_lsh_bucketed)
-    or a blocked A×B grid join; phase 2 is unchanged either way."""
+    The broadcast side must fit executor memory (same contract as any
+    broadcast join — ~1 GB ≈ 4M x 64-dim float32)."""
     import numpy as np
     import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     pdf = emb.toPandas()  # small side — this IS the broadcast build, as in any broadcast join
     ids_np = pdf["vec_id"].to_numpy(dtype="int64")
@@ -448,6 +510,61 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
          AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {COSINE_DUP}
+"""
+
+
+def _dedup_embedding_bucketed(emb: DataFrame) -> DataFrame:
+    """LSH-bucketed near-dup scale path: sign-random-projection bucket on
+    deterministic hyperplanes, self-join within bucket only, exact
+    ordered-fold cosine verify. Fully distributed — no collect, no
+    broadcast of the corpus; the shuffle key is the 1-byte-entropy bucket
+    plus Spark's hash partitioning of it. Bucket count (2**N_PLANES)
+    controls the candidate-volume/recall trade: near-dups split by a
+    hyperplane are missed, which is the documented LSH contract."""
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+        N_PLANES,
+        _plane,
+    )
+
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        bucket = bucket + F.when(
+            dot(F.col("embedding"), F.lit(_plane(p))) > 0, F.lit(1 << p)
+        ).otherwise(0)
+    eb = emb.withColumn("bucket", bucket)
+    a = eb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b = eb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("bucket").alias("bucket_b"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP)
+    )
+
+
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed scale path of ``dedup_embedding``, registered in its
+    own right so the driver oracle-checks it (the hyperplanes are
+    deterministic integer-derived literals, so the bucket assignment —
+    and therefore the exact candidate set — is reproducible in SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _dedup_embedding_bucketed(emb)
+
+
+def _oracle_dedup_embedding_bucketed() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import _sql_bucket
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cos_sim
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {COSINE_DUP}
@@ -561,5 +678,11 @@ DEDUP_QUERIES: list[QuerySpec] = [
     QuerySpec("text_simhash", q_text_simhash, ORACLE_TEXT_SIMHASH, ("ext", "dedup")),
     QuerySpec("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH, ("ext", "dedup")),
     QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("ext", "dedup", "embedding"), bench=True),
+    QuerySpec(
+        "dedup_embedding_bucketed",
+        q_dedup_embedding_bucketed,
+        _oracle_dedup_embedding_bucketed(),
+        ("ext", "dedup", "embedding"),
+    ),
     QuerySpec("dedup_minhash_ml", q_dedup_minhash_ml, None, ("ext", "dedup", "ml")),
 ]
