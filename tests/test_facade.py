@@ -81,6 +81,33 @@ def test_map_reduce_flat_map(spark, tmp_path):
     assert dict(kv.collect()) == {"a": 1, "b": 2, "c": 1}
 
 
+def test_map_reduce_single_shuffle(spark, tmp_path):
+    """The whole reduce job is ONE shuffle: reduceByKey partitions by the
+    job partitioner, and the sorted-output guarantee is an in-place
+    per-partition sort, not a second exchange."""
+    p = tmp_path / "in.txt"
+    p.write_text("".join(f"k{i % 17:02d}\n" for i in range(100)))
+    eng = MapReduceEngine(spark)
+    kv = eng.map_reduce(str(p), num_partitions=3)
+    assert kv.toDebugString().decode().count("ShuffledRDD") == 1
+
+
+def test_map_reduce_byte_offset_keys(spark, tmp_path):
+    """Reader keys are TRUE byte offsets (LineRecordReader.h:14), not
+    line positions: the map callback sees the offset where its line
+    starts."""
+    p = tmp_path / "in.txt"
+    p.write_text("aa\nbbbb\nc\n")  # line start offsets: 0, 3, 8
+    eng = MapReduceEngine(spark)
+    kv = eng.map_reduce(
+        str(p),
+        map_fn=lambda off, line: (line, off),
+        reduce_fn=None,
+        sort_within_partitions=False,
+    )
+    assert dict(kv.collect()) == {"aa": 0, "bbbb": 3, "c": 8}
+
+
 def test_word_count_df_matches_rdd(spark, tmp_path):
     p = tmp_path / "in.txt"
     p.write_text("x y\ny z\nx x\n")

@@ -23,10 +23,11 @@ reimplemented.
 
 Scale notes: arbitrary Python callables force the RDD path (pickled rows
 through the Python worker). ``reduceByKey`` keeps the map-side combine so
-shuffle volume is per-distinct-key, not per-record, and
-``repartitionAndSortWithinPartitions`` gives the sorted-output guarantee in
-one shuffle. For callable-free jobs use the DataFrame fast path
-(``word_count``) which stays entirely JVM-side.
+shuffle volume is per-distinct-key, not per-record; since it also leaves
+the RDD partitioned by the job's partitioner, the sorted-output guarantee
+costs an in-place per-partition sort — the whole job is ONE shuffle. For
+callable-free jobs use the DataFrame fast path (``word_count``) which
+stays entirely JVM-side.
 """
 
 from __future__ import annotations
@@ -81,11 +82,19 @@ class MapReduceEngine:
             map_fn = lambda offset, line: (line, 1)  # noqa: E731
         part_fn = partitioner or default_partitioner
 
-        # (offset, line) records — the LineRecordReader contract. Offsets are
-        # per-partition byte offsets; like the reference, the default mapper
-        # ignores the key, so we use zipWithIndex position as the reader key.
-        rdd = self.spark.sparkContext.textFile(",".join(paths))
-        records = rdd.zipWithIndex().map(lambda t: (t[1], t[0]))
+        # (offset, line) records — the LineRecordReader contract with TRUE
+        # byte offsets (LineRecordReader.h:14 yields byte offsets), read
+        # through the linefile DataSource: same split planner + straddle
+        # rule as the reference reader, and no zipWithIndex (which costs an
+        # extra count job before the real one).
+        from tiny_mapreduce_rpc_server_spark.sources.linefile import register
+
+        register(self.spark)
+        df = None
+        for p in paths:
+            part = self.spark.read.format("linefile").option("path", p).load()
+            df = part if df is None else df.unionAll(part)
+        records = df.rdd.map(lambda r: (r[0], r[1]))
 
         if flat_map:
             kv = records.flatMap(lambda t: map_fn(t[0], t[1]))
@@ -93,9 +102,16 @@ class MapReduceEngine:
             kv = records.map(lambda t: map_fn(t[0], t[1]))
 
         if reduce_fn is not None:
-            # map-side combine, then one hash shuffle
+            # map-side combine, then ONE hash shuffle; reduceByKey already
+            # leaves the RDD partitioned by part_fn, so the sorted-output
+            # guarantee is a per-partition in-place sort, not a second
+            # exchange.
             kv = kv.reduceByKey(reduce_fn, numPartitions=num_partitions, partitionFunc=part_fn)
-        if sort_within_partitions:
+            if sort_within_partitions:
+                kv = kv.mapPartitions(
+                    lambda it: iter(sorted(it)), preservesPartitioning=True
+                )
+        elif sort_within_partitions:
             kv = kv.repartitionAndSortWithinPartitions(num_partitions, part_fn)
         return kv
 

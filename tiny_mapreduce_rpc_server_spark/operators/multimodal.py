@@ -1,12 +1,14 @@
 """[EXT] Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with metadata
-computed Spark-side. The decode / feature-extract step is a Pandas-UDF
-``mapInPandas`` pipeline whose Spark plumbing (schema, batching,
-partitioning) is real and tested; the actual media decode is STUBBED with
-a deterministic fake (the image/audio libraries are not in this
-container) behind an import-try — swap ``_fake_decode`` for a PIL/ffmpeg
-call and nothing else changes.
+computed Spark-side; decode / feature-extract steps are Arrow-batched
+``mapInPandas`` stages. The decode pipeline operates on REAL image bytes:
+a spec-compliant 24-bit BMP is synthesized per document, and the decode
+stage branches on PIL when importable, falling back to a correct minimal
+BMP parser (BMP is uncompressed, so the fallback is a true decoder, not
+a fake). Audio/video decoding would slot into the same stages with
+torchaudio/ffmpeg — only the per-payload function changes, never the
+Spark plumbing.
 
 Scale notes: binary payloads ride parquet; metadata extraction is
 per-row (no shuffle); mapInPandas streams Arrow batches so peak memory is
@@ -55,57 +57,126 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# decode pipeline (mapInPandas; decode step stubbed)
+# encode -> decode pipeline (mapInPandas over real BMP images)
 # ---------------------------------------------------------------------------
+#
+# The payload is a spec-compliant 24-bit BMP synthesized per document
+# (dimensions and fill color derived from the text hash), so the decode
+# stage exercises a REAL image decoder over real image bytes: PIL when
+# importable, else a correct minimal BMP parser (pure Python — BMP is an
+# uncompressed format, so the parser is ~20 lines, not a fake). Both
+# decoders read only the payload, and the synthesized image's properties
+# are closed-form in the hash, which makes the whole encode->decode
+# pipeline oracle-checkable end to end.
 
-_DECODE_SCHEMA = (
-    "doc_id long, n_bytes int, n_frames int, mean_byte double, decoder string"
-)
+import struct
+
+_DECODE_SCHEMA = "doc_id long, width int, height int, mean_pixel double"
+_ENCODE_SCHEMA = "doc_id long, payload binary"
 
 
-def _fake_decode(payload: bytes) -> tuple[int, float]:
-    """Deterministic stand-in for a real media decode: derive a frame
-    count and a mean-sample statistic from the raw bytes. Replace with
-    PIL/torchaudio/ffmpeg when available."""
-    n_frames = len(payload) % 30 + 1
-    mean_byte = (sum(payload) / len(payload)) if payload else 0.0
-    return n_frames, mean_byte
+def _bmp_encode(w: int, h: int, color: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER)."""
+    row = bytes([color, color, color]) * w
+    pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
+    pixels = (row + pad) * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(pixels), 0, 0, 54,  # file header
+        40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,  # info header
+    )
+    return header + pixels
+
+
+def _bmp_decode_py(payload: bytes) -> tuple[int, int, float]:
+    """Minimal BMP reader: dimensions + mean pixel value (all channels),
+    honoring 4-byte row padding. The fallback when PIL is absent."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    total = 0
+    for r in range(h):
+        rowstart = offset + r * stride
+        total += sum(payload[rowstart : rowstart + 3 * w])
+    return w, h, total / (3 * w * h)
+
+
+def _bmp_decode_pil(payload: bytes) -> tuple[int, int, float]:
+    import io
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(io.BytesIO(payload))
+    w, h = img.size
+    mean = sum(ImageStat.Stat(img).mean) / len(img.getbands())
+    return w, h, mean
+
+
+def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize the BMP payload from per-doc
+    (width, height, color) computed JVM-side."""
+    for pdf in batches:
+        payloads = [
+            _bmp_encode(int(w), int(h), int(c))
+            for w, h, c in zip(pdf["w"], pdf["h"], pdf["color"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch in, decoded-feature batch out."""
+    """mapInPandas worker: real image decode, payload-driven only. PIL
+    when available; minimal BMP parser otherwise — identical outputs."""
     try:
         import PIL.Image  # noqa: F401
 
-        decoder = "pil"
+        decode = _bmp_decode_pil
     except ImportError:
-        decoder = "fake"
+        decode = _bmp_decode_py
     for pdf in batches:
-        frames, means = [], []
+        ws, hs, means = [], [], []
         for payload in pdf["payload"]:
-            b = bytes(payload)
-            nf, mb = _fake_decode(b)  # real decoder would branch on `decoder`
-            frames.append(nf)
-            means.append(mb)
+            w, h, m = decode(bytes(payload))
+            ws.append(w)
+            hs.append(h)
+            means.append(m)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "n_frames": pd.Series(frames, dtype="int32"),
-                "mean_byte": pd.Series(means, dtype="float64"),
-                "decoder": decoder,
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
             }
         )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract pipeline over binary payloads via
-    mapInPandas (Arrow-batched). Decode is a deterministic stub —
-    rows-only check, but schema/partitioning/batch plumbing is the real
-    thing."""
+    """Image encode->decode pipeline over binary payloads via two
+    Arrow-batched mapInPandas stages: synthesize a real 24-bit BMP per
+    document (dims/color hash-derived), then decode it reading ONLY the
+    payload bytes. Solid fill makes the decoded mean exact (color*n/n),
+    so the oracle can state the decoded properties in closed form."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return payloads.mapInPandas(decode_batch, _DECODE_SCHEMA)
+    h = P.h1(F.col("text"))
+    src = docs.select(
+        "doc_id",
+        (h % 64 + 8).cast("int").alias("w"),
+        (h % 48 + 8).cast("int").alias("h"),
+        (h % 256).cast("int").alias("color"),
+    )
+    images = src.mapInPandas(encode_batch, _ENCODE_SCHEMA)
+    return images.mapInPandas(decode_batch, _DECODE_SCHEMA)
+
+
+ORACLE_MULTIMODAL_DECODE = f"""
+SELECT doc_id,
+       CAST({P.sql_h1("text")} % 64 + 8 AS INTEGER) AS width,
+       CAST({P.sql_h1("text")} % 48 + 8 AS INTEGER) AS height,
+       CAST({P.sql_h1("text")} % 256 AS DOUBLE) AS mean_pixel
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +298,7 @@ FROM documents
 
 MULTIMODAL_QUERIES: list[QuerySpec] = [
     QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META, ("ext", "multimodal")),
-    QuerySpec("multimodal_decode", q_multimodal_decode, None, ("ext", "multimodal", "udf")),
+    QuerySpec("multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL_DECODE, ("ext", "multimodal", "udf")),
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE, ("ext", "multimodal", "udf")),
     QuerySpec("multimodal_resize", q_multimodal_resize, ORACLE_RESIZE, ("ext", "multimodal", "udf")),
 ]
