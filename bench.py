@@ -32,18 +32,32 @@ def main() -> None:
     specs = [s for s in all_queries().values() if s.bench]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Long queries get median-of-3 so round-over-round deltas are signal,
+    # not run variance; short ones stay single-run (their fixed Spark
+    # job-submission overhead dominates either way).
+    slow_sec = float(os.environ.get("SPARK_GRAFT_MEDIAN_ABOVE_SEC", "10"))
     for spec in specs:
-        t0 = time.perf_counter()
-        try:
+
+        def run_once():
+            t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = df.count() if spec.oracle is None else len(df.collect())
+            return time.perf_counter() - t0, n
+
+        try:
+            dt, n = run_once()
+            runs = 1
+            if dt > slow_sec:
+                times = [dt, run_once()[0], run_once()[0]]
+                dt = sorted(times)[1]
+                runs = 3
         except Exception as exc:  # one broken query must not kill the bench
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {spec.name}: FAILED {type(exc).__name__}", file=sys.stderr)
             continue
-        dt = time.perf_counter() - t0
         timings[spec.name] = round(dt, 3)
-        print(f"# {spec.name}: {dt:.3f}s rows~{n}", file=sys.stderr)
+        tag = " (median of 3)" if runs == 3 else ""
+        print(f"# {spec.name}: {dt:.3f}s rows~{n}{tag}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -1,0 +1,110 @@
+"""Invariant tests for the queries with no SQL oracle (pyspark.ml hash
+families and sketches are not reproducible in DuckDB). Each is checked
+against mathematically guaranteed properties — bounds, containment vs an
+exact computation, and value-level cross-checks — not just ``count() >= 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from tiny_mapreduce_rpc_server_spark.functions import dot
+from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+    JACCARD_VERIFY,
+    _doc_shingles,
+    q_dedup_minhash_ml,
+)
+from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+    N_QUERIES,
+    q_ann_ml_brp,
+)
+from tiny_mapreduce_rpc_server_spark.operators.stats import approx_distinct_users
+from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+
+def test_approx_distinct_users_within_error_bound(spark):
+    """HLL++ at rsd=2%: every per-type estimate must sit within 10% (5
+    sigma) of the exact distinct count."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, ex in exact.items():
+        assert ex > 0
+        assert abs(approx[etype] - ex) <= 0.10 * ex, (etype, approx[etype], ex)
+
+
+def test_dedup_minhash_ml_bounds_recall_and_distance_truth(spark):
+    """MinHashLSH approxSimilarityJoin invariants:
+
+    - pair ordering and distance bounds hold;
+    - recall: every exact pair with shingle-jaccard >= 0.8 is found
+      (P(miss) = (1-J)^8 tables <= 2.6e-6 at J=0.8);
+    - the reported jaccard_dist agrees with the exact shingle jaccard to
+      within the HashingTF collision tolerance (2^18 features)."""
+    ml = q_dedup_minhash_ml(spark, SF_ORACLE).cache()
+    rows = ml.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 <= r["jaccard_dist"] <= 1.0 - JACCARD_VERIFY + 1e-9
+
+    ds = _doc_shingles(spark, SF_ORACLE).filter(F.size("shingles") > 0)
+    a = ds.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = ds.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.55)
+        .collect()
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_dist"] for r in rows}
+    for r in exact:
+        if r["jaccard"] >= 0.8:  # must-find region
+            assert (r["doc_a"], r["doc_b"]) in got, r
+    exact_j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact}
+    for pair, dist in got.items():
+        assert pair in exact_j, pair  # no pair below jaccard 0.55 may appear
+        assert abs((1.0 - dist) - exact_j[pair]) <= 0.05, (pair, dist, exact_j[pair])
+
+
+def test_ann_ml_brp_bounds_and_distance_truth(spark):
+    """BucketedRandomProjectionLSH invariants: no self-pairs, distances
+    within the join threshold, and every reported dist equals the exact
+    euclidean distance of that pair (the approx join may MISS pairs but
+    must never misreport a distance)."""
+    ml = q_ann_ml_brp(spark, SF_ORACLE).cache()
+    rows = ml.collect()
+    assert len(rows) > 0
+    qids = {r["query_id"] for r in rows}
+    assert qids <= set(range(N_QUERIES))
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        assert 0.0 <= r["dist"] <= 10.0
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"))
+    diff = F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y))
+    eucl = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    checked = (
+        ml.join(a, "query_id").join(b, "neighbor_id")
+        .select("query_id", "neighbor_id", "dist", eucl.alias("exact_dist"))
+        .collect()
+    )
+    for r in checked:
+        assert abs(r["dist"] - r["exact_dist"]) <= 1e-6, r

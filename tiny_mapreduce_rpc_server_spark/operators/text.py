@@ -179,7 +179,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = F.transform(
         toks, lambda w, i: P.h1(w) * (((i + 1) * F.lit(P.C1)) % 997 + 1)
     )
-    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % P.M31
+    # modulo folded into the fold: the accumulator stays < M31 and each
+    # step < 2^42, so the int64 never wraps — congruent (mod M31) to the
+    # oracle's exact HUGEINT sum for documents of ANY length, where a
+    # plain long sum would silently wrap past ~4M tokens.
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: (a + x) % P.M31)
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 

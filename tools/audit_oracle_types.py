@@ -4,23 +4,24 @@ DuckDB types integer sums as HUGEINT (int128) and ships them to Arrow as
 decimal128; Spark has no int128, so a HUGEINT output column hash-mismatches
 against Spark's BIGINT even when every value is equal (CORRECTNESS_r01:
 null_handling / json_funcs / json_struct_parse / case_when). Same risk for
-DECIMAL outputs vs Spark DOUBLE. This script runs each oracle at sf0.001 and
-flags any output column whose DuckDB type is outside the safe set.
+DECIMAL outputs vs Spark DOUBLE. This script runs each oracle and flags
+any output column whose DuckDB type is outside the safe set.
 
-Usage: python tools/audit_oracle_types.py [--spark]
-  --spark also builds each Spark DataFrame and diffs type-by-type.
+Usage: python tools/audit_oracle_types.py [--sf-dir DIR]
 """
 
 from __future__ import annotations
 
+import argparse
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tiny_mapreduce_rpc_server_spark.registry import all_queries  # noqa: E402
 from tests.oracle_utils import duckdb_connect  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 # DuckDB types that round-trip cleanly against Spark results through the
 # driver's hasher. Anything else (HUGEINT, DECIMAL, UHUGEINT, ...) is flagged.
@@ -49,7 +50,10 @@ def base_type(t: str) -> str:
 
 
 def main() -> int:
-    con = duckdb_connect(SF_DIR)
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="testdata dir with the parquet tables")
+    args = ap.parse_args()
+    con = duckdb_connect(args.sf_dir)
     bad = 0
     checked = 0
     for name, spec in sorted(all_queries().items()):
