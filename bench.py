@@ -39,6 +39,9 @@ def main() -> None:
     for spec in specs:
 
         def run_once():
+            # drop cached blocks from prior runs: a query that .cache()s
+            # internally must not get warm-cache credit across repetitions
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = df.count() if spec.oracle is None else len(df.collect())
