@@ -44,13 +44,20 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens, distinct tokens, a
     BPE-ish regex token count, and character length."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = P.tokens(F.col("text"))
-    return docs.select(
+    # token array materialized once per row (multiple references keep the
+    # projection boundary — see dedup._doc_shingles)
+    d = docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        P.tokens(F.col("text")).alias("t"),
         F.regexp_count(F.col("text"), F.lit(_RE_TOKEN)).alias("n_re_tokens"),
         F.length("text").alias("n_chars_actual"),
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        "n_re_tokens",
+        "n_chars_actual",
     )
 
 
@@ -68,15 +75,27 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/distinctness ratios combined into
     a single score — the cheap heuristics used to filter web corpora."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = P.tokens(F.col("text"))
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
-    n_dist = F.size(F.array_distinct(toks))
-    avg_len = F.length("text").cast("double") / n_tok
-    stop_ratio = n_stop.cast("double") / n_tok
-    dist_ratio = n_dist.cast("double") / n_tok
+    # stage-wise materialization: tokens once per row, then the counts
+    # once, then the ratios — the single-projection form re-inlined the
+    # tokenizer into every count and every ratio reference
+    d = docs.select(
+        "doc_id",
+        P.tokens(F.col("text")).alias("t"),
+        F.length("text").alias("n_chars"),
+    )
+    m = d.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.filter(F.col("t"), lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(F.array_distinct("t")).alias("n_dist"),
+        "n_chars",
+    )
+    n_tok = F.col("n_tok")
+    avg_len = F.col("n_chars").cast("double") / n_tok
+    stop_ratio = F.col("n_stop").cast("double") / n_tok
+    dist_ratio = F.col("n_dist").cast("double") / n_tok
     score = stop_ratio * 0.25 + dist_ratio * 0.5 + F.least(avg_len / 10.0, F.lit(1.0)) * 0.25
-    return docs.select(
+    return m.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
@@ -110,15 +129,25 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic; output is the confusion matrix
     against the labeled ``lang`` column."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = P.tokens(F.col("text"))
+
     def _in_set(ws: tuple[str, ...]):
         # closure factory: a default arg (lambda w, ws=ws: ...) would make
         # PySpark's lambda introspection think this is a 2-ary function
         return lambda w: w.isin(*ws)
 
-    scores = {
-        lang: F.size(F.filter(toks, _in_set(ws))) for lang, ws in LANG_MARKERS.items()
-    }
+    # two materialization stages: the token array once per row, then the
+    # five marker scores once — the argmax conditions below reference each
+    # score ~5 times, which would otherwise re-inline tokenize+filter into
+    # every comparison (~50 evaluations per row)
+    toked = docs.select("lang", P.tokens(F.col("text")).alias("t"))
+    scored = toked.select(
+        "lang",
+        *[
+            F.size(F.filter(F.col("t"), _in_set(ws))).alias(f"s_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    scores = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
     # argmax with ties won by the earlier language in LANG_MARKERS order:
     # lang wins if score>0, strictly beats every earlier lang, and >= later
     order = list(LANG_MARKERS)
@@ -132,7 +161,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cond = cond & (scores[lang] >= scores[o])
         pred = F.when(cond, lang).otherwise(pred)
     return (
-        docs.select("lang", pred.alias("pred_lang"))
+        scored.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
