@@ -308,3 +308,22 @@ def test_kmeans_assignment_broadcast(spark):
     p = plan(spark, _q(spark, "kmeans_lloyd"))
     assert "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_dedup_embedding_bucketed_no_cartesian_no_collect(spark):
+    """The embedding-dedup scale path: candidates come from an equi-join
+    on the LSH bucket key (shuffle or broadcast hash join), never a
+    cartesian product — and the plan contains no driver-side collect
+    (no toPandas-style LocalTableScan of the corpus)."""
+    p = plan(spark, _q(spark, "dedup_embedding_bucketed"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "LocalTableScan" not in p, p
+
+
+def test_dedup_simhash_block_join_no_cartesian(spark):
+    """SimHash 4-block rotation: candidate generation is an equi-join on
+    (block_id, block_key) over the exploded signature index."""
+    p = plan(spark, _q(spark, "dedup_simhash"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
