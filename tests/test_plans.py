@@ -327,3 +327,13 @@ def test_dedup_simhash_block_join_no_cartesian(spark):
     p = plan(spark, _q(spark, "dedup_simhash"))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_bucketed_join_reads_buckets_no_fact_shuffle(spark):
+    """Bucketed-table join: both scans report Bucketed: true and the
+    fact side (orders) is never hash-partitioned for the join — the only
+    exchanges are the small-side broadcast (if chosen) and the final
+    aggregation."""
+    p = plan(spark, _q(spark, "bucketed_join_roundtrip"))
+    assert "Bucketed: true" in p, p
+    assert "hashpartitioning(o_custkey" not in p, p

@@ -412,6 +412,136 @@ WHERE {score} > 0
 ORACLE_BM25_SEARCH = _sql_bm25()
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (inverted-index shape)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms via the full inverted-index shape:
+    explode tokens -> per-(doc, term) tf -> per-term df -> score.
+
+    The idf factor is the raw ratio N/df WITHOUT the log (monotone in
+    the true idf, and +,*,/ are correctly-rounded IEEE ops => bit-exact
+    across engines; see q_bm25_search). Shape at 100 TB: two hash
+    aggregations (both partial-aggregated map-side), one equi-join on the
+    term key, one scalar broadcast, and a per-doc top-k window — the
+    term-level df join is the same inverted-index pattern as
+    dedup_ngram_jaccard's candidate generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", P.tokens(F.col("text")).alias("t"))
+    ex = toked.select("doc_id", F.explode("t").alias("w"))
+    tf = ex.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(dfreq, "w").join(F.broadcast(n_docs))
+    score = (
+        F.col("tf").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("df").cast("double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.select("doc_id", "w", "tf", "df", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("rnk").cast("int").alias("rnk"), F.col("w").alias("term"), "tf", "df", "score")
+    )
+
+
+ORACLE_TF_IDF = f"""
+WITH ex AS (SELECT doc_id, unnest({_T}) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.w, tf, df,
+         CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN stats),
+ranked AS (
+  SELECT doc_id, w, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, w AS term, tf, df, score
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrubbing — training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+# agree on every match
+_RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_IP = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+_RE_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails, IPv4s, and phone numbers.
+
+    The synthetic corpus carries no PII, so each document is salted with
+    a deterministic email/IP/phone (derived from doc_id) before
+    scrubbing — proving the patterns both MATCH (counts are nonzero and
+    exact) and REPLACE (the digest is over the redacted text). Per-row
+    regex work, shuffle-free; at 100 TB this is a pure map over the
+    corpus scan. Replacement order (email -> ip -> phone) is fixed so
+    overlapping matches resolve identically in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".7"),
+        F.lit(" tel 555-01"), F.format_string("%02d", (F.col("doc_id") % 100).cast("int")), F.lit("-4242"),
+    )
+    d = docs.select("doc_id", salted.alias("s"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _RE_EMAIL, "<EMAIL>"),
+            _RE_IP, "<IP>",
+        ),
+        _RE_PHONE, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_RE_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("s"), F.lit(_RE_IP)).alias("n_ips"),
+        F.regexp_count(F.col("s"), F.lit(_RE_PHONE)).alias("n_phones"),
+        F.sha2(red.cast("binary"), 256).alias("redacted_digest"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+              || ' from 10.0.' || (doc_id % 256) || '.7'
+              || ' tel 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-4242' AS s
+  FROM documents),
+r AS (
+  SELECT doc_id, s,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(s, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_IP}', '<IP>', 'g'),
+           '{_RE_PHONE}', '<PHONE>', 'g') AS red
+  FROM d)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{_RE_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(s, '{_RE_IP}')) AS n_ips,
+       len(regexp_extract_all(s, '{_RE_PHONE}')) AS n_phones,
+       sha256(red) AS redacted_digest,
+       length(red) AS redacted_len
+FROM r
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "text_bm25_search",
@@ -430,4 +560,6 @@ TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec("text_quality_score", q_quality_score, ORACLE_QUALITY_SCORE, ("ext", "text")),
     QuerySpec("text_lang_id", q_lang_id, ORACLE_LANG_ID, ("ext", "text")),
     QuerySpec("text_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, ("ext", "text")),
+    QuerySpec("text_tf_idf", q_tf_idf, ORACLE_TF_IDF, ("ext", "text", "retrieval")),
+    QuerySpec("text_pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("ext", "text", "quality")),
 ]

@@ -137,6 +137,70 @@ FROM documents GROUP BY lang
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: the other columnar format Spark ships a native
+    vectorized reader for. Same contract as the parquet paths — columnar
+    scan, predicate pushdown, column pruning — proven lossless by
+    aggregating the read-back against the original table's oracle."""
+    customer = load_table(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "orc_customer")
+    customer.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal", "sum_acctbal"),
+        F.min("c_custkey").alias("min_custkey"),
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS sum_acctbal,
+       min(c_custkey) AS min_custkey
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: write orders AND customer bucketed
+    by the join key into the session catalog, then join them. With both
+    sides bucketed the same way, the join is shuffle-free on the fact
+    side — at 100 TB, pre-bucketing the lake's biggest tables turns every
+    key-join against them from a full shuffle into a local zip of
+    buckets. The aggregate must match the plain join on the originals."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    wh = _tmp(sf_dir, "bucketed_wh")
+    for name, df, key in (
+        ("tmrs_b_orders", orders, "o_custkey"),
+        ("tmrs_b_customer", customer, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(wh, name))
+            .saveAsTable(name)
+        )
+    bo = spark.table("tmrs_b_orders")
+    bc = spark.table("tmrs_b_customer")
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _linefile_spec() -> QuerySpec:
     from tiny_mapreduce_rpc_server_spark.sources.linefile import (
         ORACLE_LINEFILE_WORDCOUNT,
@@ -176,5 +240,17 @@ FORMAT_QUERIES = [
         q_json_roundtrip,
         ORACLE_JSON_ROUNDTRIP,
         ("source", "json"),
+    ),
+    QuerySpec(
+        "orc_source_roundtrip",
+        q_orc_roundtrip,
+        ORACLE_ORC_ROUNDTRIP,
+        ("source", "orc"),
+    ),
+    QuerySpec(
+        "bucketed_join_roundtrip",
+        q_bucketed_join_roundtrip,
+        ORACLE_BUCKETED_JOIN,
+        ("source", "bucketing", "join"),
     ),
 ]
