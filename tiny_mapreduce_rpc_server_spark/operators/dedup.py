@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 # MinHash config: 16 permutations in 4 bands of 4 rows
@@ -75,7 +75,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the document O(tokens) times. With `t` referenced many times,
     # CollapseProject keeps the projection boundary, so tokens are
     # computed once per row (measured 19x faster at sf0.1).
-    toked = docs.select("doc_id", _toks(F.col("text")).alias("t"))
+    toked = spread(docs).select("doc_id", _toks(F.col("text")).alias("t"))
     return toked.select("doc_id", _shingles(F.col("t")).alias("shingles"))
 
 
@@ -333,7 +333,7 @@ def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     own projection (same CollapseProject argument as _doc_shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     th = F.transform(F.array_distinct(_toks(F.col("text"))), lambda t: P.h2(t))
-    hashed = docs.select("doc_id", th.alias("th"))
+    hashed = spread(docs).select("doc_id", th.alias("th"))
     return hashed.select("doc_id", _simhash_col(F.col("th")).alias("simhash"))
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 
@@ -32,7 +32,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat each document's text bytes as an opaque media payload:
     byte length, content digest, and deterministic fake dimensions
     (stand-ins for decoded width/height metadata)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     payload = F.col("text").cast("binary")
     h = P.h1(F.col("text"))
     return docs.select(
@@ -158,7 +158,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (dims/color hash-derived), then decode it reading ONLY the
     payload bytes. Solid fill makes the decoded mean exact (color*n/n),
     so the oracle can state the decoded properties in closed form."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     h = P.h1(F.col("text"))
     src = docs.select(
         "doc_id",
@@ -215,7 +215,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped into the Arrow batch, so the Python step is pure row
     expansion — no formula duplication, and the whole op stays
     shuffle-free."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     payloads = docs.select(
         "doc_id",
         F.length(F.col("text").cast("binary")).alias("n_bytes"),
@@ -274,7 +274,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline: binary in, bounded thumbnail + target dims out,
     digest computed JVM-side after the Python stage (binary columns
     round-trip through Arrow)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     payloads = docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),

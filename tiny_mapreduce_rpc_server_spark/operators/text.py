@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 # shared token-class regex for the BPE-ish tokenizer count
@@ -43,7 +43,7 @@ def _sql_list(words: tuple[str, ...]) -> str:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens, distinct tokens, a
     BPE-ish regex token count, and character length."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # token array materialized once per row (multiple references keep the
     # projection boundary — see dedup._doc_shingles)
     d = docs.select(
@@ -74,7 +74,7 @@ FROM documents
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/distinctness ratios combined into
     a single score — the cheap heuristics used to filter web corpora."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # stage-wise materialization: tokens once per row, then the counts
     # once, then the ratios — the single-projection form re-inlined the
     # tokenizer into every count and every ratio reference
@@ -128,7 +128,7 @@ FROM t
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic; output is the confusion matrix
     against the labeled ``lang`` column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def _in_set(ws: tuple[str, ...]):
         # closure factory: a default arg (lambda w, ws=ws: ...) would make
@@ -203,7 +203,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional document fingerprint: order-sensitive weighted sum of
     token hashes (a rolling-hash-style signature; equal fingerprints =>
     near-certain duplicate content *in the same order*)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = P.tokens(F.col("text"))
     terms = F.transform(
         toks, lambda w, i: P.h1(w) * (((i + 1) * F.lit(P.C1)) % 997 + 1)
@@ -244,7 +244,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-phase explode->count->max shape (see wordcount) is the
     fallback. Thresholds: keep iff dup_word_frac <= 0.5 AND
     top_word_frac <= 0.3 AND dup_2gram_frac <= 0.35."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = P.tokens(F.lower(F.col("text")))
     d = docs.select("doc_id", t.alias("t"))
     n = F.size("t")
@@ -347,7 +347,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, df per term) are ONE aggregate row broadcast back over the scan —
     at 100 TB that's two corpus scans and a scalar broadcast, no
     fact-side shuffle at all."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = P.tokens(F.lower(F.col("text")))
     def _eq(w: str):
         # closure factory: a `lambda x, w=w:` default arg would make PySpark's
@@ -430,7 +430,7 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     term key, one scalar broadcast, and a per-doc top-k window — the
     term-level df join is the same inverted-index pattern as
     dedup_ngram_jaccard's candidate generation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", P.tokens(F.col("text")).alias("t"))
     ex = toked.select("doc_id", F.explode("t").alias("w"))
     tf = ex.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
@@ -492,7 +492,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex work, shuffle-free; at 100 TB this is a pure map over the
     corpus scan. Replacement order (email -> ip -> phone) is fixed so
     overlapping matches resolve identically in any engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     salted = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),

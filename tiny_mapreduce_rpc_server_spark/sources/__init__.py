@@ -32,6 +32,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before a
+    compute-heavy per-row pipeline.
+
+    The sf* tables are single parquet files with one row group — one
+    input split — so without this, per-document work (shingling,
+    signature folds, regex suites) runs on ONE core of the session. The
+    round-robin repartition shuffles only the scan's raw bytes (small)
+    and buys full-width compute. At real scale inputs arrive in many
+    splits and this is a structural no-op (partitions >= parallelism
+    => returned unchanged), so the plan stays shuffle-free exactly when
+    the shuffle would not pay for itself."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Parquet scan => column pruning +
     predicate pushdown for free once Catalyst sees the full plan."""
