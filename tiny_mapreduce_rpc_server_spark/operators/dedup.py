@@ -459,7 +459,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract of the broadcast path (the one exercised at test SFs); the
     bucketed path has its own oracle-checked entry
     (``dedup_embedding_bucketed``)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     if emb.count() > DEDUP_EMB_BROADCAST_MAX_ROWS:
         return _dedup_embedding_bucketed(emb)
     return _dedup_embedding_broadcast(spark, emb)
@@ -564,7 +564,7 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     own right so the driver oracle-checks it (the hyperplanes are
     deterministic integer-derived literals, so the bucket assignment —
     and therefore the exact candidate set — is reproducible in SQL)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     return _dedup_embedding_bucketed(emb)
 
 

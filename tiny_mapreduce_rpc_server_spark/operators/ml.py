@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import davg
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 K = 8
@@ -73,7 +73,7 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent0 = emb.filter(F.col("vec_id").isin(INIT_IDS)).select(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -49,7 +49,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query side is tiny -> broadcast; the corpus is scanned once and
     never shuffled except the final per-query top-k (TakeOrdered via
     window over Q partitions)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -91,7 +91,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     only same-bucket candidates (expected 1/256 of the corpus per query).
     Approximate: a neighbor in another bucket is missed — that's the
     recall/cost trade the bucket count controls."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     bucket = F.lit(0)
     for p in range(N_PLANES):
         plane = F.lit(_plane(p))  # array<double> literal
@@ -163,7 +163,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle until the final per-query top-k; candidate count scales with
     nprobe/ncells, not corpus size. Unlike LSH buckets, cells adapt to
     the data's density around the chosen centroids."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id").isin(CENTROID_IDS)).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
@@ -271,7 +271,7 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is computed in full; the checked output projects it to exact
     scalars (norm, first/max/min components) so the comparison is robust
     to how a comparator canonicalizes array columns."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = F.col("embedding").cast("array<double>")
     l2 = F.sqrt(dot(v, v))
     unit = F.transform(v, lambda x: x / l2)
@@ -306,7 +306,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal sum, so any partitioning gives bit-identical centroids."""
     from tiny_mapreduce_rpc_server_spark.functions import davg
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     ex = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
