@@ -271,7 +271,9 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is computed in full; the checked output projects it to exact
     scalars (norm, first/max/min components) so the comparison is robust
     to how a comparator canonicalizes array columns."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # no spread(): the per-row math is cheap and the operator's contract
+    # IS the shuffle-free plan (asserted in test_plans)
+    emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     l2 = F.sqrt(dot(v, v))
     unit = F.transform(v, lambda x: x / l2)
@@ -306,7 +308,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal sum, so any partitioning gives bit-identical centroids."""
     from tiny_mapreduce_rpc_server_spark.functions import davg
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # no spread(): the single exchange on (label, pos) with map-side
+    # partial aggregation is the operator's asserted plan contract
+    emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
