@@ -233,10 +233,48 @@ FROM per_doc GROUP BY source, chunk_id
 """
 
 
+PER_KEY_SAMPLE_N = 3
+
+
+def per_key_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'reservoir' of N=3 documents per source: rank each
+    key's rows by (content-hash, doc_id) and keep the first 3 — the
+    reproducible analogue of per-key reservoir sampling (the hash plays
+    the role of the random draw, so any cluster layout and any arrival
+    order picks the same rows). One shuffle on the key; at 100 TB the
+    rank-window cost is bounded per key, and heavy keys can reuse the
+    salted two-phase shape from operators/skew.py."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("draw").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", P.h1(F.col("text")).alias("draw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PER_KEY_SAMPLE_N)
+        .select("source", F.col("rnk").cast("int").alias("rnk"), "doc_id", "draw")
+    )
+
+
+ORACLE_PER_KEY_SAMPLE = f"""
+WITH d AS (
+  SELECT source, doc_id, {P.sql_h1("text")} AS draw FROM documents),
+ranked AS (
+  SELECT source, doc_id, draw,
+         row_number() OVER (PARTITION BY source ORDER BY draw ASC, doc_id ASC) AS rnk
+  FROM d)
+SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, draw
+FROM ranked WHERE rnk <= {PER_KEY_SAMPLE_N}
+"""
+
+
 SAMPLING_QUERIES: list[QuerySpec] = [
     QuerySpec("temperature_mix", temperature_mix, ORACLE_TEMPERATURE_MIX, ("ext", "sampling", "mixing")),
     QuerySpec("sequence_packing", sequence_packing, ORACLE_SEQUENCE_PACKING, ("ext", "sampling", "packing")),
     QuerySpec("sample_hash_bucket", sample_hash_bucket, ORACLE_SAMPLE, ("ext", "sampling")),
     QuerySpec("train_val_test_split", train_val_test_split, ORACLE_SPLIT, ("ext", "sampling")),
     QuerySpec("stratified_hash_sample", stratified_hash_sample, ORACLE_STRATIFIED, ("ext", "sampling")),
+    QuerySpec("per_key_reservoir_sample", per_key_reservoir_sample, ORACLE_PER_KEY_SAMPLE, ("ext", "sampling")),
 ]

@@ -542,6 +542,59 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram language-model counts (the classic MapReduce corpus workload)
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 3
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts + per-first-word top-3 continuations — the
+    n-gram LM table every classic MapReduce paper builds, Spark-first:
+    per-row bigram arrays (no shuffle), ONE explode->hash-aggregate for
+    the counts (partial-aggregated map-side), and a bounded top-k window
+    per first word. Ties break on the continuation string so the result
+    is deterministic."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(P.tokens(F.lower(F.col("text"))).alias("t"))
+    tc = F.col("t")
+    n = F.size(tc)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    ex = toked.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
+    counts = ex.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NGRAM_TOP_K)
+        .select("w1", F.col("rnk").cast("int").alias("rnk"), "w2", "cnt")
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH d AS (SELECT {P.sql_tokens("lower(text)")} AS t FROM documents),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM d WHERE len(t) >= 2)),
+counts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+ranked AS (
+  SELECT w1, w2, cnt,
+         row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2 ASC) AS rnk
+  FROM counts)
+SELECT w1, CAST(rnk AS INTEGER) AS rnk, w2, cnt
+FROM ranked WHERE rnk <= {NGRAM_TOP_K}
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "text_bm25_search",
@@ -562,4 +615,5 @@ TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec("text_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, ("ext", "text")),
     QuerySpec("text_tf_idf", q_tf_idf, ORACLE_TF_IDF, ("ext", "text", "retrieval")),
     QuerySpec("text_pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("ext", "text", "quality")),
+    QuerySpec("text_bigram_lm", q_bigram_lm, ORACLE_BIGRAM_LM, ("ext", "text", "ngram")),
 ]
