@@ -108,3 +108,23 @@ def test_ann_ml_brp_bounds_and_distance_truth(spark):
     )
     for r in checked:
         assert abs(r["dist"] - r["exact_dist"]) <= 1e-6, r
+
+
+def test_components_converge_on_high_diameter_chain(spark):
+    """Pointer jumping makes component convergence O(log diameter): a
+    600-node path graph (diameter 599) must resolve to ONE component
+    within the 20-round cap, where plain neighbor propagation would need
+    599 rounds."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        propagate_components,
+    )
+
+    n = 600
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    comp = propagate_components(pairs).collect()
+    assert len(comp) == n
+    assert {r["component"] for r in comp} == {0}

@@ -7,23 +7,24 @@ graph; clusters are its connected components. The reference has no
 graph operators at all (SURVEY.md §2.11); this is a capability-gap fill
 [EXT] and the step that makes the dedup family end-to-end usable.
 
-Algorithm: iterative min-label propagation on DataFrames —
-``label(v) <- min(label(v), min over neighbors label(u))`` until
-fixpoint. Each round is ONE hash-shuffle join (edges ⋈ labels on src)
-plus a groupBy(dst) min; convergence needs O(cluster diameter) rounds,
-and near-dup text clusters are shallow (dups of dups of one source), so
-this terminates in a handful of rounds. ``localCheckpoint`` after every
-round truncates the lineage so the plan stays O(1) deep instead of
-growing per iteration — without it round N re-executes rounds 1..N-1.
+Algorithm: iterative min-label propagation WITH pointer jumping — each
+round does (1) ``label(v) <- min(label(v), min over neighbors
+label(u))`` (one hash-shuffle join edges ⋈ labels + groupBy(dst) min)
+and (2) a path-doubling step ``label(v) <- label(label(v))`` (one
+self-join of the assignment). Phase 2 contracts label chains
+exponentially, so convergence is O(log diameter) rounds — the same
+guarantee class as large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — rather than O(diameter) for
+plain propagation; high-diameter components (long duplication chains)
+no longer degrade to a linear round count. ``localCheckpoint`` after
+every phase truncates the lineage so the plan stays O(1) deep instead
+of growing per iteration — without it round N re-executes rounds 1..N-1.
 
 100 TB notes: on a real cluster use ``spark.sparkContext.setCheckpointDir``
 + ``checkpoint()`` (fault-tolerant, survives executor loss) instead of
-localCheckpoint; for graphs with high-diameter components switch to the
-large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond") which converges in O(log n) rounds with the
-same per-round join shape. The iterative driver loop is control flow
-only — every data operation stays distributed; nothing is collected but
-the single convergence counter per round.
+localCheckpoint. The iterative driver loop is control flow only — every
+data operation stays distributed; nothing is collected but the single
+convergence counter per round.
 
 Oracle: DuckDB ``WITH RECURSIVE`` transitive label propagation — the
 fixpoint of the same recurrence, so results match exactly.
@@ -48,8 +49,14 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) for every doc in at least one near-dup pair;
     component = min doc_id in the doc's connected component."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return propagate_components(pairs)
+
+
+def propagate_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list
+    (doc_a, doc_b) -> (doc_id, component=min id in component)."""
     # materialize once — each iteration reuses the edge list, and the
-    # Jaccard pair generation must not re-execute per round
+    # pair generation must not re-execute per round
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -64,18 +71,38 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(_MAX_ROUNDS):
+        # phase 1 — neighbor propagation: label(v) <- min over N(v)
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_label = F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
-        stepped = (
+        prop_label = F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
+        prop = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
-                new_label.alias("label"),
-                (new_label < F.col("label")).alias("changed"),
+                prop_label.alias("label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint()
+        )
+        # phase 2 — pointer jumping (path doubling): label(v) <-
+        # label(label(v)). Chains contract exponentially, so convergence
+        # is O(log diameter) rounds instead of O(diameter) — the same
+        # guarantee class as large-star/small-star (Kiveris et al.),
+        # with one extra self-join per round. Label values are node ids,
+        # so the lookup side is the assignment itself.
+        parent = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jump_label = F.least(F.col("label"), F.coalesce("p_label", F.col("label")))
+        stepped = (
+            prop.join(parent, prop.label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                jump_label.alias("label"),
+                (jump_label < F.col("old_label")).alias("changed"),
             )
             .localCheckpoint()
         )
