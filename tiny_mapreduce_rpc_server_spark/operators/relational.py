@@ -923,6 +923,50 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator in batch (30-min gap),
+    pinned against an independently derived lag/cumsum oracle — proving
+    the built-in's merge semantics (an event extends a session iff its
+    ts is strictly before the current session end = last ts + gap)
+    rather than restating them. One shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# new session iff the gap is >= 30 min: Spark merges an event into the
+# session only when ts < session end (strict), so an exactly-30-min gap
+# starts a new session
+ORACLE_SESSION_WINDOW_NATIVE = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM gapped)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 ORACLE_SESSIONIZE = """
 WITH gapped AS (
   SELECT user_id, event_id, ts,
@@ -981,4 +1025,5 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("case_when", q_case_when, ORACLE_CASE_WHEN, ("scalar",)),
     QuerySpec("tumbling_hour", q_tumbling_hour, ORACLE_TUMBLING_HOUR, ("events", "window"), bench=True),
     QuerySpec("sessionize", q_sessionize, ORACLE_SESSIONIZE, ("events", "window"), bench=True),
+    QuerySpec("session_window_native", q_session_window_native, ORACLE_SESSION_WINDOW_NATIVE, ("events", "window", "session")),
 ]
