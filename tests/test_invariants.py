@@ -128,3 +128,16 @@ def test_components_converge_on_high_diameter_chain(spark):
     comp = propagate_components(pairs).collect()
     assert len(comp) == n
     assert {r["component"] for r in comp} == {0}
+
+
+def test_spread_is_noop_with_enough_partitions(spark):
+    """spread() must widen a narrow scan to session parallelism and be a
+    structural no-op (same object, no added shuffle) when the input
+    already has enough splits — the real-scale case."""
+    from tiny_mapreduce_rpc_server_spark.sources import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target)
+    assert spread(wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    assert spread(narrow).rdd.getNumPartitions() == target
