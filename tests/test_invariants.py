@@ -141,3 +141,20 @@ def test_spread_is_noop_with_enough_partitions(spark):
     assert spread(wide) is wide
     narrow = spark.range(0, 1000, 1, 1)
     assert spread(narrow).rdd.getNumPartitions() == target
+
+
+def test_every_registered_query_is_documented_in_survey():
+    """SURVEY.md is the coverage contract: every registered query name
+    must appear there (the TPC-H family is documented collectively as
+    q1-q22, so q\\d+_* names are exempt from the literal check)."""
+    import re
+
+    from tiny_mapreduce_rpc_server_spark.registry import all_queries
+
+    survey = open("SURVEY.md").read()
+    missing = [
+        n
+        for n in all_queries()
+        if n not in survey and not re.match(r"^q\d+_", n)
+    ]
+    assert not missing, f"queries not documented in SURVEY.md: {missing}"

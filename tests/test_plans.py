@@ -337,3 +337,17 @@ def test_bucketed_join_reads_buckets_no_fact_shuffle(spark):
     p = plan(spark, _q(spark, "bucketed_join_roundtrip"))
     assert "Bucketed: true" in p, p
     assert "hashpartitioning(o_custkey" not in p, p
+
+
+def test_tf_idf_partial_aggregation(spark):
+    """Both TF-IDF aggregations (per-doc tf, per-term df) must partial-
+    aggregate map-side; the corpus-stats side is a broadcast."""
+    p = plan(spark, _q(spark, "text_tf_idf"))
+    assert "partial_count" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_bigram_lm_partial_aggregation(spark):
+    p = plan(spark, _q(spark, "text_bigram_lm"))
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p, p
