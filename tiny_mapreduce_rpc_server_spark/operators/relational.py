@@ -41,9 +41,7 @@ _DEC = "DECIMAL(38,6)"
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship job (default map ``(line,1)`` + sum-by-key,
     ``Mapper.h:264-273``) generalized to word granularity over documents."""
-    from tiny_mapreduce_rpc_server_spark.sources import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return word_count(docs, "text")
 
 
