@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the pure-Python building blocks.
+
+These need no SparkSession, so hypothesis can hammer hundreds of random
+cases per second: the BMP codec behind multimodal_decode, and the
+linefile reader's split planner + straddle rule — the reference's core
+input contract (LineRecordReader.h:14-119), which must lose and
+duplicate nothing for ANY content and ANY split size.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tiny_mapreduce_rpc_server_spark.operators.multimodal import (
+    _bmp_decode_py,
+    _bmp_encode,
+)
+from tiny_mapreduce_rpc_server_spark.sources.linefile import LineFileReader
+
+
+@given(
+    w=st.integers(min_value=1, max_value=200),
+    h=st.integers(min_value=1, max_value=100),
+    color=st.integers(min_value=0, max_value=255),
+)
+def test_bmp_codec_roundtrip(w, h, color):
+    got_w, got_h, got_mean = _bmp_decode_py(_bmp_encode(w, h, color))
+    assert (got_w, got_h) == (w, h)
+    assert got_mean == float(color)  # solid fill => exact mean
+
+
+_LINE_ALPHABET = st.characters(
+    codec="utf-8", exclude_characters="\n\r", categories=("L", "N", "P", "Zs")
+)
+
+
+@given(
+    lines=st.lists(st.text(alphabet=_LINE_ALPHABET, max_size=30), max_size=20),
+    split_size=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_linefile_straddle_rule_exact_for_any_split_size(lines, split_size):
+    """Every line is read exactly once, by the split where it STARTS,
+    with its true byte offset — for arbitrary content (incl. empty lines
+    and multibyte UTF-8) and arbitrary split sizes down to 1 byte."""
+    data = "".join(line + "\n" for line in lines).encode("utf-8")
+    with tempfile.NamedTemporaryFile(delete=False) as fh:
+        fh.write(data)
+        path = fh.name
+    try:
+        reader = LineFileReader({"path": path, "split_size": str(split_size)})
+        records = []
+        for part in reader.partitions():
+            records.extend(reader.read(part))
+    finally:
+        os.unlink(path)
+
+    # expected: (byte offset of line start, line)
+    expected, pos = [], 0
+    for line in lines:
+        expected.append((pos, line))
+        pos += len(line.encode("utf-8")) + 1
+    assert records == expected
