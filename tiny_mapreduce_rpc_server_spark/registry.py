@@ -68,6 +68,7 @@ _PRIORITY = [
     # event-time + custom temporal operators
     "sessionize",
     "tumbling_hour",
+    "session_window_native",
     "asof_join",
     "range_join_bands",
     "time_bucket_rollup",
@@ -75,18 +76,16 @@ _PRIORITY = [
     "changelog_upsert",
     # dedup family
     "contamination_check",
-    "dedup_exact",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "text_simhash",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_bucketed",
     "dedup_components",
     "dedup_keep_canonical",
-    # similarity / embeddings / clustering
-    "embedding_normalize",
+    # similarity / embeddings / clustering / layout
+    "bucketed_join_roundtrip",
     "embedding_centroids",
     "ann_bruteforce",
     "ann_lsh_bucketed",
@@ -94,20 +93,21 @@ _PRIORITY = [
     "kmeans_lloyd",
     # text analysis
     "text_bm25_search",
+    "text_tf_idf",
+    "text_pii_redact",
     "text_repetition_filter",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
     # multimodal
-    "multimodal_meta",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_resize",
     # sampling / mixing
     "temperature_mix",
     "sequence_packing",
-    "sample_hash_bucket",
+    "per_key_reservoir_sample",
     "stratified_hash_sample",
     # sketches + skew
     "covar_corr",
