@@ -165,6 +165,26 @@ WHERE doc_id NOT IN (
 )
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the cluster-size histogram (how many near-dup
+    clusters of each size exist) — the number a pipeline owner watches to
+    decide whether thresholds are too loose/tight. Two tiny aggregations
+    over the component assignment."""
+    comp = _components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+ORACLE_DEDUP_CLUSTER_STATS = (
+    _ORACLE_CC_CTE
+    + """
+, comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+"""
+)
+
+
 GRAPH_QUERIES = [
     QuerySpec(
         "dedup_components",
@@ -177,5 +197,11 @@ GRAPH_QUERIES = [
         q_dedup_keep_canonical,
         ORACLE_DEDUP_KEEP_CANONICAL,
         ("ext", "dedup", "graph"),
+    ),
+    QuerySpec(
+        "dedup_cluster_stats",
+        q_dedup_cluster_stats,
+        ORACLE_DEDUP_CLUSTER_STATS,
+        ("ext", "dedup", "graph", "stats"),
     ),
 ]

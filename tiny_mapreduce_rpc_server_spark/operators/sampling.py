@@ -270,6 +270,31 @@ FROM ranked WHERE rnk <= {PER_KEY_SAMPLE_N}
 """
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality score: each document's keep
+    probability scales with its quality (rate = min(999, floor(q*500))
+    per mille), decided by a content-hash draw — deterministic,
+    reproducible on any layout, and still a pure pushed-down filter.
+    This is the 'upsample the good data' stage of a training mix."""
+    from tiny_mapreduce_rpc_server_spark.operators.text import q_quality_score
+
+    q = q_quality_score(spark, sf_dir)
+    rate = F.least(F.lit(999), F.floor(F.col("quality") * 500)).cast("long")
+    draw = P.h1(F.col("doc_id").cast("string")) % 1000
+    return q.filter(draw < rate).select("doc_id", "quality")
+
+
+def _oracle_quality_weighted_sample() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.text import ORACLE_QUALITY_SCORE
+
+    return f"""
+WITH q AS ({ORACLE_QUALITY_SCORE})
+SELECT doc_id, quality FROM q
+WHERE {P.sql_h1("CAST(doc_id AS VARCHAR)")} % 1000
+      < least(999, CAST(floor(quality * 500) AS BIGINT))
+"""
+
+
 SAMPLING_QUERIES: list[QuerySpec] = [
     QuerySpec("temperature_mix", temperature_mix, ORACLE_TEMPERATURE_MIX, ("ext", "sampling", "mixing")),
     QuerySpec("sequence_packing", sequence_packing, ORACLE_SEQUENCE_PACKING, ("ext", "sampling", "packing")),
@@ -277,4 +302,10 @@ SAMPLING_QUERIES: list[QuerySpec] = [
     QuerySpec("train_val_test_split", train_val_test_split, ORACLE_SPLIT, ("ext", "sampling")),
     QuerySpec("stratified_hash_sample", stratified_hash_sample, ORACLE_STRATIFIED, ("ext", "sampling")),
     QuerySpec("per_key_reservoir_sample", per_key_reservoir_sample, ORACLE_PER_KEY_SAMPLE, ("ext", "sampling")),
+    QuerySpec(
+        "quality_weighted_sample",
+        quality_weighted_sample,
+        _oracle_quality_weighted_sample(),
+        ("ext", "sampling", "quality"),
+    ),
 ]
