@@ -104,6 +104,121 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-ROW DROPPING, actually exercised (the other
+    streaming oracles replay in-order data, where the watermark never
+    discards anything).
+
+    Empirically verified Spark microbatch semantics being pinned here:
+    in batch N, state EVICTION (append-mode emission) uses the watermark
+    computed from batch N-1's data, while the LATE-ROW FILTER uses the
+    watermark from one batch earlier still (the eviction watermark of
+    batch N-1) — late input lags one batch behind eviction.
+
+    Scenario (maxFilesPerTrigger=1; file mtimes force the order):
+    - batch 0: all even-id events except the globally latest event. No
+      watermark yet — everything merges.
+    - batch 1: the single globally latest event. Eviction watermark =
+      max(batch-0 ts) - 10min =: wmA — every hour window ending at or
+      before wmA is EMITTED with its even-only counts.
+    - batch 2: all odd-id events (minus the latest). Late filter now
+      stands at wmA: odd rows whose window end <= wmA are DROPPED;
+      survivors merge. Eviction watermark reaches max(all ts) - 10min
+      =: wmF, emitting the remaining windows with end <= wmF with their
+      combined counts. Windows past wmF stay in state, never emitted.
+
+    Every quantity is closed-form in the data, so the oracle states the
+    full output: even-only counts for windows <= wmA, combined counts
+    for wmA < window end <= wmF."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = os.path.join(tempfile.gettempdir(), f"tmrs_late_{sf}")
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
+    batches = [
+        ev.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") != latest["event_id"])),
+        ev.filter(F.col("event_id") == latest["event_id"]),
+        ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_id") != latest["event_id"])),
+    ]
+    for i, batch in enumerate(batches):
+        tmp = f"{stream_dir}_w{i}"
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)  # mtime order = batch order
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC.lower())).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("hour_start"), "n", "sum_value"
+    )
+
+
+ORACLE_STREAMING_LATE_DATA = f"""
+WITH latest AS (
+  SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 1),
+f0 AS (SELECT e.ts, e.value FROM events e, latest l
+       WHERE e.event_id % 2 = 0 AND e.event_id <> l.event_id),
+f1 AS (SELECT e.ts, e.value FROM events e, latest l WHERE e.event_id = l.event_id),
+f2 AS (SELECT e.ts, e.value FROM events e, latest l
+       WHERE e.event_id % 2 = 1 AND e.event_id <> l.event_id),
+wma AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM f0),
+wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+emitted1 AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         count(*) AS n,
+         CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+  FROM f0, wma
+  GROUP BY 1, wma.w
+  HAVING hour_start + INTERVAL 1 HOUR <= wma.w),
+phase2 AS (
+  SELECT ts, value FROM f0, wma
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > wma.w
+  UNION ALL SELECT ts, value FROM f1
+  UNION ALL SELECT ts, value FROM f2, wma
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > wma.w),
+emitted2 AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         count(*) AS n,
+         CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value
+  FROM phase2, wma, wmf
+  GROUP BY 1, wma.w, wmf.w
+  HAVING hour_start + INTERVAL 1 HOUR > wma.w
+     AND hour_start + INTERVAL 1 HOUR <= wmf.w)
+SELECT hour_start, n, sum_value FROM emitted1
+UNION ALL
+SELECT hour_start, n, sum_value FROM emitted2
+"""
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 hour, sliding 30 min): each event lands in two
     windows. Oracle: union of the two half-hour-aligned hourly rollups."""
@@ -433,4 +548,10 @@ STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec("streaming_session_window", q_streaming_session_window, ORACLE_STREAMING_SESSION, ("streaming", "session")),
     QuerySpec("streaming_stateful_user_stats", q_streaming_stateful_user_stats, ORACLE_STREAMING_STATEFUL, ("streaming", "stateful")),
     QuerySpec("streaming_dedup", q_streaming_dedup, ORACLE_STREAMING_DEDUP, ("streaming", "dedup")),
+    QuerySpec(
+        "streaming_late_data",
+        q_streaming_late_data,
+        ORACLE_STREAMING_LATE_DATA,
+        ("streaming", "watermark", "late"),
+    ),
 ]
