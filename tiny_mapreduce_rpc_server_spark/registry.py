@@ -115,7 +115,7 @@ _PRIORITY = [
     "salted_user_stats",
     # streaming
     "streaming_stream_join",
-    "streaming_session_window",
+    "streaming_late_data",
     "streaming_stateful_user_stats",
 ]
 
