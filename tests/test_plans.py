@@ -351,3 +351,10 @@ def test_bigram_lm_partial_aggregation(spark):
     p = plan(spark, _q(spark, "text_bigram_lm"))
     assert "partial_count" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """The partitioned-fact join must carry a dynamic partition pruning
+    subquery in the scan's PartitionFilters."""
+    p = plan(spark, _q(spark, "dpp_partitioned_join"))
+    assert "dynamicpruning" in p, p

@@ -201,6 +201,37 @@ GROUP BY c_mktsegment
 """
 
 
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: orders written Hive-partitioned by
+    status, joined against a FILTERED tiny dimension. Catalyst inserts a
+    runtime pruning subquery (``dynamicpruningexpression`` in the scan's
+    PartitionFilters — asserted in test_plans), so only the partition
+    directories whose status survives the dim filter are ever read. At
+    100 TB this is the difference between scanning one partition and the
+    whole fact table when the selective predicate lives on the dim."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "dpp_orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", 1.0), ("O", 0.1), ("P", 0.2)], "status string, weight double"
+    )
+    return (
+        fact.join(dim.filter(F.col("weight") > 0.5), fact.o_orderstatus == F.col("status"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+ORACLE_DPP_JOIN = f"""
+WITH dim(status, weight) AS (VALUES ('F', 1.0), ('O', 0.1), ('P', 0.2))
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price
+FROM orders JOIN dim ON o_orderstatus = dim.status AND weight > 0.5
+GROUP BY o_orderpriority
+"""
+
+
 def _linefile_spec() -> QuerySpec:
     from tiny_mapreduce_rpc_server_spark.sources.linefile import (
         ORACLE_LINEFILE_WORDCOUNT,
@@ -252,5 +283,11 @@ FORMAT_QUERIES = [
         q_bucketed_join_roundtrip,
         ORACLE_BUCKETED_JOIN,
         ("source", "bucketing", "join"),
+    ),
+    QuerySpec(
+        "dpp_partitioned_join",
+        q_dpp_partitioned_join,
+        ORACLE_DPP_JOIN,
+        ("source", "partitioning", "dpp"),
     ),
 ]
