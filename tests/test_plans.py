@@ -358,3 +358,47 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     subquery in the scan's PartitionFilters."""
     p = plan(spark, _q(spark, "dpp_partitioned_join"))
     assert "dynamicpruning" in p, p
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Runtime bloom-filter pruning: with a selective dim filter and a
+    shuffle join, Catalyst builds a bloom filter from the dim keys and
+    probes it on the fact scan (might_contain), cutting shuffled fact
+    rows before the exchange. Conf-scoped to this test (the thresholds
+    and broadcast disablement must not leak into the shared session);
+    the result is cross-checked against the default-conf plan."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    def q():
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        orders = load_table(spark, SF_ORACLE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    expected = {r["l_returnflag"]: r["n"] for r in q().collect()}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        p = plan(spark, df)
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p, p
+        got = {r["l_returnflag"]: r["n"] for r in df.collect()}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert got == expected

@@ -216,6 +216,38 @@ FROM (
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: every change event becomes a versioned
+    row with a validity interval [valid_from, valid_to) and a
+    current-row flag — the warehouse pattern for tracking dimension
+    history (q_changelog_upsert is the Type-1 latest-wins counterpart).
+    One shuffle on the key; lead() closes each interval with the next
+    change's timestamp, NULL meaning still current."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "value",
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+SELECT user_id, event_type, event_id,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       value
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
 def q_rolling_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: each order's trailing-7-day spend for the
     same customer (RANGE BETWEEN 7 DAYS PRECEDING, not ROWS — the frame
@@ -267,6 +299,12 @@ TEMPORAL_QUERIES: list[QuerySpec] = [
         q_changelog_upsert,
         ORACLE_CHANGELOG_UPSERT,
         ("temporal", "cdc"),
+    ),
+    QuerySpec(
+        "scd2_history",
+        q_scd2_history,
+        ORACLE_SCD2_HISTORY,
+        ("temporal", "cdc", "scd2"),
     ),
     QuerySpec("asof_join", asof_join_last_order, ORACLE_ASOF, ("temporal", "asof"), bench=True),
     QuerySpec("range_join_bands", range_join_quantity_bands, ORACLE_RANGE_JOIN, ("temporal", "range-join")),
