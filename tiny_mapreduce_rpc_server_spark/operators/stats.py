@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiny_mapreduce_rpc_server_spark.functions import dsum
 from tiny_mapreduce_rpc_server_spark.sources import load_table
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -132,8 +133,74 @@ FROM g
 """
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column row count, null count, distinct
+    count, and min/max over the lineitem measures — the data-quality
+    summary a pipeline computes before training. ONE pass over the scan
+    (a single aggregate row holding all per-column stats), reshaped to
+    one row per column with stack(); at 100 TB that is a single
+    partial-aggregated scan and a constant-size result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"min_{c}"),
+            F.max(c).cast("double").alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, nulls_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+ORACLE_COLUMN_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_value,
+       CAST(max({c}) AS DOUBLE) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+_HIST_WIDTH = 1000
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of l_extendedprice (bucket = floor
+    of price/1000): one shuffle on a small bounded key space, the
+    standard distribution profile for numeric columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / _HIST_WIDTH).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice", "sum_price"))
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = f"""
+SELECT CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
     QuerySpec("covar_corr", q_covar_corr, ORACLE_COVAR_CORR, ("stats",)),
     QuerySpec("quantiles_by_flag", quantiles_by_flag, ORACLE_QUANTILES, ("stats", "quantile")),
     QuerySpec("approx_distinct_users", approx_distinct_users, None, ("stats", "sketch")),
+    QuerySpec("column_profile", q_column_profile, ORACLE_COLUMN_PROFILE, ("stats", "profile")),
+    QuerySpec("value_histogram", q_value_histogram, ORACLE_VALUE_HISTOGRAM, ("stats", "profile")),
 ]
