@@ -402,3 +402,14 @@ def test_runtime_bloom_filter_join(spark):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert got == expected
+
+
+@pytest.mark.parametrize(
+    "name", ["topk_per_group", "text_tf_idf", "text_bigram_lm", "per_key_reservoir_sample"]
+)
+def test_topk_windows_use_group_limit_pushdown(spark, name):
+    """rank <= k filters over windows must trigger WindowGroupLimit
+    (partial top-k BEFORE the shuffle) — at scale this turns a full sort
+    of every group into a bounded per-partition heap."""
+    p = plan(spark, _q(spark, name))
+    assert "WindowGroupLimit" in p, f"{name}: no WindowGroupLimit in plan\n{p}"
