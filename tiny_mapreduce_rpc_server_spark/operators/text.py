@@ -613,7 +613,7 @@ TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec("text_quality_score", q_quality_score, ORACLE_QUALITY_SCORE, ("ext", "text")),
     QuerySpec("text_lang_id", q_lang_id, ORACLE_LANG_ID, ("ext", "text")),
     QuerySpec("text_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, ("ext", "text")),
-    QuerySpec("text_tf_idf", q_tf_idf, ORACLE_TF_IDF, ("ext", "text", "retrieval")),
+    QuerySpec("text_tf_idf", q_tf_idf, ORACLE_TF_IDF, ("ext", "text", "retrieval"), bench=True),
     QuerySpec("text_pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("ext", "text", "quality")),
-    QuerySpec("text_bigram_lm", q_bigram_lm, ORACLE_BIGRAM_LM, ("ext", "text", "ngram")),
+    QuerySpec("text_bigram_lm", q_bigram_lm, ORACLE_BIGRAM_LM, ("ext", "text", "ngram"), bench=True),
 ]
