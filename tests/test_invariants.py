@@ -143,6 +143,37 @@ def test_spread_is_noop_with_enough_partitions(spark):
     assert spread(narrow).rdd.getNumPartitions() == target
 
 
+def test_pii_salts_actually_match(spark):
+    """Every PII salt must actually match its redaction pattern — a salt
+    whose shape misses the regex makes the REPLACE branch dead code while
+    the oracle (same salt, same regex) still agrees. Assert every
+    document reports at least one match per category."""
+    from tiny_mapreduce_rpc_server_spark.operators.text import q_pii_redact
+
+    agg = q_pii_redact(spark, SF_ORACLE).agg(
+        F.min("n_emails").alias("e"),
+        F.min("n_ips").alias("i"),
+        F.min("n_phones").alias("p"),
+    ).collect()[0]
+    assert agg["e"] >= 1 and agg["i"] >= 1 and agg["p"] >= 1, agg
+
+
+def test_priority_list_is_exactly_the_driver_window():
+    """_PRIORITY is a hard coupling to the external driver's first-50
+    correctness window: one added/removed name silently pushes a query
+    out of the checked window. Pin the size, uniqueness, and that the
+    registry's head is exactly the priority list."""
+    from tiny_mapreduce_rpc_server_spark.registry import (
+        _DRIVER_WINDOW,
+        _PRIORITY,
+        all_queries,
+    )
+
+    assert len(_PRIORITY) == _DRIVER_WINDOW == 50
+    assert len(set(_PRIORITY)) == 50
+    assert list(all_queries())[:50] == _PRIORITY
+
+
 def test_every_registered_query_is_documented_in_survey():
     """SURVEY.md is the coverage contract: every registered query name
     must appear there (the TPC-H family is documented collectively as

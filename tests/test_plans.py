@@ -353,6 +353,23 @@ def test_bigram_lm_partial_aggregation(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_repetition_filter_single_bigram_subtree(spark):
+    """The bigram array and tokenizer must each be built ONCE per row:
+    ``bg``/``t`` are aliased into their own projections before being
+    referenced twice (expression-materialization rule). A regression
+    re-inlining them shows up as a second transform(sequence(...)) /
+    filter(split(...)) subtree. Also pins the absence of any shuffle:
+    top-word frequency is the sorted-run fold, not explode->groupBy."""
+    df = _q(spark, "text_repetition_filter")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("transform(sequence") == 1, opt
+    assert opt.count("filter(split") == 1, opt
+    p = plan(spark, df)
+    # only spread()'s round-robin fan-out may appear — no hash shuffle
+    assert "hashpartitioning" not in p, p
+    assert "SinglePartition" not in p, p
+
+
 def test_dpp_join_prunes_partitions_at_runtime(spark):
     """The partitioned-fact join must carry a dynamic partition pruning
     subquery in the scan's PartitionFilters."""

@@ -239,11 +239,14 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-word fraction, top-word fraction, duplicate-bigram fraction.
 
     All list expressions — per-row, shuffle-free, whole-stage codegen.
-    The top-word frequency is O(distinct x tokens) per document, fine for
-    web-scale docs (hundreds of tokens); for pathological multi-MB docs
-    the two-phase explode->count->max shape (see wordcount) is the
-    fallback. Thresholds: keep iff dup_word_frac <= 0.5 AND
-    top_word_frac <= 0.3 AND dup_2gram_frac <= 0.35."""
+    The top-word frequency is a single O(n log n) pass: sort the token
+    array, then the longest equal-run length IS the top word's count —
+    one ``aggregate`` fold, no O(distinct x tokens) rescan and no
+    explode/groupBy shuffle. ``bigrams`` is aliased into its own
+    projection before being referenced twice (expression-materialization
+    rule), so the array is built once per row. Thresholds: keep iff
+    dup_word_frac <= 0.5 AND top_word_frac <= 0.3 AND
+    dup_2gram_frac <= 0.35."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     t = P.tokens(F.lower(F.col("text")))
     d = docs.select("doc_id", t.alias("t"))
@@ -257,19 +260,42 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    max_freq = F.array_max(
-        F.transform(
-            F.array_distinct("t"),
-            lambda w: F.size(F.filter("t", lambda x: x == w)),
+
+    # Longest run in the sorted array == max term frequency. prev starts
+    # NULL so the first element always opens a run of 1 (tokens are
+    # non-empty strings, but NULL-compare is the safe sentinel anyway).
+    def _run(acc, x):
+        r = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            r.alias("run"),
+            F.greatest(acc["best"], r).alias("best"),
         )
+
+    max_freq = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _run,
+        lambda acc: acc["best"],
     )
     d = d.select(
         "doc_id",
         n.alias("n_words"),
         F.size(F.array_distinct("t")).alias("nd"),
-        F.size(bigrams).alias("n2"),
-        F.size(F.array_distinct(bigrams)).alias("n2d"),
+        bigrams.alias("bg"),
         max_freq.alias("max_freq"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_words",
+        "nd",
+        F.size("bg").alias("n2"),
+        F.size(F.array_distinct("bg")).alias("n2d"),
+        "max_freq",
     )
     dup_word = F.when(
         F.col("n_words") > 0,
@@ -497,7 +523,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
         F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".7"),
-        F.lit(" tel 555-01"), F.format_string("%02d", (F.col("doc_id") % 100).cast("int")), F.lit("-4242"),
+        # 3-3-4 digit shape so the salt actually matches _RE_PHONE
+        # (guarded by test_pii_salts_actually_match: n_phones >= 1)
+        F.lit(" tel 415-555-01"), F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
     )
     d = docs.select("doc_id", salted.alias("s"))
     red = F.regexp_replace(
@@ -522,7 +550,7 @@ WITH d AS (
   SELECT doc_id,
          text || ' contact user' || doc_id || '@example.com'
               || ' from 10.0.' || (doc_id % 256) || '.7'
-              || ' tel 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-4242' AS s
+              || ' tel 415-555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') AS s
   FROM documents),
 r AS (
   SELECT doc_id, s,

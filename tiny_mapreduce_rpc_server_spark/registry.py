@@ -58,66 +58,81 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
 # listed keeps its group order after the priority block and stays
 # covered by the identical local gate (tests/test_oracle_relational.py).
 _PRIORITY = [
-    # reference §2 semantics
+    # --- the 43 queries never yet covered by a driver CORRECTNESS round
+    # (computed as registry minus union of CORRECTNESS_r01..r03 keys) ---
+    # TPC-H shapes
+    "q11_important_parts",
+    "q12_priority_classes",
+    "q16_parts_suppliers",
+    "q20_dominant_suppliers",
+    "q21_suppliers_kept_waiting",
+    # temporal
+    "scd2_history",
+    # sampling / mixing
+    "sample_hash_bucket",
+    "train_val_test_split",
+    "quality_weighted_sample",
+    # sketches / stats
+    "approx_distinct_users",
+    "column_profile",
+    "value_histogram",
+    # dedup + similarity additions
+    "dedup_exact",
+    "dedup_minhash_ml",
+    "dedup_cluster_stats",
+    "embedding_normalize",
+    "ann_ml_brp",
+    # text additions
+    "text_simhash",
+    "text_bigram_lm",
+    # multimodal
+    "multimodal_meta",
+    # formats / layout roundtrips
+    "compaction_roundtrip",
+    "partitioned_sink_roundtrip",
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
+    "orc_source_roundtrip",
+    "dpp_partitioned_join",
+    # scalar-function families
+    "array_set_ops",
+    "conditional_aggs",
+    "window_value_funcs",
+    "window_rank_stats",
+    "unpivot",
+    "array_funcs",
+    "higher_order_funcs",
+    "map_funcs",
+    "window_lag_lead",
+    "ntile_buckets",
+    "grouping_sets",
+    # streaming (the 6 not yet driver-checked)
+    "streaming_static_join",
+    "streaming_foreach_batch",
+    "streaming_tumbling",
+    "streaming_sliding",
+    "streaming_session_window",
+    "streaming_dedup",
+    # --- 7 reference-§2-semantics re-pins: keep the core §2 surface
+    # continuously driver-verified every round ---
     "wordcount",
     "sum_by_key",
     "sorted_group",
     "linefile_wordcount",
     "pandas_udaf_sum",
     "python_udtf_words",
-    # event-time + custom temporal operators
     "sessionize",
-    "tumbling_hour",
-    "session_window_native",
-    "asof_join",
-    "range_join_bands",
-    "time_bucket_rollup",
-    "rolling_window_7d",
-    "changelog_upsert",
-    # dedup family
-    "contamination_check",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_embedding_bucketed",
-    "dedup_components",
-    "dedup_keep_canonical",
-    # similarity / embeddings / clustering / layout
-    "bucketed_join_roundtrip",
-    "embedding_centroids",
-    "ann_bruteforce",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "kmeans_lloyd",
-    # text analysis
-    "text_bm25_search",
-    "text_tf_idf",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    # multimodal
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # sampling / mixing
-    "temperature_mix",
-    "sequence_packing",
-    "per_key_reservoir_sample",
-    "stratified_hash_sample",
-    # sketches + skew
-    "covar_corr",
-    "quantiles_by_flag",
-    "salted_user_stats",
-    # streaming
-    "streaming_stream_join",
-    "streaming_late_data",
-    "streaming_stateful_user_stats",
 ]
+
+# The window size is a hard coupling to the driver gate: adding or removing
+# one name silently pushes a query out of the checked window. Guarded here
+# and in tests/test_invariants.py.
+_DRIVER_WINDOW = 50
+assert len(_PRIORITY) == _DRIVER_WINDOW, (
+    f"_PRIORITY must hold exactly the driver's first-{_DRIVER_WINDOW} "
+    f"correctness window, got {len(_PRIORITY)}"
+)
+assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate names in _PRIORITY"
 
 
 def all_queries() -> dict[str, QuerySpec]:
