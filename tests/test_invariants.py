@@ -143,6 +143,20 @@ def test_spread_is_noop_with_enough_partitions(spark):
     assert spread(narrow).rdd.getNumPartitions() == target
 
 
+def test_dedup_embedding_blocked_matmul_is_exact(spark, monkeypatch):
+    """The broadcast path's score matmul is blocked over build-side
+    columns to bound executor memory. Shrinking the block cap so every
+    arrow batch needs MANY chunks must not change the result — compare
+    against the oracle with a 4 KB cap (step collapses to a handful of
+    columns at sf0.001)."""
+    from tests.oracle_utils import compare
+    from tiny_mapreduce_rpc_server_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_MAX_SCORE_BLOCK_BYTES", 1 << 12)
+    df = dedup.q_dedup_embedding(spark, SF_ORACLE)
+    compare(df, dedup.ORACLE_DEDUP_EMBEDDING, SF_ORACLE)
+
+
 def test_pii_salts_actually_match(spark):
     """Every PII salt must actually match its redaction pattern — a salt
     whose shape misses the regex makes the REPLACE branch dead code while

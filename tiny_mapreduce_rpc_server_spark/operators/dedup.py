@@ -439,9 +439,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 
 
 # Above this row count the driver-side broadcast build (~0.5 KB/row at
-# 64-dim float64) would exceed a sane broadcast budget; switch to the
-# LSH-bucketed candidate path, which never collects the table.
+# 64-dim float64 => ~0.5 GB at the limit) would exceed a sane broadcast
+# budget; switch to the LSH-bucketed candidate path, which never
+# collects the table. The score matmul inside the broadcast path is
+# independently blocked to _MAX_SCORE_BLOCK_BYTES per step, so executor
+# memory stays bounded across the whole 0..1M-row window.
 DEDUP_EMB_BROADCAST_MAX_ROWS = 1_000_000
+
+# Dense (arrow_batch_rows x build_cols) score block cap: 256 MB float64.
+_MAX_SCORE_BLOCK_BYTES = 1 << 28
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,10 +465,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract of the broadcast path (the one exercised at test SFs); the
     bucketed path has its own oracle-checked entry
     (``dedup_embedding_bucketed``)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    if emb.count() > DEDUP_EMB_BROADCAST_MAX_ROWS:
-        return _dedup_embedding_bucketed(emb)
-    return _dedup_embedding_broadcast(spark, emb)
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # count BEFORE spread(): on the bare parquet scan this is the
+    # empty-schema/row-group-metadata count; after repartition it would
+    # be a full scan + round-robin shuffle job at plan-build time.
+    if raw.count() > DEDUP_EMB_BROADCAST_MAX_ROWS:
+        return _dedup_embedding_bucketed(spread(raw))
+    return _dedup_embedding_broadcast(spark, spread(raw))
 
 
 def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame:
@@ -480,8 +489,12 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
        bit-identical to the oracle's list_dot_product over DOUBLE[];
        final filter at the exact threshold.
 
-    The broadcast side must fit executor memory (same contract as any
-    broadcast join — ~1 GB ≈ 4M x 64-dim float32)."""
+    Memory contract: the broadcast side must fit executor memory (same
+    as any broadcast join — ~0.5 GB at the 1M-row switch point), and the
+    dense score matrix is BLOCKED over build-side columns so each step
+    materializes at most ``_MAX_SCORE_BLOCK_BYTES`` (256 MB) regardless
+    of N — an unblocked (arrow_batch x N) matrix would be ~80 GB per
+    10k-row batch at N=1M."""
     import numpy as np
     import pandas as pd
 
@@ -492,18 +505,43 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
         inv_norms = 1.0 / np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids_np, mat, inv_norms))
     margin = COSINE_DUP - 1e-9
+    # closure-captured (pickled by value into the workers), so tests can
+    # shrink it to force the multi-chunk path at small SFs
+    block_bytes = _MAX_SCORE_BLOCK_BYTES
 
     def _candidates(batches):
         b_ids, b_mat, b_inv = bc.value
+        n_build = b_mat.shape[0]
         for pb in batches:
             a_ids = pb["vec_id"].to_numpy(dtype="int64")
             a_mat = np.array([np.asarray(v, dtype="float64") for v in pb["embedding"]])
+            if len(a_ids) == 0 or n_build == 0:
+                yield pd.DataFrame(
+                    {"vec_a": np.empty(0, "int64"), "vec_b": np.empty(0, "int64")}
+                )
+                continue
             with np.errstate(invalid="ignore", divide="ignore"):
                 a_inv = 1.0 / np.sqrt((a_mat * a_mat).sum(axis=1))
-                scores = (a_mat @ b_mat.T) * a_inv[:, None] * b_inv[None, :]
-                hit = (scores >= margin) & (a_ids[:, None] < b_ids[None, :])
-            ai, bi = np.nonzero(hit)
-            yield pd.DataFrame({"vec_a": a_ids[ai], "vec_b": b_ids[bi]})
+            # worst-case per-step scores block: len(a_ids) * step * 8 bytes
+            step = max(1, block_bytes // (8 * len(a_ids)))
+            out_a, out_b = [], []
+            for lo in range(0, n_build, step):
+                hi = min(lo + step, n_build)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    scores = (
+                        (a_mat @ b_mat[lo:hi].T)
+                        * a_inv[:, None]
+                        * b_inv[None, lo:hi]
+                    )
+                    hit = (scores >= margin) & (
+                        a_ids[:, None] < b_ids[None, lo:hi]
+                    )
+                ai, bi = np.nonzero(hit)
+                out_a.append(a_ids[ai])
+                out_b.append(b_ids[lo:hi][bi])
+            yield pd.DataFrame(
+                {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+            )
 
     cand = emb.mapInPandas(_candidates, schema="vec_a long, vec_b long")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))

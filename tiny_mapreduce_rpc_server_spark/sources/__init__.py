@@ -45,9 +45,54 @@ def spread(df: DataFrame) -> DataFrame:
     => returned unchanged), so the plan stays shuffle-free exactly when
     the shuffle would not pay for itself."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _estimated_scan_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate how many input splits a scan will plan WITHOUT converting
+    the DataFrame to a classic RDD (``df.rdd.getNumPartitions()`` forces
+    full analysis + physical planning through the RDD path on every
+    call). For file scans: sum over files of ceil(size /
+    maxPartitionBytes) — the same arithmetic Spark's
+    FilePartition planner uses, ignoring openCostInBytes packing, which
+    only ever makes Spark plan FEWER partitions than this estimate (so a
+    no-op decision here is safe). Non-file plans (range, joins, …) fall
+    back to the RDD probe — spread() is only applied to scans, so the
+    fallback is effectively test-only."""
+    import math
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions()
+    raw = str(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
+    ).lower()
+    try:
+        mpb = int(raw.rstrip("b")) or 128 * 1024 * 1024
+    except ValueError:
+        mpb = 128 * 1024 * 1024
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            # remote store: sizes not stat-able from here; treat each
+            # file as at least one split (under-estimates huge files,
+            # which at worst repartitions a scan that already had width)
+            total += 1
+            continue
+        try:
+            total += max(1, math.ceil(os.path.getsize(u.path) / mpb))
+        except OSError:
+            total += 1
+    return total
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

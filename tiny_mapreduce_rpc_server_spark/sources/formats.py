@@ -172,9 +172,13 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     wh = _tmp(sf_dir, "bucketed_wh")
+    # catalog table names carry the sf label (as the temp paths already
+    # do): fixed global names would race across concurrent sessions /
+    # sf dirs on DROP TABLE + saveAsTable
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
     for name, df, key in (
-        ("tmrs_b_orders", orders, "o_custkey"),
-        ("tmrs_b_customer", customer, "c_custkey"),
+        (f"tmrs_b_orders_{sf}", orders, "o_custkey"),
+        (f"tmrs_b_customer_{sf}", customer, "c_custkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
@@ -184,8 +188,8 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", os.path.join(wh, name))
             .saveAsTable(name)
         )
-    bo = spark.table("tmrs_b_orders")
-    bc = spark.table("tmrs_b_customer")
+    bo = spark.table(f"tmrs_b_orders_{sf}")
+    bc = spark.table(f"tmrs_b_customer_{sf}")
     joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),

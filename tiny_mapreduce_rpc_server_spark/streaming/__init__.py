@@ -129,7 +129,15 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every quantity is closed-form in the data, so the oracle states the
     full output: even-only counts for windows <= wmA, combined counts
-    for wmA < window end <= wmF."""
+    for wmA < window end <= wmF.
+
+    VERSION CAVEAT: the one-batch lag between the late-row filter and
+    eviction is a WatermarkTracker implementation detail, verified
+    against Spark 4.1 (this container's pyspark). It is not spec-bound:
+    a Spark upgrade may advance the late filter to the eviction
+    watermark, flipping this oracle with no code change here. If this
+    query alone starts failing after an upgrade, re-derive wmA/wmF
+    (suspect semantics drift, not a regression)."""
     import glob
     import os
     import shutil
