@@ -26,8 +26,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
-    # one trivial action to absorb session/JVM startup
+    # Absorb SESSION startup (not per-plan warmup): JVM spin-up, first
+    # parquet-footer reader init, first shuffle exchange, and the Python
+    # worker pool for Arrow UDFs. These are per-session fixed costs that
+    # would otherwise land entirely on whichever query happens to run
+    # first (registry order), making round-over-round per-query deltas
+    # noise. Each query's own plan still runs cold below.
     spark.range(1).count()
+    smallest = os.path.join(sf_dir, "region.parquet")
+    if os.path.exists(smallest):
+        spark.read.parquet(smallest).groupBy("r_regionkey").count().count()
+    spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     specs = [s for s in all_queries().values() if s.bench]
     timings: dict[str, float] = {}
