@@ -370,6 +370,24 @@ def test_repetition_filter_single_bigram_subtree(spark):
     assert "SinglePartition" not in p, p
 
 
+def test_novelty_joins_head_not_tail(spark):
+    """text_novelty must join occurrences against the bounded COMMON
+    head set (broadcastable at this SF), partial-aggregate map-side, and
+    never degenerate to a cartesian product."""
+    p = plan(spark, _q(spark, "text_novelty"))
+    assert "partial_count" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_corpus_manifest_group_limit_and_no_cartesian(spark):
+    """The per-source cap must run as WindowGroupLimit (partial top-k
+    before the source shuffle); dedup digest agg partial-aggregates."""
+    p = plan(spark, _q(spark, "corpus_manifest"))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_dpp_join_prunes_partitions_at_runtime(spark):
     """The partitioned-fact join must carry a dynamic partition pruning
     subquery in the scan's PartitionFilters."""

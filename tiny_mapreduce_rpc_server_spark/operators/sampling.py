@@ -295,6 +295,77 @@ WHERE {P.sql_h1("CAST(doc_id AS VARCHAR)")} % 1000
 """
 
 
+# corpus_manifest thresholds: min quality/length gates + per-source cap
+MANIFEST_MIN_QUALITY = 0.5
+MANIFEST_MIN_TOKENS = 10
+MANIFEST_PER_SOURCE_CAP = 50
+
+
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection — the pipeline a data curator
+    actually ships, composed from this repo's own stages:
+
+    1. exact dedup (keep lowest doc_id per sha256(text) digest — shuffle
+       carries 32-byte keys, not documents);
+    2. quality gate (same score as ``text_quality_score``;
+       quality >= MANIFEST_MIN_QUALITY and n_tokens >= MANIFEST_MIN_TOKENS);
+    3. per-source cap: top MANIFEST_PER_SOURCE_CAP per source by
+       (quality desc, doc_id asc) — rank filter runs as WindowGroupLimit
+       (partial top-k map-side before the source shuffle).
+
+    The dedup semi-join and the metrics join are on doc_id; AQE
+    broadcasts whichever side fits and falls back to hash joins at
+    scale. Deterministic end to end, so the whole pipeline is one SQL
+    oracle."""
+    from pyspark.sql import Window
+
+    from tiny_mapreduce_rpc_server_spark.operators.text import q_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.col("text").cast("binary"), 256)
+    keep = (
+        docs.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    q = q_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    base = (
+        docs.select("doc_id", "source", "lang")
+        .join(keep.select("doc_id"), "doc_id", "left_semi")
+        .join(q, "doc_id")
+        .filter(
+            (F.col("quality") >= MANIFEST_MIN_QUALITY)
+            & (F.col("n_tokens") >= MANIFEST_MIN_TOKENS)
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        base.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= MANIFEST_PER_SOURCE_CAP)
+    )
+
+
+def _oracle_corpus_manifest() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.text import ORACLE_QUALITY_SCORE
+
+    return f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+q AS ({ORACLE_QUALITY_SCORE}),
+f AS (
+  SELECT d.doc_id, d.source, d.lang, q.n_tokens, q.quality
+  FROM documents d
+  JOIN keep USING (doc_id)
+  JOIN q ON q.doc_id = d.doc_id
+  WHERE q.quality >= {MANIFEST_MIN_QUALITY} AND q.n_tokens >= {MANIFEST_MIN_TOKENS}),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM f)
+SELECT doc_id, source, lang, n_tokens, quality, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= {MANIFEST_PER_SOURCE_CAP}
+"""
+
+
 SAMPLING_QUERIES: list[QuerySpec] = [
     QuerySpec("temperature_mix", temperature_mix, ORACLE_TEMPERATURE_MIX, ("ext", "sampling", "mixing")),
     QuerySpec("sequence_packing", sequence_packing, ORACLE_SEQUENCE_PACKING, ("ext", "sampling", "packing")),
@@ -307,5 +378,11 @@ SAMPLING_QUERIES: list[QuerySpec] = [
         quality_weighted_sample,
         _oracle_quality_weighted_sample(),
         ("ext", "sampling", "quality"),
+    ),
+    QuerySpec(
+        "corpus_manifest",
+        corpus_manifest,
+        _oracle_corpus_manifest(),
+        ("ext", "sampling", "pipeline", "dedup", "quality"),
     ),
 ]

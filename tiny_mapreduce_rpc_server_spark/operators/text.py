@@ -623,6 +623,79 @@ FROM ranked WHERE rnk <= {NGRAM_TOP_K}
 """
 
 
+# a bigram is "common" at >= this corpus count; occurrences of rarer
+# bigrams count toward a document's novelty fraction
+NOVELTY_COMMON_MIN = 3
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of bigram OCCURRENCES whose
+    corpus-wide count is below ``NOVELTY_COMMON_MIN`` — high novelty =
+    unusual phrasing (or noise), low = boilerplate. The complement of a
+    contamination check, against the corpus itself.
+
+    Scale shape: the long tail of RARE bigrams is enormous, but the
+    COMMON head (count >= threshold) is bounded by total_occurrences /
+    threshold — so join occurrences against the head, not the tail, and
+    count misses. The join is declared unhinted: AQE broadcasts the head
+    while it fits and degrades to a hash join on the bigram key beyond
+    that. Per-doc aggregation partial-aggregates map-side (doc_id
+    grouping). Docs with < 2 tokens have no bigrams and are excluded
+    (same rule as the oracle)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", P.tokens(F.lower(F.col("text"))).alias("t"))
+    tc = F.col("t")
+    n = F.size(tc)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toked.select("doc_id", F.explode(bigrams).alias("bg"))
+    head = (
+        occ.groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= NOVELTY_COMMON_MIN)
+    )
+    joined = occ.join(head, "bg", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("cnt").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_common",
+            (
+                (F.col("n_bigrams") - F.col("n_common")) / F.col("n_bigrams")
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH d AS (SELECT doc_id, {P.sql_tokens("lower(text)")} AS t FROM documents),
+occ AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM d WHERE len(t) >= 2)),
+head AS (
+  SELECT bg, count(*) AS cnt FROM occ GROUP BY bg
+  HAVING count(*) >= {NOVELTY_COMMON_MIN})
+SELECT o.doc_id,
+       count(*) AS n_bigrams,
+       count(h.cnt) AS n_common,
+       (count(*) - count(h.cnt)) / count(*) AS novelty
+FROM occ o LEFT JOIN head h USING (bg)
+GROUP BY o.doc_id
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "text_bm25_search",
@@ -644,4 +717,5 @@ TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec("text_tf_idf", q_tf_idf, ORACLE_TF_IDF, ("ext", "text", "retrieval"), bench=True),
     QuerySpec("text_pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("ext", "text", "quality")),
     QuerySpec("text_bigram_lm", q_bigram_lm, ORACLE_BIGRAM_LM, ("ext", "text", "ngram"), bench=True),
+    QuerySpec("text_novelty", q_novelty, ORACLE_NOVELTY, ("ext", "text", "ngram", "quality"), bench=True),
 ]
