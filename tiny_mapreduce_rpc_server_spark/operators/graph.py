@@ -185,6 +185,104 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
 )
 
 
+# ---------------------------------------------------------------------------
+# PageRank (iterative algorithm family; fixed-point integer arithmetic)
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+# ranks as fixed-point bigints (1.0 == PR_SCALE): every operation in the
+# recurrence is integer (div / * / +), so Spark and the SQL oracle agree
+# bit-for-bit — no float-sum ordering, no decimal-cast rounding. Headroom:
+# total mass <= PR_SCALE (1e12); the worst intermediate is 85 * sum_in
+# <= 8.5e13 << 2^63.
+PR_SCALE = 1_000_000_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier<->customer trade graph (undirected:
+    each distinct (supplier, customer) pair from lineitem⋈orders becomes
+    two directed edges), PAGERANK_ITERS rounds, damping 0.85.
+
+    The iterative-algorithm template on Spark: build the edge list ONCE
+    (localCheckpoint — at cluster scale use checkpoint(), see module
+    docstring), then each round is one hash-join of the rank table
+    (small, one row per node — AQE broadcasts it) against the edges plus
+    one partial-aggregated groupBy(dst). The driver loop is control flow
+    only; per-round localCheckpoint keeps the plan O(1) deep. Symmetric
+    edges mean no dangling nodes, so no mass-redistribution term.
+
+    Exactness: ranks are fixed-point bigints (see PR_SCALE); integer
+    floor-division remainders are dropped identically in both engines
+    (values are non-negative, so DuckDB's // == Spark's div)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sup"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cus"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("sup").alias("src"), F.col("cus").alias("dst"))
+        .union(pairs.select(F.col("cus").alias("src"), F.col("sup").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+    ewd = edges.join(deg, "src").localCheckpoint()
+    n_nodes = deg.count()
+    base = (15 * PR_SCALE) // (PR_DAMP_DEN * n_nodes)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE // n_nodes).alias("r")
+    ).localCheckpoint()
+    for _ in range(PAGERANK_ITERS):
+        contrib = ewd.join(ranks, ewd.src == ranks.node).select(
+            "dst", F.expr("r div odeg").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = sums.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")).alias("r"),
+        ).localCheckpoint()
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(PR_SCALE)).alias("rank"),
+    )
+
+
+def _oracle_pagerank() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst, sum(r.r // e.odeg) AS s
+  FROM ewd e JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT c{i}.dst AS node,
+         (15 * {PR_SCALE}) // ({PR_DAMP_DEN} * n.n)
+           + ({PR_DAMP_NUM} * c{i}.s) // {PR_DAMP_DEN} AS r
+  FROM c{i}, n)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cus
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT sup AS src, cus AS dst FROM pairs
+          UNION ALL SELECT cus, sup FROM pairs),
+deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+ewd AS (SELECT e.src, e.dst, d.odeg FROM edges e JOIN deg d USING (src)),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, {PR_SCALE} // n.n AS r FROM deg, n),
+{",".join(iters)}
+SELECT node, r AS rank_scaled, r / {PR_SCALE} AS rank FROM {prev}
+"""
+
+
 GRAPH_QUERIES = [
     QuerySpec(
         "dedup_components",
@@ -203,5 +301,11 @@ GRAPH_QUERIES = [
         q_dedup_cluster_stats,
         ORACLE_DEDUP_CLUSTER_STATS,
         ("ext", "dedup", "graph", "stats"),
+    ),
+    QuerySpec(
+        "graph_pagerank",
+        q_graph_pagerank,
+        _oracle_pagerank(),
+        ("ext", "graph", "iterative"),
     ),
 ]
