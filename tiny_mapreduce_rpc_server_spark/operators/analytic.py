@@ -356,6 +356,113 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# Product-analytics shapes over the events table (funnel, cohort retention)
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with per-step time caps: first 'view',
+    then a 'click' within 24 h of it, then a 'purchase' within 72 h of
+    that click (strict event-time order). Each stage is a
+    groupBy(user_id) min-timestamp plus a filter-join against the
+    previous stage — after the first shuffle all joins are
+    co-partitioned on user_id, and the stage tables only shrink, so AQE
+    broadcasts them. Hour-unit intervals sidestep DuckDB's
+    MONTH==30-DAY interval-equality CSE trap (see verify notes)."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def _stage(df: DataFrame, stage: int, step: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+
+    return (
+        _stage(v, 1, "view")
+        .unionByName(_stage(c, 2, "view>click"))
+        .unionByName(_stage(p, 3, "view>click>purchase"))
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL 24 HOUR GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 72 HOUR GROUP BY e.user_id)
+SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+       (SELECT count(*) FROM v) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'view>click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'view>click>purchase', (SELECT count(*) FROM p)
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day, counted distinct on each day-offset of later activity. Two
+    shuffles (first-day agg, cohort-cell distinct count), both keyed and
+    partial-aggregated; the firsts table joins back co-partitioned on
+    user_id."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select("user_id", F.to_date("ts").alias("day"))
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+       count(DISTINCT d.user_id) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 ANALYTIC_QUERIES = [
     QuerySpec(
         "array_set_ops",
@@ -404,5 +511,17 @@ ANALYTIC_QUERIES = [
         q_grouping_sets,
         ORACLE_GROUPING_SETS,
         ("agg", "grouping"),
+    ),
+    QuerySpec(
+        "event_funnel",
+        q_event_funnel,
+        ORACLE_EVENT_FUNNEL,
+        ("events", "analytics", "funnel"),
+    ),
+    QuerySpec(
+        "retention_cohorts",
+        q_retention_cohorts,
+        ORACLE_RETENTION_COHORTS,
+        ("events", "analytics", "retention"),
     ),
 ]

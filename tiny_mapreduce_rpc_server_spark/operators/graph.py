@@ -259,7 +259,9 @@ def _oracle_pagerank() -> str:
     for i in range(1, PAGERANK_ITERS + 1):
         iters.append(f"""
 c{i} AS (
-  SELECT e.dst, sum(r.r // e.odeg) AS s
+  -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which the driver's
+  -- comparator rejects; values stay far below 2^63 (see PR_SCALE note)
+  SELECT e.dst, CAST(sum(r.r // e.odeg) AS BIGINT) AS s
   FROM ewd e JOIN {prev} r ON e.src = r.node
   GROUP BY e.dst),
 r{i} AS (
