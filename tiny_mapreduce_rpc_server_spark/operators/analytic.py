@@ -463,6 +463,45 @@ GROUP BY 1, 2
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event-type
+    sequence (the event-stream analog of the bigram LM): lag() within
+    the per-user event-time order, then one partial-aggregated count per
+    (prev, next) pair, with the per-prev transition probability as an
+    exact bigint/bigint division. One shuffle on user_id for the window,
+    one tiny agg on the 5x5 transition space."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*) AS n FROM seq
+      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       n / sum(n) OVER (PARTITION BY prev_type) AS p
+FROM c
+"""
+
+
 ANALYTIC_QUERIES = [
     QuerySpec(
         "array_set_ops",
@@ -523,5 +562,11 @@ ANALYTIC_QUERIES = [
         q_retention_cohorts,
         ORACLE_RETENTION_COHORTS,
         ("events", "analytics", "retention"),
+    ),
+    QuerySpec(
+        "event_transitions",
+        q_event_transitions,
+        ORACLE_EVENT_TRANSITIONS,
+        ("events", "analytics", "markov"),
     ),
 ]
