@@ -130,6 +130,94 @@ FROM documents GROUP BY sha256(text)
 
 
 # ---------------------------------------------------------------------------
+# exact duplicate-span detection (char-window fingerprints)
+# ---------------------------------------------------------------------------
+
+# 32-char windows, stride 16: adjacent windows overlap by half so any
+# duplicated span of >= 47 chars is guaranteed to fully contain at least
+# one window (the ExactSubstr guarantee from "Deduplicating Training Data
+# Makes Language Models Better", Lee et al. 2022, for their 50-token
+# windows — same construction at character granularity).
+SUBSTR_W = 32
+SUBSTR_STRIDE = 16
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection: which documents share a verbatim
+    32-char window with another document, and how much of each document
+    is covered by such shared spans.
+
+    Unlike whole-doc near-dup (jaccard/minhash/simhash), this catches
+    boilerplate/quote-level duplication inside otherwise-distinct
+    documents — the ExactSubstr component of an LLM dedup pipeline.
+
+    Shape (scale): windows are a per-row array expression (codegen, no
+    shuffle); the explode carries (doc_id, 8-byte window hash) only —
+    never window text; window document-frequency is one hash aggregate;
+    the frequency join is an equi-join on the 8-byte hash. No all-pairs
+    stage anywhere, so cost is O(total windows) ~ O(corpus chars /
+    stride) regardless of duplicate structure. At 100 TB you'd add a
+    stop-window DF cap exactly like MAX_SHINGLE_DF above.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {SUBSTR_W - 1}, 1),"
+                f" {SUBSTR_STRIDE}), p -> substring(text, p, {SUBSTR_W}))"
+            )
+        ).alias("w"),
+    )
+    # distinct (doc, window) pairs on the 8-byte hash (collision argument
+    # as in q_dedup_ngram_jaccard: 64-bit keys, ~1e-11 at 1e4 windows)
+    ex = wins.select("doc_id", F.xxhash64("w").alias("h")).distinct()
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("dfreq"))
+    per = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("dfreq") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return per.filter(F.col("n_dup_windows") > 0).select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        (
+            F.col("n_dup_windows").cast("double") / F.col("n_windows")
+        ).alias("dup_ratio"),
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - {SUBSTR_W - 1}, 1) + 1,
+                      {SUBSTR_STRIDE})) AS p
+  FROM documents
+),
+ex AS (
+  SELECT DISTINCT doc_id, substr(text, p::INT, {SUBSTR_W}) AS w FROM pos
+),
+dfreq AS (SELECT w, count(*) AS dfreq FROM ex GROUP BY w),
+per AS (
+  SELECT doc_id,
+         count(*) AS n_windows,
+         count(*) FILTER (WHERE dfreq >= 2) AS n_dup_windows
+  FROM ex JOIN dfreq USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       n_dup_windows::DOUBLE / n_windows AS dup_ratio
+FROM per WHERE n_dup_windows > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact pairwise via inverted index join)
 # ---------------------------------------------------------------------------
 
@@ -725,6 +813,7 @@ DEDUP_QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("ext", "dedup")),
     QuerySpec("dedup_exact_hash", q_dedup_exact_hash, ORACLE_DEDUP_EXACT_HASH, ("ext", "dedup")),
+    QuerySpec("dedup_substring", q_dedup_substring, ORACLE_DEDUP_SUBSTRING, ("ext", "dedup")),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("ext", "dedup"), bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("ext", "dedup"), bench=True),
     QuerySpec("text_simhash", q_text_simhash, ORACLE_TEXT_SIMHASH, ("ext", "dedup")),
