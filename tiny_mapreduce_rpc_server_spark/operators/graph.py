@@ -285,6 +285,87 @@ SELECT node, r AS rank_scaled, r / {PR_SCALE} AS rank FROM {prev}
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph: nodes are
+    parts, an (undirected) edge connects two parts bought together in at
+    least one order; output is the 20 parts participating in the most
+    triangles (ties broken by part key).
+
+    The classic distributed shape: orient every edge low-id -> high-id so
+    each triangle {a,b,c} (a<b<c) is enumerated exactly once as the wedge
+    (a->b, b->c) closed by (a->c) — two equi-joins, no cross product.
+
+    Scale notes: edge orientation is what bounds the wedge join — at
+    100 TB you'd orient by (degree, id) instead of raw id so hub nodes
+    produce O(m^1.5) wedges total (arboricity bound, Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer"); id-orientation
+    keeps the oracle deterministic here and is the same join shape. The
+    distinct-edge build partial-aggregates map-side; both triangle joins
+    shuffle on 8-byte keys.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("pa"),
+            F.col("e1.v").alias("pb"),
+            F.col("e2.v").alias("pc"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("pa").alias("p"))
+        .unionAll(tri.select(F.col("pb").alias("p")))
+        .unionAll(tri.select(F.col("pc").alias("p")))
+    )
+    return (
+        nodes.groupBy("p")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("p"))
+        .limit(20)
+        .select(F.col("p").alias("p_partkey"), "n_triangles")
+    )
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (SELECT e1.u AS pa, e1.v AS pb, e2.v AS pc
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+nodes AS (
+  SELECT pa AS p FROM tri
+  UNION ALL SELECT pb FROM tri
+  UNION ALL SELECT pc FROM tri
+)
+SELECT p AS p_partkey, count(*) AS n_triangles
+FROM nodes GROUP BY p
+ORDER BY n_triangles DESC, p ASC
+LIMIT 20
+"""
+
+
 GRAPH_QUERIES = [
     QuerySpec(
         "dedup_components",
@@ -309,5 +390,11 @@ GRAPH_QUERIES = [
         q_graph_pagerank,
         _oracle_pagerank(),
         ("ext", "graph", "iterative"),
+    ),
+    QuerySpec(
+        "graph_triangles",
+        q_graph_triangles,
+        ORACLE_GRAPH_TRIANGLES,
+        ("ext", "graph"),
     ),
 ]
