@@ -197,7 +197,75 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: flag values more than
+    3 x 1.4826 x MAD from the median (the MAD-z rule — median/MAD stay
+    finite under the very outliers mean/stddev get dragged by).
+
+    Shape: two grouped exact percentiles (each one shuffle of the group's
+    values) and two BROADCAST joins of the 5-row per-type statistics back
+    onto the fact scan — the fact table itself is never shuffled for the
+    joins. 3 x 1.4826 is written as the single literal 4.4478 in both
+    engines so constant folding cannot differ in the last ulp.
+
+    At 100 TB the exact percentile is the one operator to swap: use
+    approx_percentile (t-digest, partial-aggregating) for the median and
+    the identical downstream algebra — documented rather than silently
+    approximating here, because the oracle pins exact semantics.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            # count-of-when (not sum-of-case): stays BIGINT in both
+            # engines — DuckDB's sum(int) widens to HUGEINT
+            F.count(
+                F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_OUTLIER_MAD = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       count(*) AS n,
+       count(*) FILTER (WHERE d.adev > 4.4478 * m.mad) AS n_outliers,
+       min(d.med) AS med,
+       min(m.mad) AS mad
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec("outlier_mad", q_outlier_mad, ORACLE_OUTLIER_MAD, ("stats", "quantile", "quality")),
     QuerySpec("covar_corr", q_covar_corr, ORACLE_COVAR_CORR, ("stats",)),
     QuerySpec("quantiles_by_flag", quantiles_by_flag, ORACLE_QUANTILES, ("stats", "quantile")),
     QuerySpec("approx_distinct_users", approx_distinct_users, None, ("stats", "sketch")),
