@@ -448,3 +448,44 @@ def test_topk_windows_use_group_limit_pushdown(spark, name):
     of every group into a bounded per-partition heap."""
     p = plan(spark, _q(spark, name))
     assert "WindowGroupLimit" in p, f"{name}: no WindowGroupLimit in plan\n{p}"
+
+
+def test_skew_join_salted_is_shuffle_join_not_broadcast(spark):
+    """The salted join must exercise the shuffle-join path it exists to
+    fix (a broadcast would bypass the skew problem and make the salt
+    replication dead weight), and stay an equi-join — no cartesian."""
+    p = plan(spark, _q(spark, "skew_join_salted"))
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_triangle_join_no_cartesian(spark):
+    """Both triangle-closing joins must be equi-joins on the oriented
+    edge keys; a plan regression to a nested-loop join would be
+    catastrophic at any scale."""
+    p = plan(spark, _q(spark, "graph_triangles"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_er_candidates_block_join_no_cartesian(spark):
+    """ER candidate generation must join on the blocking key (equi-join
+    with the name inequality as a post-filter), never all-pairs."""
+    p = plan(spark, _q(spark, "er_fuzzy_candidates"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_dedup_substring_single_explode_hash_agg(spark):
+    """Duplicate-span detection: one generate (window explode), hash
+    aggregates for distinct + frequency, equi-join on the 8-byte hash —
+    and the join key must be the hash, not window text."""
+    p = plan(spark, _q(spark, "dedup_substring"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "xxhash64" in p, p
+
+
+def test_outlier_mad_stat_joins_broadcast(spark):
+    """The per-type median/MAD tables are 5 rows — both joins back onto
+    the fact scan must broadcast so the fact table is never shuffled for
+    a join."""
+    p = plan(spark, _q(spark, "outlier_mad"))
+    assert p.count("BroadcastHashJoin") >= 2, p

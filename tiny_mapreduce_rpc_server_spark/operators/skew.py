@@ -65,6 +65,62 @@ ORDER BY user_id
 """
 
 
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant JOIN via salt replication: the fact side gets a
+    deterministic salt in [0, S); the dim side is replicated S ways
+    (explode over the salt range); the join key becomes (key, salt), so a
+    hot key's fact rows spread over S reducers instead of one.
+
+    Every fact row still matches exactly one replica of its dim row, so
+    the result is identical to the plain join — which is what the oracle
+    computes. ``SHUFFLE_HASH`` is hinted so the query exercises the
+    shuffle-join path the pattern exists for (a broadcast of this dim
+    would bypass the skew problem entirely — and broadcasting IS the
+    first-choice fix when the dim fits; salting is for when it doesn't).
+
+    AQE's skew-join split solves this at runtime for static batch plans;
+    the manual pattern remains necessary for stream-static joins and for
+    engines/stages where AQE statistics are unavailable. Cost: dim scan
+    amplification xS (16 here), fact-side +4 bytes per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = ev.select(
+        "user_id",
+        F.col("value").cast(_DEC).alias("v"),
+        (F.col("event_id") % _SALTS).alias("salt"),
+    )
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))).alias("salt"),
+    )
+    joined = fact.hint("SHUFFLE_HASH").join(
+        dim,
+        (F.col("user_id") == F.col("c_custkey"))
+        & (fact["salt"] == dim["salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SKEW_JOIN_SALTED = f"""
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS {_DEC})) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
 SKEW_QUERIES: list[QuerySpec] = [
     QuerySpec("salted_user_stats", salted_user_stats, ORACLE_SALTED, ("scale", "skew")),
+    QuerySpec("skew_join_salted", q_skew_join_salted, ORACLE_SKEW_JOIN_SALTED, ("scale", "skew", "join")),
 ]
