@@ -264,8 +264,96 @@ ORDER BY d.event_type
 """
 
 
+def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: two-sample chi-square statistic per
+    event type between two halves of the event stream (deterministic
+    split on event_id parity), over fixed-width value bins.
+
+    This is the data-quality gate a training pipeline runs between
+    ingestion batches: "did the value distribution move?". Chi-square is
+    chosen over PSI/KL because its algebra is purely rational (+,-,*,/)
+    — no ln/exp, whose libm implementations differ across engines and
+    would break exact oracle matching (see verify notes).
+
+    Shape: one scan -> (type, bin, period) counts via a single hash
+    aggregate (partial map-side), then the contingency algebra runs on
+    the tiny aggregated table. Nothing downstream of the first groupBy
+    touches fact granularity, so the query is one shuffle at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("period"),
+        F.floor(F.col("value") / 10).alias("bin"),
+    )
+    cells = ev.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).alias("o_a"),
+        F.count(F.when(F.col("period") == 1, 1)).alias("o_b"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("o_a").alias("t_a"), F.sum("o_b").alias("t_b")
+    )
+    j = cells.join(F.broadcast(totals), "event_type")
+    grand = F.col("t_a") + F.col("t_b")
+    bin_total = F.col("o_a") + F.col("o_b")
+    e_a = (F.col("t_a") * bin_total).cast("double") / grand
+    e_b = (F.col("t_b") * bin_total).cast("double") / grand
+    contrib = (F.col("o_a") - e_a) * (F.col("o_a") - e_a) / e_a + (
+        F.col("o_b") - e_b
+    ) * (F.col("o_b") - e_b) / e_b
+    return (
+        j.select("event_type", "bin", contrib.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_bins"),
+            # sort-fold the per-bin contributions so the double sum has
+            # ONE canonical order in both engines (double + is not
+            # associative; a parallel sum would be partition-ordered)
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bin", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("chisq"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DRIFT_CHISQ = """
+WITH ev AS (
+  SELECT event_type, event_id % 2 AS period, floor(value / 10) AS bin
+  FROM events),
+cells AS (
+  SELECT event_type, bin,
+         count(*) FILTER (WHERE period = 0) AS o_a,
+         count(*) FILTER (WHERE period = 1) AS o_b
+  FROM ev GROUP BY event_type, bin),
+tot AS (
+  SELECT event_type, sum(o_a)::BIGINT AS t_a, sum(o_b)::BIGINT AS t_b
+  FROM cells GROUP BY event_type),
+contrib AS (
+  SELECT c.event_type, c.bin,
+         (c.o_a - ((t.t_a * (c.o_a + c.o_b))::DOUBLE / (t.t_a + t.t_b)))
+           * (c.o_a - ((t.t_a * (c.o_a + c.o_b))::DOUBLE / (t.t_a + t.t_b)))
+           / ((t.t_a * (c.o_a + c.o_b))::DOUBLE / (t.t_a + t.t_b))
+         + (c.o_b - ((t.t_b * (c.o_a + c.o_b))::DOUBLE / (t.t_a + t.t_b)))
+           * (c.o_b - ((t.t_b * (c.o_a + c.o_b))::DOUBLE / (t.t_a + t.t_b)))
+           / ((t.t_b * (c.o_a + c.o_b))::DOUBLE / (t.t_a + t.t_b)) AS c
+  FROM cells c JOIN tot t USING (event_type)),
+srt AS (
+  SELECT event_type,
+         list_sort(list({'bin': bin, 'c': c})) AS xs,
+         count(*) AS n_bins
+  FROM contrib GROUP BY event_type)
+SELECT event_type, n_bins,
+       list_sum(list_transform(xs, x -> x.c)) AS chisq
+FROM srt
+ORDER BY event_type
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
     QuerySpec("outlier_mad", q_outlier_mad, ORACLE_OUTLIER_MAD, ("stats", "quantile", "quality")),
+    QuerySpec("drift_chisq", q_drift_chisq, ORACLE_DRIFT_CHISQ, ("stats", "quality", "drift")),
     QuerySpec("covar_corr", q_covar_corr, ORACLE_COVAR_CORR, ("stats",)),
     QuerySpec("quantiles_by_flag", quantiles_by_flag, ORACLE_QUANTILES, ("stats", "quantile")),
     QuerySpec("approx_distinct_users", approx_distinct_users, None, ("stats", "sketch")),

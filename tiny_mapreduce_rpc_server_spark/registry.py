@@ -15,6 +15,7 @@ from tiny_mapreduce_rpc_server_spark.operators.er import ER_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.graph import GRAPH_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.ml import ML_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.multimodal import MULTIMODAL_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.mv import MV_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.relational import RELATIONAL_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.sampling import SAMPLING_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.similarity import SIMILARITY_QUERIES
@@ -40,6 +41,7 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
     MULTIMODAL_QUERIES,
+    MV_QUERIES,
     ML_QUERIES,
     GRAPH_QUERIES,
     UDF_SURFACE_QUERIES,

@@ -250,6 +250,106 @@ def _linefile_spec() -> QuerySpec:
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional clustering for data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # 10 bits per dimension -> 20-bit z index
+_Z_BUCKET_SHIFT = 10  # 1024 z buckets, comparable to the 1024 naive buckets
+
+
+def _z_expr(x: str, y: str) -> str:
+    """Bit-interleaved z-curve index, identical SQL text for both engines
+    (shift/and/add only — generated from the same constants)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering effectiveness, measured: bucket lineitem rows
+    (a) by a bit-interleaved z-curve over (partkey, orderkey) and (b) by
+    partkey alone (the naive single-column sort), then report the
+    row-weighted average per-DIMENSION min/max range width per bucket —
+    the quantity file statistics prune by.
+
+    The tradeoff this makes visible: single-column ordering gives
+    width-1 partkey ranges but FULL-range orderkey boxes (a predicate on
+    orderkey prunes nothing); z-order widens partkey ranges to ~2^(B/2)
+    but shrinks orderkey ranges by the same factor, so predicates on
+    EITHER dimension prune ~sqrt-many buckets. Row-weighting makes the
+    two layouts comparable at equal bucket granularity (1024 each).
+
+    At 100 TB this is the maintenance operator behind OPTIMIZE ZORDER BY
+    in lakehouse tables: compute z, repartitionByRange(z), write — the
+    arithmetic bucketing here stands in for file assignment so the
+    oracle can check the exact same computation. One scan per layout,
+    aggregates partial map-side; nothing after the groupBy exceeds
+    bucket granularity.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % (1 << _Z_BITS)).alias("x"),
+        (F.col("l_orderkey") % (1 << _Z_BITS)).alias("y"),
+    )
+    z = F.expr(_z_expr("x", "y"))
+    withz = li.select("x", "y", z.alias("z"))
+
+    def width_summary(df: DataFrame, bucket, layout: str) -> DataFrame:
+        bb = df.groupBy(bucket.alias("b")).agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x0"),
+            F.max("x").alias("x1"),
+            F.min("y").alias("y0"),
+            F.max("y").alias("y1"),
+        )
+        xw = F.col("x1") - F.col("x0") + 1
+        yw = F.col("y1") - F.col("y0") + 1
+        n = F.col("n")
+        return bb.select(
+            n, (xw * n).alias("xwn"), (yw * n).alias("ywn")
+        ).agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_buckets"),
+            (F.sum("xwn").cast("double") / F.sum("n")).alias("avg_x_width"),
+            (F.sum("ywn").cast("double") / F.sum("n")).alias("avg_y_width"),
+        )
+
+    zsum = width_summary(
+        withz, F.shiftrightunsigned("z", _Z_BUCKET_SHIFT), "zorder"
+    )
+    nsum = width_summary(withz, F.col("x"), "naive_partkey")
+    return zsum.unionAll(nsum)
+
+
+ORACLE_LAYOUT_ZORDER = f"""
+WITH li AS (
+  SELECT l_partkey % {1 << _Z_BITS} AS x, l_orderkey % {1 << _Z_BITS} AS y
+  FROM lineitem),
+wz AS (SELECT x, y, {_z_expr("x", "y")} AS z FROM li),
+zb AS (
+  SELECT z >> {_Z_BUCKET_SHIFT} AS b, count(*) AS n,
+         min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+  FROM wz GROUP BY b),
+nb AS (
+  SELECT x AS b, count(*) AS n,
+         min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+  FROM wz GROUP BY b),
+zs AS (
+  SELECT 'zorder' AS layout, count(*) AS n_buckets,
+         sum((x1 - x0 + 1) * n)::DOUBLE / sum(n) AS avg_x_width,
+         sum((y1 - y0 + 1) * n)::DOUBLE / sum(n) AS avg_y_width
+  FROM zb),
+ns AS (
+  SELECT 'naive_partkey' AS layout, count(*) AS n_buckets,
+         sum((x1 - x0 + 1) * n)::DOUBLE / sum(n) AS avg_x_width,
+         sum((y1 - y0 + 1) * n)::DOUBLE / sum(n) AS avg_y_width
+  FROM nb)
+SELECT * FROM zs UNION ALL SELECT * FROM ns
+"""
+
+
 FORMAT_QUERIES = [
     _linefile_spec(),
     QuerySpec(
@@ -293,5 +393,11 @@ FORMAT_QUERIES = [
         q_dpp_partitioned_join,
         ORACLE_DPP_JOIN,
         ("source", "partitioning", "dpp"),
+    ),
+    QuerySpec(
+        "layout_zorder",
+        q_layout_zorder,
+        ORACLE_LAYOUT_ZORDER,
+        ("layout", "zorder", "scale"),
     ),
 ]
