@@ -132,7 +132,94 @@ FROM a2 GROUP BY cluster
 """
 
 
+def q_ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier, trained and evaluated in one plan:
+    per-label mean vectors (exact decimal averages), then every vector is
+    assigned to its closest centroid by squared L2 and scored against its
+    true label. Output: per-label support, correct count, accuracy — the
+    eval table a data pipeline ships for embedding-quality monitoring.
+
+    Shape: centroid build is one (label, dim) shuffle of partial sums;
+    the 10-row centroid table BROADCASTS against a single corpus scan
+    (the classic assign step — same contract as q_kmeans_lloyd); argmin
+    is a (dist, label) struct-min groupBy, deterministic under float
+    ties. Distances are ordered zip_with folds, so every double is
+    bit-reproducible by the oracle's list fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select(
+        "label", F.posexplode(F.col("v")).alias("pos", "x")
+    )
+    per_dim = ex.groupBy("label", "pos").agg(davg("x", "c"))
+    cent = per_dim.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    pairs = emb.crossJoin(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("vec_id", "label", "clabel", d2.alias("d2"))
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct("d2", "clabel"))["clabel"].alias("pred")
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("pred") == F.col("label"), 1)).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n")).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_ML_NEAREST_CENTROID = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM e),
+per_dim AS (
+  SELECT label, pos,
+         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(x) AS c
+  FROM ex GROUP BY label, pos),
+cent AS (
+  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+  FROM per_dim GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                  i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+  FROM e CROSS JOIN cent c),
+pred AS (
+  SELECT vec_id, label,
+         min({'d2': d2, 'clabel': clabel}).clabel AS pred
+  FROM scored GROUP BY vec_id, label)
+SELECT label, count(*) AS n,
+       count(*) FILTER (WHERE pred = label) AS n_correct,
+       count(*) FILTER (WHERE pred = label)::DOUBLE / count(*) AS accuracy
+FROM pred GROUP BY label
+ORDER BY label
+"""
+
+
 ML_QUERIES = [
+    QuerySpec(
+        "ml_nearest_centroid",
+        q_ml_nearest_centroid,
+        ORACLE_ML_NEAREST_CENTROID,
+        ("ext", "ml", "embedding", "eval"),
+    ),
     QuerySpec(
         "kmeans_lloyd",
         q_kmeans_lloyd,

@@ -13,7 +13,7 @@ so partial aggregation collapses it map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
@@ -696,7 +696,76 @@ GROUP BY o.doc_id
 """
 
 
+# the synthetic corpus draws from a ~31-word vocabulary, so the curve's
+# cut points sit inside it; real corpora would use 2^several-k cuts
+_VOCAB_CUTS = (5, 10, 20)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus token
+    OCCURRENCES is covered by the top-N vocabulary — the sizing table
+    for tokenizer/vocab decisions (coverage vs OOV rate).
+
+    Shape: the corpus-sized work is one wordcount (explode + hash
+    aggregate, partial map-side); ranking and the cumulative sum are
+    windows over the VOCABULARY (distinct tokens), which is orders of
+    magnitude smaller than the corpus and the standard place for a
+    single-ordering window. Rank ties break on the token string, so the
+    curve is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(P.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = counts.select(
+        "w",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        ranked.filter(F.col("rank").isin(*_VOCAB_CUTS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").alias("vocab_size"),
+            F.col("cum").alias("covered_tokens"),
+            "total",
+            (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT unnest({P.sql_tokens("lower(text)")}) AS w FROM documents),
+counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+ranked AS (
+  SELECT w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank,
+         (sum(cnt) OVER (ORDER BY cnt DESC, w ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+  FROM counts),
+total AS (SELECT sum(cnt)::BIGINT AS total FROM counts)
+SELECT rank AS vocab_size, cum AS covered_tokens, total,
+       cum::DOUBLE / total AS coverage
+FROM ranked CROSS JOIN total
+WHERE rank IN {_VOCAB_CUTS}
+ORDER BY vocab_size
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "text_vocab_coverage",
+        q_vocab_coverage,
+        ORACLE_VOCAB_COVERAGE,
+        ("ext", "text", "vocab"),
+    ),
     QuerySpec(
         "text_bm25_search",
         q_bm25_search,
