@@ -203,3 +203,100 @@ def test_every_registered_query_is_documented_in_survey():
         if n not in survey and not re.match(r"^q\d+_", n)
     ]
     assert not missing, f"queries not documented in SURVEY.md: {missing}"
+
+
+def test_dedup_substring_window_guarantee(spark):
+    """The ExactSubstr construction guarantee: any shared verbatim span of
+    >= W + STRIDE - 1 chars (47 here) fully contains at least one stride
+    window, so two docs sharing such a span MUST both be flagged.
+    Planted: two synthetic docs sharing a 60-char span, embedded in
+    otherwise-distinct text."""
+    import uuid
+
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        SUBSTR_STRIDE,
+        SUBSTR_W,
+        q_dedup_substring,
+    )
+
+    assert SUBSTR_W + SUBSTR_STRIDE - 1 <= 60
+    shared = "x".join(str(i) for i in range(25))  # 60+ chars, low collision
+    rows = [
+        (1, "aaa " * 20 + shared + " bbb " * 20),
+        (2, "ccc " * 20 + shared + " ddd " * 20),
+        (3, "unrelated text entirely " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tmp = f"/tmp/dedup_substr_{uuid.uuid4().hex[:8]}"
+    df.repartition(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    flagged = {
+        r["doc_id"] for r in q_dedup_substring(spark, tmp).collect()
+    }
+    assert {1, 2} <= flagged, flagged
+    assert 3 not in flagged, flagged
+
+
+def test_zorder_bucket_is_spatial_tile(spark):
+    """Dropping the low 10 bits of a 2x10-bit z-curve index leaves a
+    32 x 32 spatial tile: every bucket's bounding box must fit inside
+    32 in BOTH dimensions — the property that makes z-order prune on
+    either column."""
+    from tiny_mapreduce_rpc_server_spark.sources.formats import q_layout_zorder
+
+    rows = q_layout_zorder(spark, SF_ORACLE).collect()
+    z = next(r for r in rows if r["layout"] == "zorder")
+    n = next(r for r in rows if r["layout"] == "naive_partkey")
+    assert z["avg_x_width"] <= 32 and z["avg_y_width"] <= 32, z
+    assert n["avg_x_width"] == 1.0, n
+    # naive ordering cannot bound the second dimension
+    assert n["avg_y_width"] > 10 * z["avg_y_width"], (n, z)
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Adjacency-intersection triangle counts cross-checked against an
+    independent brute-force enumeration on a small planted graph
+    (4-clique + dangling edge): K4 has 4 triangles, 3 per clique node."""
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        q_graph_triangles,
+    )
+    import uuid
+
+    # lineitem-shaped input: orders {10,11,12,13} each hold a K4 face
+    clique = [1, 2, 3, 4]
+    rows = []
+    for o, tri in enumerate(
+        [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)], start=10
+    ):
+        rows += [(o, p) for p in tri]
+    rows += [(99, 4), (99, 7)]  # dangling edge 4-7, no triangle
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    tmp = f"/tmp/tri_{uuid.uuid4().hex[:8]}"
+    df.repartition(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    got = {
+        r["p_partkey"]: r["n_triangles"]
+        for r in q_graph_triangles(spark, tmp).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}, got
+
+
+def test_mv_incremental_matches_direct_aggregate(spark):
+    """The merge algebra must equal a direct Spark-side recompute (the
+    oracle already pins this against DuckDB; this pin is engine-internal
+    so it holds even where DuckDB is unavailable)."""
+    from tiny_mapreduce_rpc_server_spark.operators.mv import (
+        q_mv_incremental_agg,
+    )
+
+    merged = q_mv_incremental_agg(spark, SF_ORACLE)
+    ev = load_table(spark, SF_ORACLE, "events")
+    direct = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("decimal(38,6)").alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_events"), F.sum("v").cast("double").alias("sum_value"))
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
