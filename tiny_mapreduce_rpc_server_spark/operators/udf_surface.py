@@ -99,6 +99,78 @@ GROUP BY n_regionkey, word
 """
 
 
+def q_applyinpandas_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas operator (``applyInPandas``): per-user
+    run-length encoding of the time-ordered event-type sequence —
+    n_events, number of runs, longest run. The grouped-map API is the
+    Spark surface for per-entity sequence algorithms that need the whole
+    group in memory as a DataFrame (alignment, segmentation, per-entity
+    model fits); Arrow ships each user's rows to Python in one batch.
+
+    Scale notes: one shuffle on the group key; each group must fit in
+    one Python worker's memory (per-user event history — bounded in any
+    real pipeline); Python cost is per-GROUP vectorized pandas, not
+    per-row interpretation. The identical result is expressible with
+    gaps-and-islands window SQL (the oracle), which stays JVM-side and
+    is the right production plan — this query is the API surface pinned
+    against it.
+
+    Output is pure integers, so exactness needs no float tricks; row
+    order inside each group is fixed by (ts, event_id) before encoding.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def rle(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        et = pdf["event_type"].to_numpy()
+        # run lengths = distances between break positions
+        idx = np.flatnonzero(np.r_[True, et[1:] != et[:-1], True])
+        runs = np.diff(idx)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(et)],
+                "n_runs": [len(runs)],
+                "max_run": [int(runs.max()) if len(runs) else 0],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        rle, "user_id long, n_events long, n_runs long, max_run long"
+    )
+
+
+ORACLE_APPLYINPANDAS_RUNS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT user_id, event_type, rn,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM o),
+g AS (
+  SELECT user_id, rn, event_type,
+         (sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_id
+  FROM m),
+runs AS (
+  SELECT user_id, run_id, count(*) AS run_len
+  FROM g GROUP BY user_id, run_id)
+SELECT user_id,
+       sum(run_len)::BIGINT AS n_events,
+       count(*) AS n_runs,
+       max(run_len)::BIGINT AS max_run
+FROM runs GROUP BY user_id
+"""
+
+
 UDF_SURFACE_QUERIES = [
     QuerySpec(
         "pandas_udaf_sum",
@@ -111,5 +183,11 @@ UDF_SURFACE_QUERIES = [
         q_python_udtf_words,
         ORACLE_PYTHON_UDTF_WORDS,
         ("udf", "udtf"),
+    ),
+    QuerySpec(
+        "applyinpandas_runs",
+        q_applyinpandas_runs,
+        ORACLE_APPLYINPANDAS_RUNS,
+        ("udf", "grouped-map"),
     ),
 ]
