@@ -250,6 +250,49 @@ def _linefile_spec() -> QuerySpec:
     )
 
 
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet snapshots: an old snapshot written
+    WITHOUT ``o_totalprice`` and a new snapshot WITH it are read back as
+    one table via ``mergeSchema`` — the widened column is NULL for
+    old-snapshot rows. This is the append-only lakehouse evolution rule
+    (add-nullable-column), and the read-side merge is what makes ten
+    years of heterogeneous files queryable as one 100 TB table without
+    rewriting history.
+
+    The aggregate distinguishes row count from non-null count, so a
+    regression that drops old rows OR back-fills the column would both
+    fail the oracle (which reproduces the snapshot split with CASE).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = _tmp(sf_dir, "evo_orders")
+    old.write.mode("overwrite").parquet(f"{base}/snap=0")
+    new.write.mode("overwrite").parquet(f"{base}/snap=1")
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE o_orderkey % 2 = 1) AS n_with_price,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                     THEN CAST(o_totalprice AS {_DEC}) END) AS DOUBLE)
+         AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Z-order layout: multi-dimensional clustering for data skipping
 # ---------------------------------------------------------------------------
@@ -399,5 +442,11 @@ FORMAT_QUERIES = [
         q_layout_zorder,
         ORACLE_LAYOUT_ZORDER,
         ("layout", "zorder", "scale"),
+    ),
+    QuerySpec(
+        "schema_evolution_roundtrip",
+        q_schema_evolution_roundtrip,
+        ORACLE_SCHEMA_EVOLUTION,
+        ("source", "schema-evolution"),
     ),
 ]
