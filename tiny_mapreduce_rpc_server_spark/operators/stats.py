@@ -351,7 +351,79 @@ ORDER BY event_type
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) statistics per event type: values clamped to
+    their group's exact [p05, p95] before aggregating — the standard
+    robust alternative to dropping outliers when downstream consumers
+    need every row (training-data feature normalization).
+
+    Shape mirrors q_outlier_mad: one grouped exact percentile pass, then
+    the 5-row bound table BROADCASTS onto the fact scan; the clamp is a
+    pure row expression (least/greatest) and the clipped sum is decimal
+    so the result is order-independent. The clamp picks either the raw
+    double or the percentile double, both oracle-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    # exactness: interpolated percentile bounds carry long double
+    # fractions whose double->decimal rounding differs between engines in
+    # the last ulp — so clipped values are NOT summed directly. Interior
+    # (unclipped) values are exact 2-dp inputs and sum in decimal; the
+    # clipped tails contribute count x bound in pure double arithmetic,
+    # identical everywhere. Term order is fixed left-to-right.
+    below = F.col("value") < F.col("p05")
+    above = F.col("value") > F.col("p95")
+    g = j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(below, 1)).alias("n_lo"),
+        F.count(F.when(above, 1)).alias("n_hi"),
+        F.sum(F.when(~below & ~above, F.col("value").cast(_DEC38)))
+        .cast("double")
+        .alias("interior_sum"),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+    )
+    wins_sum = (
+        F.col("interior_sum")
+        + F.col("n_lo") * F.col("p05")
+        + F.col("n_hi") * F.col("p95")
+    )
+    return g.select(
+        "event_type", "n", "n_lo", "n_hi", wins_sum.alias("wins_sum"), "p05", "p95"
+    ).orderBy("event_type")
+
+
+ORACLE_WINSORIZED_STATS = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type),
+j AS (
+  SELECT e.event_type, e.value, b.p05, b.p95
+  FROM events e JOIN bounds b USING (event_type)),
+g AS (
+  SELECT event_type, count(*) AS n,
+         count(*) FILTER (WHERE value < p05) AS n_lo,
+         count(*) FILTER (WHERE value > p95) AS n_hi,
+         CAST(sum(CASE WHEN value >= p05 AND value <= p95
+                       THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+           AS interior_sum,
+         min(p05) AS p05, min(p95) AS p95
+  FROM j GROUP BY event_type)
+SELECT event_type, n, n_lo, n_hi,
+       interior_sum + n_lo * p05 + n_hi * p95 AS wins_sum,
+       p05, p95
+FROM g ORDER BY event_type
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec("winsorized_stats", q_winsorized_stats, ORACLE_WINSORIZED_STATS, ("stats", "quantile", "quality")),
     QuerySpec("outlier_mad", q_outlier_mad, ORACLE_OUTLIER_MAD, ("stats", "quantile", "quality")),
     QuerySpec("drift_chisq", q_drift_chisq, ORACLE_DRIFT_CHISQ, ("stats", "quality", "drift")),
     QuerySpec("covar_corr", q_covar_corr, ORACLE_COVAR_CORR, ("stats",)),

@@ -287,7 +287,90 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 
+def q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics (Delta/Iceberg-style) without a table
+    format: a target state table and a change-feed source are merged
+    with all three action arms — WHEN MATCHED AND <cond> THEN DELETE,
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT.
+
+    Target = latest row per (user_id, event_type) over 4/5 of events;
+    source = latest change per key over the remaining fifth; a source
+    value < 5 is a tombstone (DELETE). Implemented as ONE full-outer
+    join on the merge key plus row-level CASE arms — exactly the
+    physical plan a lakehouse MERGE compiles to when the touched-file
+    rewrite is whole-table. At 100 TB the real optimization is join
+    pruning (only files containing source keys are rewritten — the DPP
+    and bucketing machinery demonstrated elsewhere in this module's
+    family); the row-level algebra is this query's contract.
+
+    q_changelog_upsert is the latest-wins special case; this adds the
+    conditional-delete and explicit insert/update arms.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "ts", "event_id", "value")
+        )
+
+    target = latest(ev.filter(F.col("event_id") % 5 != 0)).alias("t")
+    source = latest(ev.filter(F.col("event_id") % 5 == 0)).alias("s")
+    m = target.join(
+        source,
+        (F.col("t.user_id") == F.col("s.user_id"))
+        & (F.col("t.event_type") == F.col("s.event_type")),
+        "full",
+    )
+    s_present = F.col("s.event_id").isNotNull()
+    tombstone = s_present & (F.col("s.value") < 5)
+    pick = lambda c: F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))  # noqa: E731
+    return m.filter(~tombstone).select(
+        F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias("user_id"),
+        F.coalesce(F.col("t.event_type"), F.col("s.event_type")).alias(
+            "event_type"
+        ),
+        pick("ts").alias("ts"),
+        pick("event_id").alias("event_id"),
+        pick("value").alias("value"),
+    )
+
+
+ORACLE_MERGE_INTO_UPSERT = """
+WITH latest_t AS (
+  SELECT user_id, event_type, ts, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 5 <> 0) WHERE rn = 1),
+latest_s AS (
+  SELECT user_id, event_type, ts, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 5 = 0) WHERE rn = 1)
+SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       COALESCE(t.event_type, s.event_type) AS event_type,
+       CASE WHEN s.event_id IS NOT NULL THEN s.ts ELSE t.ts END AS ts,
+       CASE WHEN s.event_id IS NOT NULL THEN s.event_id ELSE t.event_id END
+         AS event_id,
+       CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value
+FROM latest_t t
+FULL JOIN latest_s s
+  ON t.user_id = s.user_id AND t.event_type = s.event_type
+WHERE NOT (s.event_id IS NOT NULL AND s.value < 5)
+"""
+
+
 TEMPORAL_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "merge_into_upsert",
+        q_merge_into_upsert,
+        ORACLE_MERGE_INTO_UPSERT,
+        ("temporal", "cdc", "merge"),
+    ),
     QuerySpec(
         "rolling_window_7d",
         q_rolling_window_7d,
