@@ -221,9 +221,12 @@ def test_dedup_substring_window_guarantee(spark):
 
     assert SUBSTR_W + SUBSTR_STRIDE - 1 <= 60
     shared = "x".join(str(i) for i in range(25))  # 60+ chars, low collision
+    # prefixes of 80 and 79 chars: the shared span sits at DIFFERENT
+    # offsets mod stride in the two docs — detection must be
+    # alignment-independent (a both-sides-strided scheme misses this)
     rows = [
         (1, "aaa " * 20 + shared + " bbb " * 20),
-        (2, "ccc " * 20 + shared + " ddd " * 20),
+        (2, ("ccc " * 20)[:-1] + shared + " ddd " * 20),
         (3, "unrelated text entirely " * 10),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -133,87 +133,115 @@ FROM documents GROUP BY sha256(text)
 # exact duplicate-span detection (char-window fingerprints)
 # ---------------------------------------------------------------------------
 
-# 32-char windows, stride 16: adjacent windows overlap by half so any
-# duplicated span of >= 47 chars is guaranteed to fully contain at least
-# one window (the ExactSubstr guarantee from "Deduplicating Training Data
-# Makes Language Models Better", Lee et al. 2022, for their 50-token
-# windows — same construction at character granularity).
+# 32-char windows. The STRIDED side samples starts every 16 chars; the
+# DENSE side takes a window at EVERY char position. Any duplicated span
+# of >= W + STRIDE - 1 = 47 chars fully contains a strided window in one
+# doc (a window START lands in the span's first 16 positions), and the
+# other doc's dense set contains that exact substring wherever the span
+# sits — so detection is ALIGNMENT-INDEPENDENT (a both-sides-strided
+# variant misses ~15/16 of shared spans whose offsets differ mod 16).
+# This is the two-sided cost split of ExactSubstr ("Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022): the
+# dense side is O(corpus chars), which is what a suffix-array dedup
+# pays too.
 SUBSTR_W = 32
 SUBSTR_STRIDE = 16
 
 
-def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate-SPAN detection: which documents share a verbatim
-    32-char window with another document, and how much of each document
-    is covered by such shared spans.
-
-    Unlike whole-doc near-dup (jaccard/minhash/simhash), this catches
-    boilerplate/quote-level duplication inside otherwise-distinct
-    documents — the ExactSubstr component of an LLM dedup pipeline.
-
-    Shape (scale): windows are a per-row array expression (codegen, no
-    shuffle); the explode carries (doc_id, 8-byte window hash) only —
-    never window text; window document-frequency is one hash aggregate;
-    the frequency join is an equi-join on the 8-byte hash. No all-pairs
-    stage anywhere, so cost is O(total windows) ~ O(corpus chars /
-    stride) regardless of duplicate structure. At 100 TB you'd add a
-    stop-window DF cap exactly like MAX_SHINGLE_DF above.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _substr_windows(docs: DataFrame, stride: int) -> DataFrame:
+    """Distinct (doc_id, xxhash64(window)) pairs at the given stride —
+    8-byte hashes only ever leave the row (collision argument as in
+    q_dedup_ngram_jaccard: 64-bit keys, ~1e-11 at 1e4 windows)."""
     wins = docs.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(1, greatest(length(text) - {SUBSTR_W - 1}, 1),"
-                f" {SUBSTR_STRIDE}), p -> substring(text, p, {SUBSTR_W}))"
+                f" {stride}), p -> substring(text, p, {SUBSTR_W}))"
             )
         ).alias("w"),
     )
-    # distinct (doc, window) pairs on the 8-byte hash (collision argument
-    # as in q_dedup_ngram_jaccard: 64-bit keys, ~1e-11 at 1e4 windows)
-    ex = wins.select("doc_id", F.xxhash64("w").alias("h")).distinct()
-    dfreq = ex.groupBy("h").agg(F.count("*").alias("dfreq"))
+    return wins.select("doc_id", F.xxhash64("w").alias("h")).distinct()
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection: which documents share a verbatim
+    >=47-char span with another document, and what fraction of each
+    document's strided windows is covered by such shared spans.
+
+    Unlike whole-doc near-dup (jaccard/minhash/simhash), this catches
+    boilerplate/quote-level duplication inside otherwise-distinct
+    documents — the ExactSubstr component of an LLM dedup pipeline.
+
+    Shape (scale): both window sets are per-row array expressions
+    (codegen, no shuffle); the explodes carry (doc_id, 8-byte hash)
+    only, never window text; the strided-vs-dense probe is one
+    equi-join on the hash. No all-pairs stage anywhere: cost is
+    O(corpus chars) for the dense side (the inherent ExactSubstr cost)
+    and O(chars / stride) for the strided side. At 100 TB you'd add a
+    stop-window DF cap exactly like MAX_SHINGLE_DF above.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    strided = _substr_windows(docs, SUBSTR_STRIDE)
+    dense = _substr_windows(docs, 1)
+    # a strided window is duplicated if ANY OTHER doc's dense set
+    # contains the same content, at any alignment
+    hits = (
+        strided.alias("s")
+        .join(
+            dense.alias("d"),
+            (F.col("s.h") == F.col("d.h"))
+            & (F.col("s.doc_id") != F.col("d.doc_id")),
+        )
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.h").alias("h"))
+        .distinct()
+    )
+    n_dup = F.coalesce("n_dup_windows", F.lit(0))
     per = (
-        ex.join(dfreq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("dfreq") >= 2, 1).otherwise(0)).alias(
-                "n_dup_windows"
-            ),
+        strided.groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"))
+        .join(
+            hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows")),
+            "doc_id",
+            "left",
         )
     )
-    return per.filter(F.col("n_dup_windows") > 0).select(
+    return per.filter(n_dup > 0).select(
         "doc_id",
         "n_windows",
-        "n_dup_windows",
-        (
-            F.col("n_dup_windows").cast("double") / F.col("n_windows")
-        ).alias("dup_ratio"),
+        n_dup.alias("n_dup_windows"),
+        (n_dup.cast("double") / F.col("n_windows")).alias("dup_ratio"),
     )
 
 
 ORACLE_DEDUP_SUBSTRING = f"""
-WITH pos AS (
+WITH spos AS (
   SELECT doc_id, text,
          unnest(range(1, greatest(length(text) - {SUBSTR_W - 1}, 1) + 1,
                       {SUBSTR_STRIDE})) AS p
-  FROM documents
-),
-ex AS (
-  SELECT DISTINCT doc_id, substr(text, p::INT, {SUBSTR_W}) AS w FROM pos
-),
-dfreq AS (SELECT w, count(*) AS dfreq FROM ex GROUP BY w),
+  FROM documents),
+strided AS (
+  SELECT DISTINCT doc_id, substr(text, p::INT, {SUBSTR_W}) AS w FROM spos),
+dpos AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - {SUBSTR_W - 1}, 1) + 1, 1)) AS p
+  FROM documents),
+dense AS (
+  SELECT DISTINCT doc_id, substr(text, p::INT, {SUBSTR_W}) AS w FROM dpos),
+hits AS (
+  SELECT DISTINCT s.doc_id, s.w
+  FROM strided s JOIN dense d ON s.w = d.w AND s.doc_id <> d.doc_id),
 per AS (
-  SELECT doc_id,
-         count(*) AS n_windows,
-         count(*) FILTER (WHERE dfreq >= 2) AS n_dup_windows
-  FROM ex JOIN dfreq USING (w)
-  GROUP BY doc_id
-)
-SELECT doc_id, n_windows, n_dup_windows,
-       n_dup_windows::DOUBLE / n_windows AS dup_ratio
-FROM per WHERE n_dup_windows > 0
+  SELECT s.doc_id,
+         count(*) AS n_windows
+  FROM strided s GROUP BY s.doc_id),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM hits GROUP BY doc_id)
+SELECT p.doc_id, p.n_windows,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(d.n_dup_windows, 0)::DOUBLE / p.n_windows AS dup_ratio
+FROM per p LEFT JOIN dup d USING (doc_id)
+WHERE COALESCE(d.n_dup_windows, 0) > 0
 """
 
 

@@ -95,8 +95,11 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))).alias("salt"),
     )
-    joined = fact.hint("SHUFFLE_HASH").join(
-        dim,
+    # the HINTED side becomes the hash BUILD side — it must be the small
+    # replicated dim, never the fact (a fact-side build grows with the
+    # fact table and OOMs exactly where skew bites)
+    joined = fact.join(
+        dim.hint("SHUFFLE_HASH"),
         (F.col("user_id") == F.col("c_custkey"))
         & (fact["salt"] == dim["salt"]),
     )

@@ -289,8 +289,14 @@ def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("period") == 0, 1)).alias("o_a"),
         F.count(F.when(F.col("period") == 1, 1)).alias("o_b"),
     )
-    totals = cells.groupBy("event_type").agg(
-        F.sum("o_a").alias("t_a"), F.sum("o_b").alias("t_b")
+    # drift is undefined when either period is empty for a type (every
+    # expected count is 0): drop such types in BOTH engines, because
+    # divide-by-zero NULLs propagate differently through the two folds
+    # (Spark's aggregate() keeps NULL, DuckDB's list_sum skips it)
+    totals = (
+        cells.groupBy("event_type")
+        .agg(F.sum("o_a").alias("t_a"), F.sum("o_b").alias("t_b"))
+        .filter((F.col("t_a") > 0) & (F.col("t_b") > 0))
     )
     j = cells.join(F.broadcast(totals), "event_type")
     grand = F.col("t_a") + F.col("t_b")
@@ -329,7 +335,8 @@ cells AS (
   FROM ev GROUP BY event_type, bin),
 tot AS (
   SELECT event_type, sum(o_a)::BIGINT AS t_a, sum(o_b)::BIGINT AS t_b
-  FROM cells GROUP BY event_type),
+  FROM cells GROUP BY event_type
+  HAVING sum(o_a) > 0 AND sum(o_b) > 0),
 contrib AS (
   SELECT c.event_type, c.bin,
          (c.o_a - ((t.t_a * (c.o_a + c.o_b))::DOUBLE / (t.t_a + t.t_b)))

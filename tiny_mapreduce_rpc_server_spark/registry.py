@@ -132,11 +132,15 @@ _PRIORITY = [
 # one name silently pushes a query out of the checked window. Guarded here
 # and in tests/test_invariants.py.
 _DRIVER_WINDOW = 50
-assert len(_PRIORITY) == _DRIVER_WINDOW, (
-    f"_PRIORITY must hold exactly the driver's first-{_DRIVER_WINDOW} "
-    f"correctness window, got {len(_PRIORITY)}"
-)
-assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate names in _PRIORITY"
+# ValueError, not assert: an import-time invariant must survive
+# python -O / PYTHONOPTIMIZE, which strips asserts
+if len(_PRIORITY) != _DRIVER_WINDOW:
+    raise ValueError(
+        f"_PRIORITY must hold exactly the driver's first-{_DRIVER_WINDOW} "
+        f"correctness window, got {len(_PRIORITY)}"
+    )
+if len(set(_PRIORITY)) != len(_PRIORITY):
+    raise ValueError("duplicate names in _PRIORITY")
 
 
 def all_queries() -> dict[str, QuerySpec]:

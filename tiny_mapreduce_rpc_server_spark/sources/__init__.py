@@ -50,17 +50,55 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+_SIZE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+}
+
+
+def _parse_bytes(raw: str, default: int) -> int:
+    """Parse Spark byte-size conf values ('134217728b', '128m', '4MB',
+    plain ints). Returns `default` on anything unrecognized."""
+    s = str(raw).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:]
+    try:
+        return int(num) * _SIZE_SUFFIXES[suffix]
+    except (ValueError, KeyError):
+        return default
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int:
     """Estimate how many input splits a scan will plan WITHOUT converting
     the DataFrame to a classic RDD (``df.rdd.getNumPartitions()`` forces
     full analysis + physical planning through the RDD path on every
-    call). For file scans: sum over files of ceil(size /
-    maxPartitionBytes) — the same arithmetic Spark's
-    FilePartition planner uses, ignoring openCostInBytes packing, which
-    only ever makes Spark plan FEWER partitions than this estimate (so a
-    no-op decision here is safe). Non-file plans (range, joins, …) fall
-    back to the RDD probe — spread() is only applied to scans, so the
-    fallback is effectively test-only."""
+    call).
+
+    This reproduces FilePartition.maxSplitBytes + packing, not just a
+    size/maxPartitionBytes division — both of the planner's adjustments
+    move the count in DIFFERENT directions and each matters here:
+
+    - ``bytesPerCore`` shrink: maxSplitBytes = min(maxPartitionBytes,
+      max(openCostInBytes, totalBytes / defaultParallelism)). One 100 MB
+      file on 8 cores is already split ~8 ways by Spark; ignoring this
+      would bolt a useless round-robin shuffle onto a scan that has full
+      width.
+    - ``openCostInBytes`` packing: many tiny files pack into few
+      partitions (ceil(totalBytes / maxSplitBytes) with each file padded
+      by the open cost). Ignoring this reports 64 tiny files as 64
+      partitions when Spark plans ~2 — exactly the starved-compute case
+      spread() exists to fix.
+
+    Non-file plans (range, joins, …) fall back to the RDD probe —
+    spread() is only applied to scans, so the fallback is test-only."""
     import math
     from urllib.parse import urlparse
 
@@ -70,29 +108,35 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
         files = []
     if not files:
         return df.rdd.getNumPartitions()
-    raw = str(
-        df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728b"
-        )
-    ).lower()
-    try:
-        mpb = int(raw.rstrip("b")) or 128 * 1024 * 1024
-    except ValueError:
-        mpb = 128 * 1024 * 1024
-    total = 0
+    conf = df.sparkSession.conf
+    mpb = _parse_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728b"),
+        128 * 1024 * 1024,
+    )
+    open_cost = _parse_bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4194304b"), 4 * 1024 * 1024
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sizes = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
-            # remote store: sizes not stat-able from here; treat each
-            # file as at least one split (under-estimates huge files,
-            # which at worst repartitions a scan that already had width)
-            total += 1
+            # remote store: sizes not stat-able from here; assume one
+            # maxPartitionBytes-sized split per file (under-estimates
+            # huge files, which at worst repartitions a scan that
+            # already had width)
+            sizes.append(mpb)
             continue
         try:
-            total += max(1, math.ceil(os.path.getsize(u.path) / mpb))
+            sizes.append(os.path.getsize(u.path))
         except OSError:
-            total += 1
-    return total
+            sizes.append(mpb)
+    padded_total = sum(s + open_cost for s in sizes)
+    max_split = min(mpb, max(open_cost, padded_total // max(1, parallelism)))
+    # splits: files chopped at max_split, then bin-packed with padding
+    n_splits = sum(max(1, math.ceil(s / max_split)) for s in sizes)
+    n_packed = max(1, math.ceil(padded_total / max_split))
+    return min(n_splits, n_packed)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
