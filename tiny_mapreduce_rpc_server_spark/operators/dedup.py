@@ -181,7 +181,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     and O(chars / stride) for the strided side. At 100 TB you'd add a
     stop-window DF cap exactly like MAX_SHINGLE_DF above.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the window transforms + hashing are the compute-heavy
+    # per-row stage; a single-file scan would run them on one core.
+    # cache: the spread scan feeds BOTH the strided and dense window
+    # builds — measured 16 s -> 6.5 s at sf0.1
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).cache()
     strided = _substr_windows(docs, SUBSTR_STRIDE)
     dense = _substr_windows(docs, 1)
     # a strided window is duplicated if ANY OTHER doc's dense set
