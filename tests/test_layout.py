@@ -108,3 +108,40 @@ def test_sorted_kv_text_sink_contract(spark, tmp_path):
         assert keys == sorted(keys), f"{f} not key-sorted"
         seen += len(keys)
     assert seen == docs.count()
+
+
+def test_parse_bytes_handles_spark_conf_suffixes():
+    from tiny_mapreduce_rpc_server_spark.sources import _parse_bytes
+
+    assert _parse_bytes("134217728b", 0) == 128 * 1024 * 1024
+    assert _parse_bytes("128m", 0) == 128 * 1024 * 1024
+    assert _parse_bytes("64MB", 0) == 64 * 1024 * 1024
+    assert _parse_bytes("4194304", 0) == 4 * 1024 * 1024
+    assert _parse_bytes("1g", 0) == 1024**3
+    assert _parse_bytes("garbage", 7) == 7
+
+
+def test_scan_estimate_models_packing_and_bytes_per_core(spark, tmp_path):
+    """The estimator must reproduce BOTH FilePartition adjustments:
+    openCost packing (many tiny files -> FEW partitions, so spread()
+    still widens them) and the bytesPerCore shrink (est never lags far
+    below Spark's actual plan). Pinned against Spark's real planning."""
+    from tiny_mapreduce_rpc_server_spark.sources import (
+        _estimated_scan_partitions,
+        load_table,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    frag = str(tmp_path / "frag")
+    docs.repartition(64).write.parquet(frag)
+    df = spark.read.parquet(frag)
+    est = _estimated_scan_partitions(df)
+    actual = df.rdd.getNumPartitions()
+    # 64 tiny files must NOT be reported as 64 scan partitions
+    assert est < 64
+    assert abs(est - actual) <= max(2, actual // 2), (est, actual)
+
+    single = load_table(spark, SF_ORACLE, "lineitem")
+    est_s = _estimated_scan_partitions(single)
+    act_s = single.rdd.getNumPartitions()
+    assert abs(est_s - act_s) <= max(2, act_s // 2), (est_s, act_s)
