@@ -65,3 +65,30 @@ def test_linefile_straddle_rule_exact_for_any_split_size(lines, split_size):
         expected.append((pos, line))
         pos += len(line.encode("utf-8")) + 1
     assert records == expected
+
+
+@given(
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_expression_interleaves_exactly(x, y):
+    """The generated SQL z-expression must equal the reference bit
+    interleave (x in even bits, y in odd bits) and be injective — checked
+    by deinterleaving back to (x, y). Evaluated through DuckDB so the
+    exact SQL text both engines run is what's tested."""
+    import duckdb
+
+    from tiny_mapreduce_rpc_server_spark.sources.formats import _Z_BITS, _z_expr
+
+    (z,) = duckdb.sql(
+        f"SELECT {_z_expr(str(x), str(y))}"
+    ).fetchone()
+    ref = 0
+    for i in range(_Z_BITS):
+        ref |= ((x >> i) & 1) << (2 * i)
+        ref |= ((y >> i) & 1) << (2 * i + 1)
+    assert z == ref
+    back_x = sum(((z >> (2 * i)) & 1) << i for i in range(_Z_BITS))
+    back_y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(_Z_BITS))
+    assert (back_x, back_y) == (x, y)
