@@ -532,7 +532,130 @@ FROM events c JOIN events v
 """
 
 
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven NULL
+    emission — the missing-match side of q_streaming_stream_join: every
+    (click, view-within-10-min) pair, plus one null-extended row per
+    click whose match horizon expired with no view.
+
+    Replayed in two microbatches (everything-but-latest, then the
+    single globally latest event) so the watermark actually advances
+    and outer state actually expires; Spark's trailing no-data batch
+    then evicts against the FINAL watermark wmF = max(ts) - 10min.
+
+    Empirically pinned emission rule (Spark 4.1, this container): a
+    null row emits for an unmatched click iff click_ts + 10min < wmF —
+    verified as an exact SET match at sf0.001 and sf0.01, including the
+    boundary case where the globally latest event is itself an
+    unmatched click (horizon past wmF => retained in state, never
+    emitted). VERSION CAVEAT (same class as q_streaming_late_data): the
+    strictness and whether eviction uses the final or prior batch's
+    watermark are engine internals; on a Spark upgrade, if this query
+    alone fails, re-derive the cutoff — suspect semantics drift, not a
+    regression. Matched pairs are watermark-independent and always the
+    batch inner join.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = os.path.join(tempfile.gettempdir(), f"tmrs_ojoin_{sf}")
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
+    batches = [
+        ev.filter(F.col("event_id") != latest["event_id"]),
+        ev.filter(F.col("event_id") == latest["event_id"]),
+    ]
+    for i, batch in enumerate(batches):
+        tmp = f"{stream_dir}_w{i}"
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+    name = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_OUTER_JOIN = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wmf FROM events),
+matched AS (
+  SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+         c.ts AS click_ts, v.ts AS view_ts
+  FROM events c JOIN events v
+    ON v.user_id = c.user_id
+   AND c.event_type = 'click' AND v.event_type = 'view'
+   AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE),
+expired_unmatched AS (
+  SELECT c.user_id, c.event_id AS click_id,
+         CAST(NULL AS BIGINT) AS view_id,
+         c.ts AS click_ts, CAST(NULL AS TIMESTAMP) AS view_ts
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND c.ts + INTERVAL 10 MINUTE < wm.wmf
+    AND NOT EXISTS (
+      SELECT 1 FROM events v
+      WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE))
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM expired_unmatched
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "streaming_outer_join",
+        q_streaming_outer_join,
+        ORACLE_STREAMING_OUTER_JOIN,
+        ("streaming", "join", "outer"),
+    ),
     QuerySpec(
         "streaming_static_join",
         q_streaming_static_join,
