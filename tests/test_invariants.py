@@ -303,3 +303,19 @@ def test_mv_incremental_matches_direct_aggregate(spark):
     )
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_streaming_outer_join_min_watermark_at_sparse_sf(spark):
+    """sf0.001 is the scale where the min-of-sides watermark rule is
+    distinguishable from a global-max rule (the globally latest event is
+    not a click/view, and a boundary click falls between the two
+    candidate cutoffs). Pinning it here keeps the oracle honest — the
+    sf0.01 gate run matches either rule by coincidence."""
+    from tests.oracle_utils import compare
+    from tiny_mapreduce_rpc_server_spark.streaming import (
+        ORACLE_STREAMING_OUTER_JOIN,
+        q_streaming_outer_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    compare(q_streaming_outer_join(spark, sf), ORACLE_STREAMING_OUTER_JOIN, sf)

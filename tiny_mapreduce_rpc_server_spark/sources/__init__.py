@@ -59,6 +59,10 @@ _SIZE_SUFFIXES = {
     "mb": 1024**2,
     "g": 1024**3,
     "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
 }
 
 
@@ -121,16 +125,18 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
-            # remote store: sizes not stat-able from here; assume one
-            # maxPartitionBytes-sized split per file (under-estimates
-            # huge files, which at worst repartitions a scan that
-            # already had width)
-            sizes.append(mpb)
+            # remote store: sizes not stat-able from here. Assume
+            # size 0 — packing then UNDER-estimates (tiny padded
+            # totals), which errs toward an occasionally-redundant
+            # repartition; assuming large files would instead make
+            # spread() skip the widen exactly in the many-tiny-files
+            # case it exists for.
+            sizes.append(0)
             continue
         try:
             sizes.append(os.path.getsize(u.path))
         except OSError:
-            sizes.append(mpb)
+            sizes.append(0)
     padded_total = sum(s + open_cost for s in sizes)
     max_split = min(mpb, max(open_cost, padded_total // max(1, parallelism)))
     # splits: files chopped at max_split, then bin-packed with padding

@@ -24,6 +24,28 @@ from tiny_mapreduce_rpc_server_spark.sources import table_path
 
 _DEC = "DECIMAL(38,6)"
 
+
+def _replay_batches(tag: str, batches: list[DataFrame]) -> str:
+    """Write each DataFrame as one parquet file into a fresh stream
+    directory, mtime-ordered so a maxFilesPerTrigger=1 file source
+    replays them as microbatches in list order. Returns the dir path."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stream_dir = os.path.join(tempfile.gettempdir(), f"tmrs_{tag}")
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i, batch in enumerate(batches):
+        tmp = f"{stream_dir}_w{i}"
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)  # mtime order = batch order
+        shutil.rmtree(tmp)
+    return stream_dir
+
 def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -138,33 +160,23 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, flipping this oracle with no code change here. If this
     query alone starts failing after an upgrade, re-derive wmA/wmF
     (suspect semantics drift, not a regression)."""
-    import glob
     import os
-    import shutil
-    import tempfile
 
     from tiny_mapreduce_rpc_server_spark.sources import load_table
 
     sf = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = os.path.join(tempfile.gettempdir(), f"tmrs_late_{sf}")
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    os.makedirs(stream_dir)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
     latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
-    batches = [
-        ev.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") != latest["event_id"])),
-        ev.filter(F.col("event_id") == latest["event_id"]),
-        ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_id") != latest["event_id"])),
-    ]
-    for i, batch in enumerate(batches):
-        tmp = f"{stream_dir}_w{i}"
-        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
-        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
-        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)  # mtime order = batch order
-        shutil.rmtree(tmp)
+    stream_dir = _replay_batches(
+        f"late_{sf}",
+        [
+            ev.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") != latest["event_id"])),
+            ev.filter(F.col("event_id") == latest["event_id"]),
+            ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_id") != latest["event_id"])),
+        ],
+    )
 
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, value double")
@@ -543,44 +555,37 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and outer state actually expires; Spark's trailing no-data batch
     then evicts against the FINAL watermark wmF = max(ts) - 10min.
 
-    Empirically pinned emission rule (Spark 4.1, this container): a
-    null row emits for an unmatched click iff click_ts + 10min < wmF —
-    verified as an exact SET match at sf0.001 and sf0.01, including the
-    boundary case where the globally latest event is itself an
-    unmatched click (horizon past wmF => retained in state, never
-    emitted). VERSION CAVEAT (same class as q_streaming_late_data): the
-    strictness and whether eviction uses the final or prior batch's
-    watermark are engine internals; on a Spark upgrade, if this query
-    alone fails, re-derive the cutoff — suspect semantics drift, not a
-    regression. Matched pairs are watermark-independent and always the
-    batch inner join.
+    Emission rule: a null row emits for an unmatched click iff
+    click_ts + 10min < wmF, where wmF is the MIN of the two sides'
+    final watermarks — min(max click_ts, max view_ts) - 10min. The min
+    is SPEC behavior (``spark.sql.streaming.multipleWatermarkPolicy``
+    defaults to ``min``; only rows flowing through each withWatermark
+    node advance that node's watermark — other event types never move
+    either). Verified as an exact SET match at sf0.001 and sf0.01,
+    including the boundary case where the latest click's horizon
+    extends past wmF (retained in state, never emitted). VERSION
+    CAVEAT (same class as q_streaming_late_data): the strict-< at the
+    cutoff is an engine internal; on a Spark upgrade, if this query
+    alone fails, re-derive the boundary — suspect semantics drift, not
+    a regression. Matched pairs are watermark-independent and always
+    the batch inner join.
     """
-    import glob
     import os
-    import shutil
-    import tempfile
 
     from tiny_mapreduce_rpc_server_spark.sources import load_table
 
     sf = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = os.path.join(tempfile.gettempdir(), f"tmrs_ojoin_{sf}")
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    os.makedirs(stream_dir)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
     )
     latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
-    batches = [
-        ev.filter(F.col("event_id") != latest["event_id"]),
-        ev.filter(F.col("event_id") == latest["event_id"]),
-    ]
-    for i, batch in enumerate(batches):
-        tmp = f"{stream_dir}_w{i}"
-        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
-        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
-        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
-        shutil.rmtree(tmp)
+    stream_dir = _replay_batches(
+        f"ojoin_{sf}",
+        [
+            ev.filter(F.col("event_id") != latest["event_id"]),
+            ev.filter(F.col("event_id") == latest["event_id"]),
+        ],
+    )
 
     stream = (
         spark.readStream.schema(
@@ -624,7 +629,11 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAMING_OUTER_JOIN = """
-WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wmf FROM events),
+WITH wm AS (
+  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+               max(ts) FILTER (WHERE event_type = 'view'))
+         - INTERVAL 10 MINUTE AS wmf
+  FROM events),
 matched AS (
   SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
          c.ts AS click_ts, v.ts AS view_ts
