@@ -837,7 +837,67 @@ FROM train t LEFT JOIN shared USING (doc_id)
 """
 
 
+def q_dedup_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline QA: recall/precision of the MinHash-LSH candidate path
+    measured against the exact inverted-index Jaccard pairs — the
+    monitoring query a production dedup pipeline runs when tuning band
+    count or the verify threshold (a silent recall drop deletes the
+    wrong documents at 100 TB, so this number ships with the pipeline).
+
+    One full-outer join of the two pair sets (both deterministic; both
+    independently oracle-checked elsewhere), then a single-row summary.
+    The oracle recomputes BOTH algorithms in SQL, so the eval itself is
+    exact, not a sampled estimate.
+    """
+    e = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_e")
+    )
+    l = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_l")
+    )
+    j = e.join(l, ["doc_a", "doc_b"], "full")
+    return j.agg(
+        F.count("in_e").alias("n_exact"),
+        F.count("in_l").alias("n_lsh"),
+        F.count(F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1)).alias(
+            "n_common"
+        ),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
+        (F.col("n_common").cast("double") / F.col("n_lsh")).alias("precision"),
+    )
+
+
+def _oracle_dedup_eval_minhash() -> str:
+    return f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({ORACLE_DEDUP_NGRAM_JACCARD})),
+l AS (SELECT doc_a, doc_b FROM ({ORACLE_DEDUP_MINHASH_LSH})),
+j AS (
+  SELECT COALESCE(e.doc_a, l.doc_a) AS doc_a,
+         (e.doc_a IS NOT NULL) AS in_e,
+         (l.doc_a IS NOT NULL) AS in_l
+  FROM e FULL JOIN l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+SELECT count(*) FILTER (WHERE in_e) AS n_exact,
+       count(*) FILTER (WHERE in_l) AS n_lsh,
+       count(*) FILTER (WHERE in_e AND in_l) AS n_common,
+       count(*) FILTER (WHERE in_e AND in_l)::DOUBLE
+         / count(*) FILTER (WHERE in_e) AS recall,
+       count(*) FILTER (WHERE in_e AND in_l)::DOUBLE
+         / count(*) FILTER (WHERE in_l) AS precision
+FROM j
+"""
+
+
 DEDUP_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_eval_minhash",
+        q_dedup_eval_minhash,
+        _oracle_dedup_eval_minhash(),
+        ("ext", "dedup", "eval"),
+    ),
     QuerySpec(
         "contamination_check",
         q_contamination_check,
