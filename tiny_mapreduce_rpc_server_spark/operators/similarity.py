@@ -332,7 +332,65 @@ FROM ex GROUP BY label, pos
 """
 
 
+def q_ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QA: recall of each approximate path (LSH-bucketed, IVF)
+    against the brute-force top-k ground truth — the gate that decides
+    whether a bucketed path may replace the exact scan at all.
+
+    The measured numbers on THIS corpus are deliberately low (IVF
+    ~0.26, sign-LSH ~0): the synthetic embeddings are isotropic random
+    vectors, and with no cluster structure locality-sensitive bucketing
+    cannot beat chance — which is exactly the property this query
+    exists to detect before a pipeline trusts bucketed ANN on a new
+    embedding space. Real text embeddings are strongly clustered and
+    the same paths score high. Exact, not sampled: all three inputs are
+    deterministic registered queries and the oracle recomputes them in
+    SQL."""
+    truth = q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def path_recall(approx: DataFrame, path: str) -> DataFrame:
+        a = approx.select("query_id", "neighbor_id", F.lit(1).alias("in_a"))
+        j = truth.join(a, ["query_id", "neighbor_id"], "left")
+        return j.agg(
+            F.lit(path).alias("path"),
+            F.count("*").alias("n_truth"),
+            F.count("in_a").alias("n_hit"),
+            (F.count("in_a").cast("double") / F.count("*")).alias("recall"),
+        )
+
+    return path_recall(q_ann_lsh_bucketed(spark, sf_dir), "lsh").unionAll(
+        path_recall(q_ann_ivf(spark, sf_dir), "ivf")
+    )
+
+
+def _oracle_ann_eval_recall() -> str:
+    return f"""
+WITH t AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_BRUTEFORCE})),
+lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_LSH})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF})),
+jl AS (
+  SELECT 'lsh' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN lsh a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+ji AS (
+  SELECT 'ivf' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN ivf a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+SELECT * FROM jl UNION ALL SELECT * FROM ji
+"""
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "ann_eval_recall",
+        q_ann_eval_recall,
+        _oracle_ann_eval_recall(),
+        ("ext", "similarity", "eval"),
+    ),
     QuerySpec(
         "embedding_normalize",
         q_embedding_normalize,
