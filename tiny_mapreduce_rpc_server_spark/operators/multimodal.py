@@ -296,7 +296,122 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# audio: real PCM WAV synthesize -> parse pipeline (mapInPandas)
+# ---------------------------------------------------------------------------
+
+_AUDIO_RATE = 8000
+_AUDIO_ENCODE_SCHEMA = "doc_id long, payload binary"
+_AUDIO_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_s double,"
+    " peak long, sum_sq long"
+)
+
+
+def _wav_encode(n: int, k: int) -> bytes:
+    """Minimal spec-compliant 16-bit mono PCM WAV writer. Samples are the
+    deterministic integer sequence s_i = (i*k) % 2048 - 1024, so every
+    acoustic property is closed-form in (n, k)."""
+    samples = b"".join(
+        struct.pack("<h", (i * k) % 2048 - 1024) for i in range(n)
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(samples), b"WAVE",
+        b"fmt ", 16, 1, 1, _AUDIO_RATE, _AUDIO_RATE * 2, 2, 16,
+        b"data", len(samples),
+    )
+    return hdr + samples
+
+
+def _wav_decode(payload: bytes) -> tuple[int, int, float, int, int]:
+    """Minimal WAV reader: header fields + amplitude stats, reading ONLY
+    the payload bytes (PCM is uncompressed; the parser is real, not a
+    fake)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    rate = struct.unpack_from("<I", payload, 24)[0]
+    data_size = struct.unpack_from("<I", payload, 40)[0]
+    n = data_size // 2
+    samples = struct.unpack_from(f"<{n}h", payload, 44)
+    peak = max((abs(s) for s in samples), default=0)
+    sum_sq = sum(s * s for s in samples)
+    return rate, n, n / rate, peak, sum_sq
+
+
+def audio_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [
+            _wav_encode(int(n), int(k)) for n, k in zip(pdf["n"], pdf["k"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def audio_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [_wav_decode(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.Series([r[0] for r in rows], dtype="int32"),
+                "n_samples": pd.Series([r[1] for r in rows], dtype="int64"),
+                "duration_s": pd.Series([r[2] for r in rows], dtype="float64"),
+                "peak": pd.Series([r[3] for r in rows], dtype="int64"),
+                "sum_sq": pd.Series([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline over binary payloads: synthesize a real 16-bit
+    mono PCM WAV per document (length and waveform slope hash-derived),
+    then parse it back reading ONLY the bytes — two Arrow-batched
+    mapInPandas stages, the audio analog of q_multimodal_decode.
+
+    The deterministic sample generator makes every decoded property
+    (duration, peak amplitude, energy) closed-form, so the oracle
+    recomputes them with integer list arithmetic — the decode stage is
+    checked end-to-end, not just for shape. Real codecs (mp3/flac)
+    would slot into the decode worker unchanged; PCM keeps the
+    container dependency-free."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = P.h1(F.col("text"))
+    src = docs.select(
+        "doc_id",
+        (h % 4000 + 100).cast("int").alias("n"),
+        (h % 97 + 1).cast("int").alias("k"),
+    )
+    audio = src.mapInPandas(audio_encode_batch, _AUDIO_ENCODE_SCHEMA)
+    return audio.mapInPandas(audio_decode_batch, _AUDIO_DECODE_SCHEMA)
+
+
+ORACLE_MULTIMODAL_AUDIO = f"""
+WITH src AS (
+  SELECT doc_id,
+         {P.sql_h1("text")} % 4000 + 100 AS n,
+         {P.sql_h1("text")} % 97 + 1 AS k
+  FROM documents),
+s AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n), i -> (i * k) % 2048 - 1024) AS xs
+  FROM src)
+SELECT doc_id,
+       {_AUDIO_RATE} AS sample_rate,
+       n::BIGINT AS n_samples,
+       n::DOUBLE / {_AUDIO_RATE} AS duration_s,
+       list_max(list_transform(xs, x -> abs(x)))::BIGINT AS peak,
+       list_sum(list_transform(xs, x -> x * x))::BIGINT AS sum_sq
+FROM s
+"""
+
+
 MULTIMODAL_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "multimodal_audio",
+        q_multimodal_audio,
+        ORACLE_MULTIMODAL_AUDIO,
+        ("ext", "multimodal", "udf", "audio"),
+    ),
     QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META, ("ext", "multimodal")),
     QuerySpec("multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL_DECODE, ("ext", "multimodal", "udf")),
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE, ("ext", "multimodal", "udf")),

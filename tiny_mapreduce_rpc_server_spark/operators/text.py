@@ -759,7 +759,72 @@ ORDER BY vocab_size
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: document count, language count,
+    language-distribution Gini impurity, and exact mean length — the
+    one-page summary a data-curation run publishes per ingest source.
+
+    Gini impurity (1 - sum p_i^2) is used instead of entropy because its
+    algebra is rational: computed as 1 - (sum c_i^2) / n^2, the integer
+    sums are exact and the single division is the only float op — no ln
+    (libm-divergent) and no float summation order to pin. Two hash
+    aggregates, both partial map-side; nothing exceeds (source, lang)
+    granularity after the first."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    per_source = by_lang.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    chars = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars")).alias("sum_chars")
+    )
+    gini = F.lit(1.0) - F.col("sum_c2").cast("double") / (
+        F.col("n_docs") * F.col("n_docs")
+    )
+    return (
+        per_source.join(chars, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            gini.alias("lang_gini"),
+            (F.col("sum_chars").cast("double") / F.col("n_docs")).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_REPORT = """
+WITH by_lang AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+per_source AS (
+  SELECT source,
+         sum(c)::BIGINT AS n_docs,
+         count(*) AS n_langs,
+         sum(c * c)::BIGINT AS sum_c2
+  FROM by_lang GROUP BY source),
+chars AS (
+  SELECT source, sum(n_chars)::BIGINT AS sum_chars
+  FROM documents GROUP BY source)
+SELECT p.source, p.n_docs, p.n_langs,
+       1.0 - p.sum_c2::DOUBLE / (p.n_docs * p.n_docs) AS lang_gini,
+       c.sum_chars::DOUBLE / p.n_docs AS avg_chars
+FROM per_source p JOIN chars c USING (source)
+ORDER BY p.source
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "corpus_report",
+        q_corpus_report,
+        ORACLE_CORPUS_REPORT,
+        ("ext", "text", "profile"),
+    ),
     QuerySpec(
         "text_vocab_coverage",
         q_vocab_coverage,
