@@ -489,3 +489,54 @@ def test_outlier_mad_stat_joins_broadcast(spark):
     a join."""
     p = plan(spark, _q(spark, "outlier_mad"))
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_mv_and_merge_full_outer_no_cartesian(spark):
+    """Incremental-MV merge and MERGE INTO both reduce to ONE full-outer
+    equi-join on the key columns; a regression to a nested-loop plan
+    would be quadratic in state size."""
+    for name in ("mv_incremental_agg", "merge_into_upsert"):
+        p = plan(spark, _q(spark, name))
+        assert "FullOuter" in p or "full_outer" in p.lower(), f"{name}\n{p}"
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
+
+
+def test_winsorized_stats_bounds_broadcast(spark):
+    """The per-type p05/p95 bound table must broadcast onto the fact
+    scan (same contract as outlier_mad)."""
+    p = plan(spark, _q(spark, "winsorized_stats"))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_nearest_centroid_broadcast_assign(spark):
+    """The 10-row centroid table must broadcast against the corpus scan
+    (the kmeans assign contract); the only allowed nested-loop join is
+    that broadcast cross join — never a shuffled cartesian."""
+    p = plan(spark, _q(spark, "ml_nearest_centroid"))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_applyinpandas_runs_uses_grouped_map(spark):
+    """The grouped-map operator must compile to FlatMapGroupsInPandas —
+    one shuffle on the group key, Arrow transfer, no Python row loop."""
+    p = plan(spark, _q(spark, "applyinpandas_runs"))
+    assert "FlatMapGroupsInPandas" in p, p
+
+
+def test_multimodal_audio_two_arrow_stages(spark):
+    """The audio pipeline is two chained mapInPandas stages (encode,
+    parse) with no shuffle between them — payload bytes never cross an
+    exchange."""
+    p = plan(spark, _q(spark, "multimodal_audio"))
+    assert p.count("MapInPandas") >= 2, p
+    # no shuffle anywhere in this per-row plan (spread's round-robin
+    # repartition is the only exchange allowed)
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_corpus_report_partial_aggregation(spark):
+    """Both report aggregates must partial-aggregate map-side."""
+    p = plan(spark, _q(spark, "corpus_report"))
+    assert "partial_" in p or "HashAggregate" in p, p
+    assert "CartesianProduct" not in p, p
