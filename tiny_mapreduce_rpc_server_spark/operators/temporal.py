@@ -364,7 +364,129 @@ WHERE NOT (s.event_id IS NOT NULL AND s.value < 5)
 """
 
 
+GAP_SECONDS = 6 * 3600
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry-gap audit: per user, the number of silent periods
+    longer than 6 hours between consecutive events, and the longest one
+    — the data-quality monitor that distinguishes "user churned" from
+    "ingest pipeline dropped a partition".
+
+    One shuffle on user_id; lag() within the per-user time order gives
+    each inter-event gap; everything downstream is per-user aggregate
+    granularity. Gaps are integer epoch-second differences, so the
+    oracle matches exactly with no float discipline needed."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gaps = ev.select("user_id", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.count(F.when(F.col("gap_s") > GAP_SECONDS, 1)).alias("n_gaps"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# epoch_us // 1e6 floors each timestamp to whole seconds BEFORE the
+# difference, matching Spark's unix_timestamp exactly (DuckDB's epoch()
+# returns fractional seconds and ::BIGINT would round, not floor)
+ORACLE_EVENT_GAPS = f"""
+WITH o AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000)
+           - (epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) // 1000000)
+           AS gap_s
+  FROM events)
+SELECT user_id,
+       count(*) AS n_intervals,
+       count(*) FILTER (WHERE gap_s > {GAP_SECONDS}) AS n_gaps,
+       max(gap_s) AS max_gap_s
+FROM o WHERE gap_s IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score: each event contributes
+    value / 2^(days since the corpus's last day) — recent activity
+    dominates, old activity halves per day.
+
+    Exactness: instead of per-row value/2^age (whose double->decimal
+    rounding diverges between engines), each event contributes the
+    INTEGER-weighted term value * 2^(K - age), where K is the corpus's
+    oldest age in days — decimal x bigint products and sums are exact
+    and order-independent — and the per-user total is divided by 2^K
+    ONCE at the end, as a double. No pow()/exp() anywhere: the weights
+    are integer shifts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    day = F.to_date("ts")
+    bounds = ev.agg(
+        F.max(day).alias("anchor"), F.min(day).alias("first_day")
+    )
+    j = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        # weight exponent = K - age = days since the oldest day
+        F.datediff(day, F.col("first_day")).alias("shift"),
+        F.datediff(F.col("anchor"), F.col("first_day")).alias("k"),
+    )
+    # pyspark's F.shiftleft only takes a literal bit count; the SQL
+    # function accepts a column expression
+    term = F.expr("CAST(v AS DECIMAL(12,2)) * shiftleft(CAST(1 AS BIGINT), shift)")
+    return (
+        j.select("user_id", term.alias("t"), "k")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(t) AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT), min(k)) AS DOUBLE)"
+            ).alias("engagement")
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_ENGAGEMENT_DECAY = """
+WITH b AS (
+  SELECT max(CAST(ts AS DATE)) AS anchor, min(CAST(ts AS DATE)) AS first_day
+  FROM events),
+d AS (
+  SELECT e.user_id,
+         CAST(e.value AS DECIMAL(12,2))
+           * (1::BIGINT << date_diff('day', b.first_day, CAST(e.ts AS DATE)))
+           AS t,
+         date_diff('day', b.first_day, b.anchor) AS k
+  FROM events e CROSS JOIN b)
+SELECT user_id,
+       CAST(sum(t) AS DOUBLE) / CAST(1::BIGINT << min(k) AS DOUBLE)
+         AS engagement
+FROM d GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 TEMPORAL_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "event_gaps",
+        q_event_gaps,
+        ORACLE_EVENT_GAPS,
+        ("temporal", "quality"),
+    ),
+    QuerySpec(
+        "engagement_decay",
+        q_engagement_decay,
+        ORACLE_ENGAGEMENT_DECAY,
+        ("temporal", "scoring"),
+    ),
     QuerySpec(
         "merge_into_upsert",
         q_merge_into_upsert,
