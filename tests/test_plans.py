@@ -538,5 +538,11 @@ def test_multimodal_audio_two_arrow_stages(spark):
 def test_corpus_report_partial_aggregation(spark):
     """Both report aggregates must partial-aggregate map-side."""
     p = plan(spark, _q(spark, "corpus_report"))
-    assert "partial_" in p or "HashAggregate" in p, p
+    assert "partial_" in p, p
     assert "CartesianProduct" not in p, p
+    # single-scan contract: the char sum rides the first aggregate
+    # (formatted plans list each node once in the tree and once in the
+    # detail section — count the numbered detail entries)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p

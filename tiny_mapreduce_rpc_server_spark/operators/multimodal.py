@@ -311,9 +311,15 @@ _AUDIO_DECODE_SCHEMA = (
 def _wav_encode(n: int, k: int) -> bytes:
     """Minimal spec-compliant 16-bit mono PCM WAV writer. Samples are the
     deterministic integer sequence s_i = (i*k) % 2048 - 1024, so every
-    acoustic property is closed-form in (n, k)."""
-    samples = b"".join(
-        struct.pack("<h", (i * k) % 2048 - 1024) for i in range(n)
+    acoustic property is closed-form in (n, k). Synthesis is vectorized
+    (numpy int16 buffer) — no per-sample Python loop inside the Arrow
+    stage."""
+    import numpy as np
+
+    samples = (
+        ((np.arange(n, dtype=np.int64) * k) % 2048 - 1024)
+        .astype("<i2")
+        .tobytes()
     )
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
@@ -327,15 +333,18 @@ def _wav_encode(n: int, k: int) -> bytes:
 def _wav_decode(payload: bytes) -> tuple[int, int, float, int, int]:
     """Minimal WAV reader: header fields + amplitude stats, reading ONLY
     the payload bytes (PCM is uncompressed; the parser is real, not a
-    fake)."""
+    fake). Sample math is vectorized with numpy; the int64 accumulator
+    keeps sum-of-squares exact."""
+    import numpy as np
+
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     rate = struct.unpack_from("<I", payload, 24)[0]
     data_size = struct.unpack_from("<I", payload, 40)[0]
     n = data_size // 2
-    samples = struct.unpack_from(f"<{n}h", payload, 44)
-    peak = max((abs(s) for s in samples), default=0)
-    sum_sq = sum(s * s for s in samples)
+    s = np.frombuffer(payload, dtype="<i2", count=n, offset=44).astype(np.int64)
+    peak = int(np.abs(s).max()) if n else 0
+    sum_sq = int((s * s).sum())
     return rate, n, n / rate, peak, sum_sq
 
 

@@ -346,7 +346,11 @@ def q_ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same paths score high. Exact, not sampled: all three inputs are
     deterministic registered queries and the oracle recomputes them in
     SQL."""
-    truth = q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # cache: the O(Q*N) brute-force truth feeds BOTH union branches —
+    # without it the full cosine scan executes once per path
+    truth = (
+        q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").cache()
+    )
 
     def path_recall(approx: DataFrame, path: str) -> DataFrame:
         a = approx.select("query_id", "neighbor_id", F.lit(1).alias("in_a"))

@@ -429,27 +429,36 @@ def q_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer shifts."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     day = F.to_date("ts")
-    bounds = ev.agg(
-        F.max(day).alias("anchor"), F.min(day).alias("first_day")
-    )
-    j = ev.crossJoin(F.broadcast(bounds)).select(
+    # one tiny scalar job for the corpus bounds (cheaper than carrying a
+    # cross join through the plan), and the place to enforce the
+    # method's validity window: int64 shifts hold exactly 62 doubling
+    # days. Spark's shiftleft would silently WRAP the shift amount mod
+    # 64 (Java semantics) beyond that — garbage, not an error — so a
+    # span >= 63 days must fail loudly here. For longer horizons,
+    # decay per week (age // 7) or chunk the corpus by epoch.
+    b = ev.agg(F.max(day).alias("anchor"), F.min(day).alias("first_day")).first()
+    k = (b["anchor"] - b["first_day"]).days
+    if k >= 63:
+        raise ValueError(
+            f"engagement_decay: corpus spans {k} days; integer-shift "
+            "weights are exact only below 63 — decay by week instead"
+        )
+    j = ev.select(
         "user_id",
         F.col("value").cast("decimal(12,2)").alias("v"),
         # weight exponent = K - age = days since the oldest day
-        F.datediff(day, F.col("first_day")).alias("shift"),
-        F.datediff(F.col("anchor"), F.col("first_day")).alias("k"),
+        F.datediff(day, F.lit(b["first_day"])).alias("shift"),
     )
     # pyspark's F.shiftleft only takes a literal bit count; the SQL
     # function accepts a column expression
-    term = F.expr("CAST(v AS DECIMAL(12,2)) * shiftleft(CAST(1 AS BIGINT), shift)")
+    term = F.expr("v * shiftleft(CAST(1 AS BIGINT), shift)")
     return (
-        j.select("user_id", term.alias("t"), "k")
+        j.select("user_id", term.alias("t"))
         .groupBy("user_id")
         .agg(
-            F.expr(
-                "CAST(sum(t) AS DOUBLE)"
-                " / CAST(shiftleft(CAST(1 AS BIGINT), min(k)) AS DOUBLE)"
-            ).alias("engagement")
+            (F.sum("t").cast("double") / F.lit(float(1 << k))).alias(
+                "engagement"
+            )
         )
         .orderBy("user_id")
     )

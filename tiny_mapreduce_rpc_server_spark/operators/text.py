@@ -771,50 +771,45 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, both partial map-side; nothing exceeds (source, lang)
     granularity after the first."""
     docs = load_table(spark, sf_dir, "documents")
-    by_lang = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    # single scan: the char sum rides along the (source, lang) aggregate
+    # and re-sums per source — no second scan, no join
+    by_lang = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("ch")
+    )
     per_source = by_lang.groupBy("source").agg(
         F.sum("c").alias("n_docs"),
         F.count("*").alias("n_langs"),
         F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
-    )
-    chars = docs.groupBy("source").agg(
-        F.sum(F.col("n_chars")).alias("sum_chars")
+        F.sum("ch").alias("sum_chars"),
     )
     gini = F.lit(1.0) - F.col("sum_c2").cast("double") / (
         F.col("n_docs") * F.col("n_docs")
     )
-    return (
-        per_source.join(chars, "source")
-        .select(
-            "source",
-            "n_docs",
-            "n_langs",
-            gini.alias("lang_gini"),
-            (F.col("sum_chars").cast("double") / F.col("n_docs")).alias(
-                "avg_chars"
-            ),
-        )
-        .orderBy("source")
-    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        gini.alias("lang_gini"),
+        (F.col("sum_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+    ).orderBy("source")
 
 
 ORACLE_CORPUS_REPORT = """
 WITH by_lang AS (
-  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+  SELECT source, lang, count(*) AS c, sum(n_chars)::BIGINT AS ch
+  FROM documents GROUP BY source, lang),
 per_source AS (
   SELECT source,
          sum(c)::BIGINT AS n_docs,
          count(*) AS n_langs,
-         sum(c * c)::BIGINT AS sum_c2
-  FROM by_lang GROUP BY source),
-chars AS (
-  SELECT source, sum(n_chars)::BIGINT AS sum_chars
-  FROM documents GROUP BY source)
-SELECT p.source, p.n_docs, p.n_langs,
-       1.0 - p.sum_c2::DOUBLE / (p.n_docs * p.n_docs) AS lang_gini,
-       c.sum_chars::DOUBLE / p.n_docs AS avg_chars
-FROM per_source p JOIN chars c USING (source)
-ORDER BY p.source
+         sum(c * c)::BIGINT AS sum_c2,
+         sum(ch)::BIGINT AS sum_chars
+  FROM by_lang GROUP BY source)
+SELECT source, n_docs, n_langs,
+       1.0 - sum_c2::DOUBLE / (n_docs * n_docs) AS lang_gini,
+       sum_chars::DOUBLE / n_docs AS avg_chars
+FROM per_source
+ORDER BY source
 """
 
 
