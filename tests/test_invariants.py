@@ -319,3 +319,28 @@ def test_streaming_outer_join_min_watermark_at_sparse_sf(spark):
 
     sf = "/root/testdata/sf0.001"
     compare(q_streaming_outer_join(spark, sf), ORACLE_STREAMING_OUTER_JOIN, sf)
+
+
+def test_dedup_substring_anchored_alignment_independent(spark):
+    """Content-defined anchors: a shared span must be detected even when
+    the two copies sit at different offsets AND different alignments mod
+    stride — word starts inside the span are at identical in-span
+    positions by construction."""
+    import uuid
+
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        q_dedup_substring_anchored,
+    )
+
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    rows = [
+        (1, "aaa " * 17 + shared + " bbb " * 17),
+        (2, "ccccc " * 13 + shared + " ddd " * 17),
+        (3, "unrelated words entirely different " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tmp = f"/tmp/dedup_anch_{uuid.uuid4().hex[:8]}"
+    df.repartition(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    flagged = {r["doc_id"] for r in q_dedup_substring_anchored(spark, tmp).collect()}
+    assert {1, 2} <= flagged, flagged
+    assert 3 not in flagged, flagged

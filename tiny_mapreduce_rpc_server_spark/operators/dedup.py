@@ -251,6 +251,92 @@ WHERE COALESCE(d.n_dup_windows, 0) > 0
 """
 
 
+def q_dedup_substring_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span detection, SCALE PATH: windows start only at
+    content-defined ANCHORS (word starts) on BOTH sides, so each side
+    stores O(chars / avg word length) fingerprints instead of the dense
+    side's O(chars) — the content-defined-chunking idea (LBFS/CDC,
+    winnowing's simpler cousin) applied to span dedup.
+
+    Why alignment independence survives the thinning: anchor positions
+    are determined by the CONTENT (the preceding space), not by offsets
+    — two copies of the same span have word starts at the same in-span
+    positions, so any shared span containing a full anchored window
+    (>= longest in-span word + 31 chars) produces identical fingerprints
+    in both documents regardless of where each copy sits. Detection of
+    very short or single-word spans falls back to q_dedup_substring's
+    strided-vs-dense form — that pair is the exactness/cost tradeoff
+    this family ships.
+
+    Same join shape as the other candidate generators: per-row window
+    arrays (codegen), 8-byte hashes only, one equi-join, no all-pairs.
+    """
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, length(text)),"
+                " p -> p = 1 OR substring(text, p - 1, 1) = ' '),"
+                f" p -> substring(text, p, {SUBSTR_W}))"
+            )
+        ).alias("w"),
+    )
+    ex = wins.select("doc_id", F.xxhash64("w").alias("h")).distinct()
+    hits = (
+        ex.alias("s")
+        .join(
+            ex.alias("d"),
+            (F.col("s.h") == F.col("d.h"))
+            & (F.col("s.doc_id") != F.col("d.doc_id")),
+        )
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.h").alias("h"))
+        .distinct()
+    )
+    n_dup = F.coalesce("n_dup_windows", F.lit(0))
+    per = (
+        ex.groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"))
+        .join(
+            hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows")),
+            "doc_id",
+            "left",
+        )
+    )
+    return per.filter(n_dup > 0).select(
+        "doc_id",
+        "n_windows",
+        n_dup.alias("n_dup_windows"),
+        (n_dup.cast("double") / F.col("n_windows")).alias("dup_ratio"),
+    )
+
+
+ORACLE_DEDUP_SUBSTRING_ANCHORED = f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(list_filter(range(1, length(text) + 1),
+                p -> p = 1 OR substr(text, (p - 1)::INT, 1) = ' ')) AS p,
+         text
+  FROM documents),
+ex AS (
+  SELECT DISTINCT doc_id, substr(text, p::INT, {SUBSTR_W}) AS w FROM pos),
+hits AS (
+  SELECT DISTINCT s.doc_id, s.w
+  FROM ex s JOIN ex d ON s.w = d.w AND s.doc_id <> d.doc_id),
+per AS (
+  SELECT doc_id, count(*) AS n_windows FROM ex GROUP BY doc_id),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM hits GROUP BY doc_id)
+SELECT p.doc_id, p.n_windows,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(d.n_dup_windows, 0)::DOUBLE / p.n_windows AS dup_ratio
+FROM per p LEFT JOIN dup d USING (doc_id)
+WHERE COALESCE(d.n_dup_windows, 0) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact pairwise via inverted index join)
 # ---------------------------------------------------------------------------
@@ -908,6 +994,12 @@ DEDUP_QUERIES: list[QuerySpec] = [
     QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("ext", "dedup")),
     QuerySpec("dedup_exact_hash", q_dedup_exact_hash, ORACLE_DEDUP_EXACT_HASH, ("ext", "dedup")),
     QuerySpec("dedup_substring", q_dedup_substring, ORACLE_DEDUP_SUBSTRING, ("ext", "dedup")),
+    QuerySpec(
+        "dedup_substring_anchored",
+        q_dedup_substring_anchored,
+        ORACLE_DEDUP_SUBSTRING_ANCHORED,
+        ("ext", "dedup", "scale"),
+    ),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("ext", "dedup"), bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("ext", "dedup"), bench=True),
     QuerySpec("text_simhash", q_text_simhash, ORACLE_TEXT_SIMHASH, ("ext", "dedup")),
