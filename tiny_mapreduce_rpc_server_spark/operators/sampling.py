@@ -386,3 +386,105 @@ SAMPLING_QUERIES: list[QuerySpec] = [
         ("ext", "sampling", "pipeline", "dedup", "quality"),
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training manifest (full pipeline composition)
+# ---------------------------------------------------------------------------
+
+
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE data-prep pipeline as one declarative plan: near-dup
+    clustering -> canonical selection -> exact-dup drop -> quality gate
+    (>= 20 tokens) -> deterministic 90/5/5 content-hash split -> per-split
+    token accounting. This is the manifest a training run consumes, and
+    the query proves the building blocks COMPOSE: every stage is an
+    independently oracle-checked operator (dedup_keep_canonical,
+    dedup_exact's digest grouping, text_token_stats' tokenizer,
+    train_val_test_split's bucketing) chained through Catalyst as one
+    optimized plan — no materialization between stages.
+
+    Scale: the near-dup member list broadcasts into an anti join; the
+    digest dedup shuffles 32-byte keys; the split is a pure row
+    expression; the final aggregate is 3 rows. Nothing in the chain
+    exceeds the widest single stage of its components.
+    """
+    from pyspark.sql import Window
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        q_dedup_keep_canonical,
+    )
+
+    surv = q_dedup_keep_canonical(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").join(surv, "doc_id")
+    w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy(
+        "doc_id"
+    )
+    uniq = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    gated = uniq.select(
+        "doc_id", F.size(P.tokens(F.col("text"))).alias("n_toks")
+    ).filter(F.col("n_toks") >= 20)
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 5, F.lit("val"))
+        .when(b < 10, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        gated.select(split.alias("split"), "doc_id", "n_toks")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_training_manifest() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.graph import _ORACLE_CC_CTE
+
+    return (
+        _ORACLE_CC_CTE
+        + f"""
+, surv AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (
+    SELECT node FROM (
+      SELECT node, min(label) AS component FROM cc GROUP BY node
+    ) WHERE node <> component)),
+uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM surv) WHERE rn = 1),
+gated AS (
+  SELECT doc_id, len({P.sql_tokens("text")}) AS n_toks
+  FROM uniq WHERE len({P.sql_tokens("text")}) >= 20),
+sp AS (
+  SELECT CASE WHEN {_sql_bucket("doc_id")} < 5 THEN 'val'
+              WHEN {_sql_bucket("doc_id")} < 10 THEN 'test'
+              ELSE 'train' END AS split,
+         doc_id, n_toks
+  FROM gated)
+SELECT split, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM sp GROUP BY split ORDER BY split
+"""
+    )
+
+
+SAMPLING_QUERIES.append(
+    QuerySpec(
+        "training_manifest",
+        q_training_manifest,
+        _oracle_training_manifest(),
+        ("ext", "sampling", "pipeline"),
+    )
+)
