@@ -726,6 +726,59 @@ FROM events GROUP BY event_type
 """
 
 
+def q_json_tolerant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant JSON ingestion: a tenth of the payloads
+    are truncated (simulating the malformed records every real feed
+    contains); extraction must NULL them out and keep going, and the
+    report separates parse failures from parsed rows — the PERMISSIVE
+    ingestion contract.
+
+    Exactness note: Spark's get_json_object returns NULL on malformed
+    input, while DuckDB ERRORS — the oracle guards with json_valid(),
+    and the two engines were probed to agree on what counts as
+    malformed for truncation-corrupted payloads.
+    """
+    events = load_table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(mangled, "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k").alias("n_parsed"),
+            (F.count("*") - F.count("k")).alias("n_corrupt"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_TOLERANT_PARSE = """
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 0
+              THEN substr(props, 1, length(props) - 2)
+              ELSE props END AS js
+  FROM events),
+p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(js)
+              THEN CAST(json_extract_string(js, '$.k') AS INT) END AS k
+  FROM m)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(k) AS n_parsed,
+       count(*) - count(k) AS n_corrupt,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM p GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar ops + bit_and/bit_or/bit_xor aggregates (hex output
     lower-cased for engine-neutral comparison)."""
@@ -1019,6 +1072,7 @@ RELATIONAL_QUERIES: list[QuerySpec] = [
     QuerySpec("null_handling", q_null_handling, ORACLE_NULL_HANDLING, ("scalar", "nulls")),
     QuerySpec("math_funcs", q_math_funcs, ORACLE_MATH_FUNCS, ("scalar",)),
     QuerySpec("json_funcs", q_json_funcs, ORACLE_JSON_FUNCS, ("scalar", "json")),
+    QuerySpec("json_tolerant_parse", q_json_tolerant_parse, ORACLE_JSON_TOLERANT_PARSE, ("scalar", "json", "quality")),
     QuerySpec("json_struct_parse", q_json_struct_parse, ORACLE_JSON_STRUCT_PARSE, ("scalar", "json")),
     QuerySpec("regex_funcs", q_regex_funcs, ORACLE_REGEX_FUNCS, ("scalar", "regex")),
     QuerySpec("bitwise_funcs", q_bitwise_funcs, ORACLE_BITWISE_FUNCS, ("scalar", "bitwise")),
