@@ -344,3 +344,21 @@ def test_dedup_substring_anchored_alignment_independent(spark):
     flagged = {r["doc_id"] for r in q_dedup_substring_anchored(spark, tmp).collect()}
     assert {1, 2} <= flagged, flagged
     assert 3 not in flagged, flagged
+
+
+def test_streaming_full_outer_join_min_watermark_at_sparse_sf(spark):
+    """Same sparse-scale pin as the left-outer variant: sf0.001 is where
+    the min-of-sides watermark rule is distinguishable from global-max
+    for BOTH null-emission sides."""
+    from tests.oracle_utils import compare
+    from tiny_mapreduce_rpc_server_spark.streaming import (
+        ORACLE_STREAMING_FULL_OUTER_JOIN,
+        q_streaming_full_outer_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    compare(
+        q_streaming_full_outer_join(spark, sf),
+        ORACLE_STREAMING_FULL_OUTER_JOIN,
+        sf,
+    )

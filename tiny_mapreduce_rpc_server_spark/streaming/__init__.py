@@ -658,11 +658,134 @@ SELECT * FROM expired_unmatched
 """
 
 
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: q_streaming_outer_join's left-side
+    null emission plus the symmetric right side — an unmatched VIEW
+    emits null-extended once no click that could still arrive can match
+    it (a view's candidate clicks lie in [view_ts - 10min, view_ts], so
+    its horizon is view_ts itself).
+
+    Emission rules, both verified as exact set matches at sf0.001 and
+    sf0.01 against the min-of-sides final watermark wmF (see
+    q_streaming_outer_join for why min is spec, strictness is not):
+    null-click rows for click_ts + 10min < wmF; null-view rows for
+    view_ts < wmF; matched pairs are the batch inner join.
+    """
+    import os
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
+    stream_dir = _replay_batches(
+        f"fojoin_{sf}",
+        [
+            ev.filter(F.col("event_id") != latest["event_id"]),
+            ev.filter(F.col("event_id") == latest["event_id"]),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "v_user_id").alias("user_id"),
+        "click_id",
+        "view_id",
+        "click_ts",
+        "view_ts",
+    )
+    name = f"stream_fojoin_{uuid.uuid4().hex[:8]}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_FULL_OUTER_JOIN = """
+WITH wm AS (
+  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+               max(ts) FILTER (WHERE event_type = 'view'))
+         - INTERVAL 10 MINUTE AS wmf
+  FROM events),
+matched AS (
+  SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+         c.ts AS click_ts, v.ts AS view_ts
+  FROM events c JOIN events v
+    ON v.user_id = c.user_id
+   AND c.event_type = 'click' AND v.event_type = 'view'
+   AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE),
+expired_clicks AS (
+  SELECT c.user_id, c.event_id AS click_id,
+         CAST(NULL AS BIGINT) AS view_id,
+         c.ts AS click_ts, CAST(NULL AS TIMESTAMP) AS view_ts
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND c.ts + INTERVAL 10 MINUTE < wm.wmf
+    AND NOT EXISTS (
+      SELECT 1 FROM events v
+      WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE)),
+expired_views AS (
+  SELECT v.user_id, CAST(NULL AS BIGINT) AS click_id,
+         v.event_id AS view_id,
+         CAST(NULL AS TIMESTAMP) AS click_ts, v.ts AS view_ts
+  FROM events v, wm
+  WHERE v.event_type = 'view'
+    AND v.ts < wm.wmf
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE))
+SELECT * FROM matched
+UNION ALL SELECT * FROM expired_clicks
+UNION ALL SELECT * FROM expired_views
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "streaming_outer_join",
         q_streaming_outer_join,
         ORACLE_STREAMING_OUTER_JOIN,
+        ("streaming", "join", "outer"),
+    ),
+    QuerySpec(
+        "streaming_full_outer_join",
+        q_streaming_full_outer_join,
+        ORACLE_STREAMING_FULL_OUTER_JOIN,
         ("streaming", "join", "outer"),
     ),
     QuerySpec(
