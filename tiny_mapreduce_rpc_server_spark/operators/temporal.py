@@ -364,6 +364,71 @@ WHERE NOT (s.event_id IS NOT NULL AND s.value < 5)
 """
 
 
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every event, the next order (o_orderdate >=
+    event ts) of the same user, ties broken by MIN orderkey — the mirror
+    of asof_join_last_order's backward direction, same union-merge
+    shape: one shuffle, no range join, no per-key loop.
+
+    At equal timestamps events sort BEFORE orders (tag descending) so an
+    order placed exactly at the event time is inside the forward frame;
+    ``first(..., ignorenulls)`` over (current row, unbounded following)
+    picks the earliest qualifying order, min-key at that date.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("tag"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("okey"),
+        F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.asc("ts"), F.desc("tag"), F.asc("okey"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = orders.unionByName(events).select(
+        "uid",
+        "ts",
+        "tag",
+        "event_id",
+        F.first("okey", ignorenulls=True).over(w).alias("next_order_key"),
+        F.first(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("next_order_date"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        "ts",
+        "next_order_date",
+        "next_order_key",
+    )
+
+
+ORACLE_ASOF_NEXT = """
+WITH nod AS (
+  SELECT e.event_id, e.user_id, e.ts, min(o.o_orderdate) AS next_order_date
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts)
+SELECT n.event_id, n.user_id, n.ts, n.next_order_date,
+       min(o.o_orderkey) AS next_order_key
+FROM nod n
+LEFT JOIN orders o
+  ON o.o_custkey = n.user_id AND o.o_orderdate = n.next_order_date
+GROUP BY n.event_id, n.user_id, n.ts, n.next_order_date
+"""
+
+
 GAP_SECONDS = 6 * 3600
 
 
@@ -521,6 +586,7 @@ TEMPORAL_QUERIES: list[QuerySpec] = [
         ("temporal", "cdc", "scd2"),
     ),
     QuerySpec("asof_join", asof_join_last_order, ORACLE_ASOF, ("temporal", "asof"), bench=True),
+    QuerySpec("asof_join_forward", asof_join_next_order, ORACLE_ASOF_NEXT, ("temporal", "asof")),
     QuerySpec("range_join_bands", range_join_quantity_bands, ORACLE_RANGE_JOIN, ("temporal", "range-join")),
     QuerySpec("time_bucket_rollup", time_bucket_rollup, ORACLE_TIME_BUCKET, ("temporal", "rollup"), bench=True),
 ]
