@@ -429,6 +429,62 @@ GROUP BY n.event_id, n.user_id, n.ts, n.next_order_date
 """
 
 
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join — the third range-join shape the
+    family ships (asof = point-to-point, range_join_bands = point-in-
+    band): per (user, day), the activity interval [min ts, max ts] of
+    each event type, joined to overlapping intervals of OTHER types for
+    the same user and day.
+
+    Shape: the interval build is one hash aggregate; the overlap join is
+    an EQUI-join on (user, day) with the overlap condition
+    (a.s <= b.e AND b.s <= a.e) as a post-filter — the standard trick
+    that keeps interval joins off the cross-join path when a coarse
+    equi-bucket (here: the day) bounds candidates. At 100 TB you'd
+    bucket by coarser/finer time units to balance candidate-set size
+    against missed cross-bucket overlaps (or split long intervals into
+    per-bucket fragments to make the bucketing exact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.day").alias("day"),
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.s").alias("a_start"),
+            F.col("b.s").alias("b_start"),
+        )
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY user_id, CAST(ts AS DATE), event_type)
+SELECT a.user_id, a.day,
+       a.event_type AS type_a, b.event_type AS type_b,
+       a.s AS a_start, b.s AS b_start
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 GAP_SECONDS = 6 * 3600
 
 
@@ -588,5 +644,6 @@ TEMPORAL_QUERIES: list[QuerySpec] = [
     QuerySpec("asof_join", asof_join_last_order, ORACLE_ASOF, ("temporal", "asof"), bench=True),
     QuerySpec("asof_join_forward", asof_join_next_order, ORACLE_ASOF_NEXT, ("temporal", "asof")),
     QuerySpec("range_join_bands", range_join_quantity_bands, ORACLE_RANGE_JOIN, ("temporal", "range-join")),
+    QuerySpec("interval_overlap_join", q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP, ("temporal", "range-join")),
     QuerySpec("time_bucket_rollup", time_bucket_rollup, ORACLE_TIME_BUCKET, ("temporal", "rollup"), bench=True),
 ]
