@@ -429,7 +429,69 @@ FROM g ORDER BY event_type
 """
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    slopes of (event time, value) — up to 29% of the points can be
+    arbitrary outliers without moving the estimate, unlike an OLS fit.
+
+    Shape: the pair generation is a SELF-JOIN bucketed by the entity key
+    (equi-join on user_id, event order as the pair filter) — quadratic
+    only WITHIN an entity's history (n~tens), never across entities, so
+    the candidate count is sum_u n_u^2, not (sum n_u)^2. The slope
+    algebra is (dv * 86400e6) / dt in fixed operation order (multiply
+    then divide — identical text in both engines), timestamps as integer
+    epoch-micros; the median is the exact interpolated percentile.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # NTZ -> timestamp is the identity under the session's pinned UTC
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "value",
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.t") != F.col("b.t")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            (
+                (F.col("b.value") - F.col("a.value")) * F.lit(86400000000.0)
+                / (F.col("b.t") - F.col("a.t"))
+            ).alias("slope"),
+        )
+    )
+    return (
+        slopes.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("percentile(slope, 0.5)").alias("trend_per_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+slopes AS (
+  SELECT a.user_id,
+         (b.value - a.value) * 86400000000.0 / (b.t - a.t) AS slope
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id AND a.t <> b.t)
+SELECT user_id, count(*) AS n_pairs,
+       quantile_cont(slope, 0.5) AS trend_per_day
+FROM slopes GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec("theil_sen_trend", q_theil_sen_trend, ORACLE_THEIL_SEN, ("stats", "robust", "quantile")),
     QuerySpec("winsorized_stats", q_winsorized_stats, ORACLE_WINSORIZED_STATS, ("stats", "quantile", "quality")),
     QuerySpec("outlier_mad", q_outlier_mad, ORACLE_OUTLIER_MAD, ("stats", "quantile", "quality")),
     QuerySpec("drift_chisq", q_drift_chisq, ORACLE_DRIFT_CHISQ, ("stats", "quality", "drift")),
