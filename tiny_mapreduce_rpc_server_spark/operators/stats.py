@@ -490,7 +490,67 @@ ORDER BY user_id
 """
 
 
+def q_ingest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitor: per event type, how many DAYS have
+    a row count more than 3 sigma from that type's daily mean — the
+    pipeline-ops alarm for a stuck producer or a replay storm.
+
+    Moments are integer-exact (daily counts are ints; sum and
+    sum-of-squares stay integral), and the 3-sigma test is SQUARED
+    (dev^2 > 9*var) so no sqrt appears at all — every float op is a
+    ratio or product of identical operands, bit-identical in both
+    engines. Daily counts are one hash aggregate; the per-type stats
+    table broadcasts back onto the tiny daily table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    n = F.col("n_days")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    dev = F.col("c") - mean
+    is_anom = dev * dev > F.lit(9.0) * var
+    return (
+        j.select("event_type", "n_days", F.when(is_anom, 1).alias("a"))
+        .groupBy("event_type")
+        .agg(F.min("n_days").alias("n_days"), F.count("a").alias("n_anomalous_days"))
+        .orderBy("event_type")
+    )
+
+
+# the 3-sigma test is squared (dev^2 > 9*var) so no sqrt is needed at
+# all — one less float op to keep identical
+ORACLE_INGEST_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+st AS (
+  SELECT event_type, count(*) AS n_days,
+         sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+  FROM daily GROUP BY event_type),
+j AS (
+  SELECT d.event_type, st.n_days, d.c,
+         st.s1::DOUBLE / st.n_days AS mean,
+         st.s2::DOUBLE / st.n_days
+           - (st.s1::DOUBLE / st.n_days) * (st.s1::DOUBLE / st.n_days) AS var
+  FROM daily d JOIN st USING (event_type))
+SELECT event_type, min(n_days) AS n_days,
+       count(*) FILTER (WHERE (c - mean) * (c - mean) > 9.0 * var)
+         AS n_anomalous_days
+FROM j GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec("ingest_anomaly", q_ingest_anomaly, ORACLE_INGEST_ANOMALY, ("stats", "quality", "ops")),
     QuerySpec("theil_sen_trend", q_theil_sen_trend, ORACLE_THEIL_SEN, ("stats", "robust", "quantile")),
     QuerySpec("winsorized_stats", q_winsorized_stats, ORACLE_WINSORIZED_STATS, ("stats", "quantile", "quality")),
     QuerySpec("outlier_mad", q_outlier_mad, ORACLE_OUTLIER_MAD, ("stats", "quantile", "quality")),
