@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from tiny_mapreduce_rpc_server_spark.operators.analytic import ANALYTIC_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.dq import DQ_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.er import ER_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.graph import GRAPH_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.ml import ML_QUERIES
@@ -37,6 +38,7 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
     STATS_QUERIES,
     SKEW_QUERIES,
     DEDUP_QUERIES,
+    DQ_QUERIES,
     ER_QUERIES,
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
