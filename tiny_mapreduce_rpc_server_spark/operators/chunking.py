@@ -1,0 +1,149 @@
+"""Context-window chunking + tokenizer-training statistics.
+
+[EXT beyond the reference — SURVEY §2 has no text surface at all; these
+are the two missing halves of the LLM-prep story around the existing
+``sampling.sequence_packing`` (which packs whole documents *up* to a
+token budget): ``doc_chunking`` splits documents *down* into overlapping
+context windows, and ``bpe_pair_stats`` computes the adjacent-pair
+frequency table that one merge step of byte-pair-encoding tokenizer
+training consumes.]
+
+Scale shape:
+
+- ``doc_chunking`` is a per-row ``sequence``/``explode`` over token
+  arrays — no shuffle at all; output rows ≈ n_tokens/stride per doc.
+  At 100 TB the chunker runs map-side and streams straight into a
+  partitioned sink; chunk ids are derived (doc_id, start), so the op is
+  deterministic and restart-safe.
+- ``bpe_pair_stats`` is explode → groupBy(pair) → count: one shuffle
+  whose key space is bounded by the alphabet squared (a few thousand
+  keys for ASCII text), so the partial/final HashAggregate collapses
+  almost everything map-side. This is the exact aggregation profile of
+  real BPE trainer counting passes at corpus scale.
+
+Both stay entirely inside whole-stage codegen (array expressions, no
+UDF). Chunk sizes are module constants scaled to the synthetic docs
+(~55 tokens); production values (512/448 etc.) are a config change, not
+a plan change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
+from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+# Window of CHUNK_TOKENS tokens every CHUNK_STRIDE tokens (overlap =
+# CHUNK_TOKENS - CHUNK_STRIDE), the sliding-window rule HF tokenizers'
+# return_overflowing_tokens uses: starts at every multiple of the stride
+# below n_tokens, short tail windows included.
+CHUNK_TOKENS = 24
+CHUNK_STRIDE = 16
+
+# Top-K adjacent pairs reported by the BPE counting pass (deterministic
+# tie-break on the pair string itself).
+BPE_TOP_PAIRS = 30
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunks of every document.
+
+    Emits one row per (doc, window start): ``chunk_id`` = start/stride,
+    the chunk text, and its token count. Pure map-side — the sequence of
+    starts and the token slice are row-local array expressions.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # token array materialized once per row (projection boundary keeps
+    # the split from being re-evaluated per reference)
+    sized = docs.select(
+        "doc_id", P.tokens(F.col("text")).alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n"))
+    ch = sized.where(F.col("n") > 0).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return ch.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+ORACLE_DOC_CHUNKING = f"""
+WITH sized AS (
+  SELECT doc_id, t, len(t) AS n
+  FROM (SELECT doc_id, {P.sql_tokens("text")} AS t FROM documents)
+  WHERE len(t) > 0
+)
+SELECT doc_id,
+       (start // {CHUNK_STRIDE})::INT AS chunk_id,
+       len(list_slice(t, start + 1, start + {CHUNK_TOKENS}))::INT AS n_chunk_tokens,
+       array_to_string(list_slice(t, start + 1, start + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM sized, UNNEST(range(0, n, {CHUNK_STRIDE})) AS u(start)
+"""
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies (one BPE merge
+    counting pass), top-{K} by count with a deterministic tie-break.
+
+    Words of length < 2 contribute no pairs (guarded explicitly — Spark's
+    ``sequence(1, 0)`` would otherwise produce a *descending* sequence).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(P.tokens(F.col("text"))).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLE_BPE_PAIR_STATS = f"""
+WITH words AS (
+  SELECT unnest({P.sql_tokens("text")}) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i::INT, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, count(*) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+CHUNKING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "doc_chunking",
+        q_doc_chunking,
+        ORACLE_DOC_CHUNKING,
+        ("ext", "text", "chunking"),
+    ),
+    QuerySpec(
+        "bpe_pair_stats",
+        q_bpe_pair_stats,
+        ORACLE_BPE_PAIR_STATS,
+        ("ext", "text", "tokenizer"),
+    ),
+]

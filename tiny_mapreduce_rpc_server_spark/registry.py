@@ -10,6 +10,7 @@ inside the operator modules themselves, at call time.
 from __future__ import annotations
 
 from tiny_mapreduce_rpc_server_spark.operators.analytic import ANALYTIC_QUERIES
+from tiny_mapreduce_rpc_server_spark.operators.chunking import CHUNKING_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.dedup import DEDUP_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.dq import DQ_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.er import ER_QUERIES
@@ -42,6 +43,7 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
     ER_QUERIES,
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
+    CHUNKING_QUERIES,
     MULTIMODAL_QUERIES,
     MV_QUERIES,
     ML_QUERIES,
