@@ -549,8 +549,78 @@ ORDER BY event_type
 """
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value vs day index — the
+    parametric companion to ``theil_sen_trend`` (same question, O(n)
+    moments instead of O(n^2) pairwise slopes; OLS is the 100 TB path
+    when the data is clean, Theil-Sen the robust fallback).
+
+    Same determinism recipe as ``q_covar_corr``: x is an integer day
+    index (exact), y an exact decimal, the five moments are exact
+    decimal/integer sums, each is cast to double exactly once, and the
+    slope/intercept algebra is textually identical in both engines.
+    One partial-aggregated shuffle on user_id; the slope math is a
+    per-group scalar epilogue.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    y = F.col("value").cast("decimal(18,6)")
+    d = ev.select("user_id", x.alias("x"), y.alias("y"))
+    g = d.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s_x"),
+        F.sum(F.col("x") * F.col("x")).alias("s_xx"),
+        F.sum("y").cast("double").alias("s_y"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("s_xy"),
+    )
+    # integer-exact degeneracy test (a single distinct day has no slope)
+    den_int = F.col("n") * F.col("s_xx") - F.col("s_x") * F.col("s_x")
+    n = F.col("n").cast("double")
+    sx = F.col("s_x").cast("double")
+    sxx = F.col("s_xx").cast("double")
+    num = n * F.col("s_xy") - sx * F.col("s_y")
+    den = n * sxx - sx * sx
+    slope = num / den
+    return (
+        g.where(den_int != 0)
+        .select(
+            "user_id",
+            "n",
+            slope.alias("slope_per_day"),
+            ((F.col("s_y") - slope * sx) / n).alias("intercept"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_OLS_TREND = """
+WITH d AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events),
+g AS (
+  SELECT user_id, count(*) AS n,
+         sum(x)::BIGINT AS s_x,
+         sum(x * x)::BIGINT AS s_xx,
+         CAST(sum(y) AS DOUBLE) AS s_y,
+         CAST(sum(x * y) AS DOUBLE) AS s_xy
+  FROM d GROUP BY user_id)
+SELECT user_id, n,
+       (n::DOUBLE * s_xy - s_x::DOUBLE * s_y)
+         / (n::DOUBLE * s_xx::DOUBLE - s_x::DOUBLE * s_x::DOUBLE) AS slope_per_day,
+       (s_y - ((n::DOUBLE * s_xy - s_x::DOUBLE * s_y)
+                 / (n::DOUBLE * s_xx::DOUBLE - s_x::DOUBLE * s_x::DOUBLE))
+               * s_x::DOUBLE) / n::DOUBLE AS intercept
+FROM g
+WHERE n * s_xx - s_x * s_x <> 0
+ORDER BY user_id
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
     QuerySpec("ingest_anomaly", q_ingest_anomaly, ORACLE_INGEST_ANOMALY, ("stats", "quality", "ops")),
+    QuerySpec("ols_trend", q_ols_trend, ORACLE_OLS_TREND, ("stats", "trend")),
     QuerySpec("theil_sen_trend", q_theil_sen_trend, ORACLE_THEIL_SEN, ("stats", "robust", "quantile")),
     QuerySpec("winsorized_stats", q_winsorized_stats, ORACLE_WINSORIZED_STATS, ("stats", "quantile", "quality")),
     QuerySpec("outlier_mad", q_outlier_mad, ORACLE_OUTLIER_MAD, ("stats", "quantile", "quality")),
