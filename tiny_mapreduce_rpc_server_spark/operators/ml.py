@@ -213,7 +213,90 @@ ORDER BY label
 """
 
 
+_AUC_BINS = 256  # score quantization: floor(score * 256)
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC-AUC of a scalar score against a binary relevance label
+    (label == 0 vs rest on the embeddings table, score = first embedding
+    component) — the model-eval metric every training pipeline reports.
+
+    Formulation: quantize the score into fixed bins (the standard
+    large-scale AUC shape — TF/Keras ``AUC`` and sklearn's binned mode
+    do exactly this), then the Mann-Whitney statistic over the binned
+    histogram: AUC = sum_b pos_b*(2*cum_neg_below_b + neg_b) /
+    (2*n_pos*n_neg), which treats same-bin pairs as ties at half credit.
+    Everything up to the single final division is INTEGER arithmetic —
+    bit-identical in any engine.
+
+    Scale shape: one hash aggregate onto a bounded bin key space (the
+    score range / 1/256 — a few hundred keys regardless of row count),
+    then a window over that tiny histogram. The global-order window
+    never sees unbinned data, so there is no single-partition scan of
+    the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double") * _AUC_BINS)
+        .cast("long")
+        .alias("bin"),
+        (F.col("label") == 0).cast("long").alias("pos"),
+    )
+    g = d.groupBy("bin").agg(
+        F.sum("pos").alias("pos_b"),
+        F.sum(F.lit(1) - F.col("pos")).alias("neg_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "pos_b",
+        "neg_b",
+        F.coalesce(F.sum("neg_b").over(w), F.lit(0)).alias("cum_neg"),
+    )
+    tot = r.agg(
+        F.sum("pos_b").alias("n_pos"),
+        F.sum("neg_b").alias("n_neg"),
+        F.sum(
+            F.col("pos_b") * (2 * F.col("cum_neg") + F.col("neg_b"))
+        ).alias("num"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("num").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+ORACLE_ROC_AUC = f"""
+WITH d AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * {_AUC_BINS}) AS BIGINT) AS bin,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+  FROM embeddings),
+g AS (
+  SELECT bin, sum(pos)::BIGINT AS pos_b, sum(1 - pos)::BIGINT AS neg_b
+  FROM d GROUP BY bin),
+r AS (
+  SELECT pos_b, neg_b,
+         COALESCE(sum(neg_b) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_neg
+  FROM g)
+SELECT sum(pos_b)::BIGINT AS n_pos,
+       sum(neg_b)::BIGINT AS n_neg,
+       sum(pos_b * (2 * cum_neg + neg_b))::DOUBLE
+         / (2 * sum(pos_b) * sum(neg_b))::DOUBLE AS auc
+FROM r
+"""
+
+
 ML_QUERIES = [
+    QuerySpec(
+        "roc_auc",
+        q_roc_auc,
+        ORACLE_ROC_AUC,
+        ("ext", "ml", "eval"),
+    ),
     QuerySpec(
         "ml_nearest_centroid",
         q_ml_nearest_centroid,
