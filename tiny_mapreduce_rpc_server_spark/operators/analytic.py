@@ -502,7 +502,99 @@ FROM c
 """
 
 
+_COOCCUR_MIN_SUPPORT = 2
+_COOCCUR_TOP = 20
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: the top part pairs that
+    appear together in the same order more often than independence
+    predicts — the classic association-rule pass (and, in an LLM corpus,
+    the same shape as co-citation / co-occurrence graph building).
+
+    Shape: distinct (order, part) → self equi-join ON the order key
+    (co-partitioned, quadratic only within a basket whose size is
+    bounded by order width), hash-agg the pairs, then two BROADCAST
+    joins against the tiny per-part order-frequency table. Lift stays an
+    integer ratio (pair_orders * n_orders) / (n_p1 * n_p2) until one
+    final double division, so it is bit-identical in any engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    # 1-row total as a broadcast cross join — no driver-side action at
+    # plan-build time
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("pair_orders"))
+        .where(F.col("pair_orders") >= _COOCCUR_MIN_SUPPORT)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(freq.withColumnRenamed("n_ord", "n1")),
+            pairs.p1 == freq.l_partkey,
+        )
+        .drop("l_partkey")
+        .join(
+            F.broadcast(freq.withColumnRenamed("n_ord", "n2")),
+            F.col("p2") == freq.l_partkey,
+        )
+        .drop("l_partkey")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        enriched.select(
+            "p1",
+            "p2",
+            "pair_orders",
+            (
+                (F.col("pair_orders") * F.col("n_orders")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_orders"), "p1", "p2")
+        .limit(_COOCCUR_TOP)
+    )
+
+
+ORACLE_ITEM_COOCCURRENCE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_ord FROM items GROUP BY l_partkey),
+tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS pair_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_COOCCUR_MIN_SUPPORT})
+SELECT p1, p2, pair_orders,
+       (pair_orders * n_orders)::DOUBLE / (f1.n_ord * f2.n_ord)::DOUBLE AS lift
+FROM pairs, tot
+JOIN freq f1 ON p1 = f1.l_partkey
+JOIN freq f2 ON p2 = f2.l_partkey
+ORDER BY pair_orders DESC, p1, p2
+LIMIT {_COOCCUR_TOP}
+"""
+
+
 ANALYTIC_QUERIES = [
+    QuerySpec(
+        "item_cooccurrence",
+        q_item_cooccurrence,
+        ORACLE_ITEM_COOCCURRENCE,
+        ("ext", "analytics", "basket"),
+    ),
     QuerySpec(
         "array_set_ops",
         q_array_set_ops,
