@@ -24,6 +24,8 @@ this is a portability layer, not a slow path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -32,6 +34,15 @@ C2 = 12345
 M1 = 999983
 M2 = 1000003
 M31 = 2147483647
+
+# Portable natural log over small integer inputs: Java's Math.log and
+# glibc's log() disagree in the last ulp on ~2% of small-int inputs
+# (e.g. ln(3)), so any oracle-exact entropy/likelihood statistic must
+# NOT call the engines' ln directly. Both sides instead index this
+# table, generated once here from Python's libm — the same
+# constants-shared-by-construction pattern as the hashes above.
+LN_MAX = 512
+_LN_TABLE = tuple(math.log(k) for k in range(1, LN_MAX + 1))
 
 
 # ---------------------------------------------------------------------------
@@ -74,6 +85,13 @@ def perm_coeffs(i: int) -> tuple[int, int]:
     return 2 * i + 3, (i * i * 7919 + 31) % M2
 
 
+def ln_lut() -> Column:
+    """512-entry array literal: ``element_at(ln_lut(), k)`` == ln(k) for
+    1 <= k <= LN_MAX. Alias it into a projection once per query (the
+    expression-materialization rule) rather than inlining per use."""
+    return F.array(*[F.lit(v) for v in _LN_TABLE])
+
+
 # ---------------------------------------------------------------------------
 # DuckDB side (SQL text generated from the same constants)
 # ---------------------------------------------------------------------------
@@ -101,3 +119,11 @@ def sql_h2(expr: str) -> str:
 def sql_perm(i: int, expr: str) -> str:
     a, b = perm_coeffs(i)
     return f"(({a} * {expr} + {b}) % {M2})"
+
+
+def sql_ln_lut() -> str:
+    """The identical table as a DuckDB list literal. repr() is the
+    shortest round-trip form; the ``e0`` suffix is load-bearing — DuckDB
+    parses a bare decimal literal as DECIMAL(p,s) (losing the last ulp),
+    but an exponent-form literal as DOUBLE (exact bits back)."""
+    return "[" + ", ".join(f"{v!r}e0" for v in _LN_TABLE) + "]"

@@ -813,7 +813,107 @@ ORDER BY source
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats) over the first
+    ``LN_MAX`` chars — the classic gibberish/boilerplate detector
+    (near-zero entropy = repeated filler, very high = random bytes),
+    alongside the token-level signals in ``q_quality_score``. Prefix
+    sampling is deliberate: quality classifiers score a bounded prefix,
+    which also bounds per-row work at corpus scale.
+
+    Shuffle-free: chars are sorted per row and a single ``aggregate``
+    fold walks the runs, adding n_i*ln(n_i) as each run closes (in
+    sorted-char order). Entropy = ln(N) - sum/N. Determinism: Java's
+    Math.log and DuckDB's libm ln disagree in the last ulp on ~2% of
+    small-int inputs, so BOTH sides read ln(k) from the shared
+    ``portable`` lookup table (same Python constants); the fold adds the
+    same double terms in the same sorted order with the same left
+    bracketing ((0+t1)+t2 == (t1+t2) exactly), so the result is
+    bit-identical.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.split(F.substring(F.col("text"), 1, P.LN_MAX), "")
+        ).alias("cs"),
+        P.ln_lut().alias("lut"),
+    ).where(F.size("cs") > 0)
+
+    def run_term(run, lut):
+        # closing-run n*ln(n) term via the portable LUT (run >= 1)
+        return F.when(
+            run > 0, run.cast("double") * F.element_at(lut, run)
+        ).otherwise(F.lit(0.0))
+
+    def _step(acc, x):
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["s"])
+            .otherwise(acc["s"] + run_term(acc["run"], F.col("lut")))
+            .alias("s"),
+        )
+
+    ent_sum = F.aggregate(
+        F.col("cs"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        _step,
+        lambda acc: acc["s"] + run_term(acc["run"], F.col("lut")),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("cs").alias("n_chars_actual"),
+        F.size(F.array_distinct("cs")).alias("n_distinct_chars"),
+        F.element_at("lut", F.size("cs")).alias("ln_n"),
+        ent_sum.alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_distinct_chars",
+        (
+            F.col("ln_n") - F.col("s") / F.col("n_chars_actual").cast("double")
+        ).alias("entropy_nats"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_sort(regexp_split_to_array(substr(text, 1, {P.LN_MAX}), '')) AS cs,
+         {P.sql_ln_lut()} AS lut
+  FROM documents),
+m AS (
+  SELECT doc_id, len(cs)::INT AS n, lut[len(cs)] AS ln_n,
+         list_transform(list_sort(list_distinct(cs)),
+                        c -> len(list_filter(cs, x -> x = c))) AS counts,
+         lut
+  FROM d WHERE len(cs) > 0),
+e AS (
+  SELECT doc_id, n, ln_n, len(counts)::INT AS nd,
+         list_reduce(list_transform(counts,
+                                    k -> k::DOUBLE * lut[k]),
+                     (a, b) -> a + b) AS s
+  FROM m)
+SELECT doc_id, n AS n_chars_actual, nd AS n_distinct_chars,
+       ln_n - s / n::DOUBLE AS entropy_nats
+FROM e
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "text_char_entropy",
+        q_char_entropy,
+        ORACLE_CHAR_ENTROPY,
+        ("ext", "text", "quality"),
+    ),
     QuerySpec(
         "corpus_report",
         q_corpus_report,
