@@ -977,7 +977,86 @@ FROM j
 """
 
 
+CONTAIN_THRESHOLD = 0.5  # shingle containment: |A∩B| / min(|A|,|B|)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|) —
+    the quote/excerpt detector. Jaccard misses a short doc fully
+    embedded in a long one (union is dominated by the long doc);
+    containment is the right normalization for that case, and the pair
+    additionally reports WHICH side is the contained one.
+
+    Same scale shape as ``q_dedup_ngram_jaccard``: per-row shingling,
+    DF-capped inverted index, 8-byte-hash equi-join, division only on
+    the surviving candidate pairs. The two queries share the shingle
+    scan; only the final normalization differs.
+    """
+    ds = _doc_shingles(spark, sf_dir).cache()
+    sizes = ds.select("doc_id", F.size("shingles").alias("n"))
+    ex = ds.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("s")
+    )
+    rare = (
+        ex.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    ex = ex.join(rare.select("s"), "s")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("i") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont.alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH ds AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, len(shingles) AS n FROM ds),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM ds),
+rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN rare ON ex0.s = rare.s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= {CONTAIN_THRESHOLD}
+"""
+
+
 DEDUP_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_containment",
+        q_dedup_containment,
+        ORACLE_DEDUP_CONTAINMENT,
+        ("ext", "dedup"),
+    ),
     QuerySpec(
         "dedup_eval_minhash",
         q_dedup_eval_minhash,
