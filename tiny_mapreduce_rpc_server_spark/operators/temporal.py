@@ -604,7 +604,111 @@ ORDER BY user_id
 """
 
 
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill with linear interpolation: build each user's date
+    spine (min..max observed day), left-join the observed daily totals
+    onto it, and fill missing days by interpolating between the
+    bracketing observations — the standard timeseries-feature
+    regularization step before windowed models.
+
+    Shape: the spine is a per-row ``sequence`` explode (no shuffle to
+    build), the join is an equi-join on (user, day), and the bracketing
+    observations come from two IGNORE NULLS window passes over the
+    same (user, day) sort — no self-join. Spine rows per user are
+    bounded by the date range, not the event count.
+
+    Determinism: daily totals are exact decimal sums cast to double
+    once; the interpolation weight is an integer day ratio divided
+    once; `pv + (nv - pv) * w` is textually identical in both engines.
+    Boundary days are always observed (the spine spans observed
+    min..max), so no null extrapolation case exists.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dsum("value", "v")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    w = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast(
+        "double"
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * w
+    )
+    return j.select(
+        "user_id",
+        "day",
+        filled.alias("value_filled"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
+
+
+ORACLE_GAP_FILL_INTERPOLATE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds),
+j AS (
+  SELECT s.user_id, s.day, d.v
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+w AS (
+  SELECT user_id, day, v,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j)
+SELECT user_id, day,
+  CASE WHEN v IS NOT NULL THEN v
+       ELSE pv + (nv - pv) * (date_diff('day', pd, day)::DOUBLE
+                                / date_diff('day', pd, nd)::DOUBLE)
+  END AS value_filled,
+  v IS NULL AS is_interpolated
+FROM w
+"""
+
+
 TEMPORAL_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "gap_fill_interpolate",
+        q_gap_fill_interpolate,
+        ORACLE_GAP_FILL_INTERPOLATE,
+        ("ext", "temporal", "timeseries"),
+    ),
     QuerySpec(
         "event_gaps",
         q_event_gaps,
