@@ -16,7 +16,7 @@ surface needs distribution statistics too. Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import dsum
@@ -618,7 +618,70 @@ ORDER BY user_id
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware median: the smallest extended price whose cumulative
+    quantity-weight reaches half the group's total — ``percentile``
+    weights every ROW equally, which is wrong when rows carry volumes.
+
+    Determinism: weights become exact integer centi-units via a decimal
+    cast (never a double round), the cumulative is a RANGE window (ties
+    on price share one cumulative value, so row order within a price is
+    irrelevant), and the selection `2*cum >= total` is pure integer
+    compare. Shape: pre-aggregate per (group, price) first — the window
+    then runs over distinct prices only, not raw rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+    g = (
+        li.select("l_returnflag", "l_extendedprice", w.alias("w"))
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    win_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    win_tot = Window.partitionBy("l_returnflag")
+    d = g.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("wsum").over(win_cum).alias("cum"),
+        F.sum("wsum").over(win_tot).alias("tot"),
+    )
+    return (
+        d.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("tot").alias("total_weight_x100"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum((CAST(l_quantity AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT AS wsum
+  FROM lineitem GROUP BY 1, 2),
+d AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(wsum) OVER (PARTITION BY l_returnflag)::BIGINT AS tot
+  FROM g)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_median_price,
+       min(tot) AS total_weight_x100
+FROM d WHERE 2 * cum >= tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec("weighted_median", q_weighted_median, ORACLE_WEIGHTED_MEDIAN, ("stats", "quantile")),
     QuerySpec("ingest_anomaly", q_ingest_anomaly, ORACLE_INGEST_ANOMALY, ("stats", "quality", "ops")),
     QuerySpec("ols_trend", q_ols_trend, ORACLE_OLS_TREND, ("stats", "trend")),
     QuerySpec("theil_sen_trend", q_theil_sen_trend, ORACLE_THEIL_SEN, ("stats", "robust", "quantile")),

@@ -907,7 +907,71 @@ FROM e
 """
 
 
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass corpus filtering against a GLOBAL percentile: pass 1
+    computes the exact corpus-wide 10th percentile of the quality score,
+    pass 2 reports, per source, how many documents fall below it and the
+    per-source effective cutoff (min surviving / max dropped quality) —
+    the relative-threshold trim ("drop the worst decile") that
+    absolute-threshold filters can't express. The boundary stats are
+    min/max (order-independent, bit-exact); a mean here would need a
+    double→decimal cast, whose rounding of full-precision doubles is
+    NOT engine-portable (Spark rounds the shortest repr, DuckDB the
+    binary expansion).
+
+    Shape: the threshold is a 1-row aggregate broadcast back over the
+    scored scan (cross join, no driver-side collect); scoring reuses
+    ``q_quality_score``'s plan via an equi-join on doc_id. At 100 TB the
+    exact percentile pass becomes approx_percentile with a documented
+    error bound — same plan shape, sketchable aggregate.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    qual = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = docs.select("doc_id", "source").join(qual, "doc_id")
+    thr = j.agg(F.expr("percentile(quality, 0.10)").alias("p10"))
+    j = j.crossJoin(F.broadcast(thr))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("quality") < F.col("p10"), 1)).alias(
+                "n_dropped"
+            ),
+            F.min(
+                F.when(F.col("quality") >= F.col("p10"), F.col("quality"))
+            ).alias("min_kept_quality"),
+            F.max(
+                F.when(F.col("quality") < F.col("p10"), F.col("quality"))
+            ).alias("max_dropped_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_quality_percentile_filter() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({ORACLE_QUALITY_SCORE})),
+j AS (
+  SELECT d.source, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+thr AS (SELECT quantile_cont(quality, 0.10) AS p10 FROM j)
+SELECT source, count(*) AS n_docs,
+       count(*) FILTER (WHERE quality < p10) AS n_dropped,
+       min(CASE WHEN quality >= p10 THEN quality END) AS min_kept_quality,
+       max(CASE WHEN quality < p10 THEN quality END) AS max_dropped_quality
+FROM j, thr
+GROUP BY source
+ORDER BY source
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "quality_percentile_filter",
+        q_quality_percentile_filter,
+        _oracle_quality_percentile_filter(),
+        ("ext", "text", "quality"),
+    ),
     QuerySpec(
         "text_char_entropy",
         q_char_entropy,
