@@ -775,6 +775,14 @@ UNION ALL SELECT * FROM expired_views
 """
 
 
+# NOTE: Spark 4.x's transformWithStateInPandas (the typed-state successor
+# to applyInPandasWithState) was evaluated here but cannot run in this
+# environment: its python worker hard-requires google.protobuf
+# (pyspark/sql/streaming/proto/StateMessage_pb2.py), which is not
+# installed and may not be added. Custom stateful operators are covered
+# by the GroupState API in q_streaming_stateful_user_stats; the
+# transformWithState variant is a drop-in swap where protobuf exists.
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "streaming_outer_join",
