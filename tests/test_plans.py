@@ -546,3 +546,98 @@ def test_corpus_report_partial_aggregation(spark):
     import re
 
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
+
+
+# --- round-4 additions ----------------------------------------------------
+
+
+def test_doc_chunking_is_map_side_only(spark):
+    """The chunker is a per-row sequence/explode/slice pipeline: no hash
+    exchange anywhere (spread's round-robin repartition is the only
+    allowed exchange), no join, no aggregate."""
+    p = plan(spark, _q(spark, "doc_chunking"))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Join" not in p and "HashAggregate" not in p, p
+
+
+def test_char_entropy_is_map_side_only(spark):
+    """The sorted-run entropy fold is a pure row expression — same
+    no-shuffle contract as the chunker."""
+    p = plan(spark, _q(spark, "text_char_entropy"))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Join" not in p and "HashAggregate" not in p, p
+
+
+def test_bpe_pair_stats_partial_aggregation(spark):
+    """The pair-count pass must partial-aggregate map-side (the key
+    space is alphabet², so the combine collapses almost everything
+    before the single exchange) and finish with top-k, not a global
+    sort."""
+    p = plan(spark, _q(spark, "bpe_pair_stats"))
+    assert "partial_count" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_item_cooccurrence_joins(spark):
+    """Basket self-join must be an equi-join on the order key (never a
+    nested loop); the per-part frequency table and the 1-row total must
+    both broadcast."""
+    p = plan(spark, _q(spark, "item_cooccurrence"))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # the only nested-loop allowed is the 1-row total cross join
+    # (formatted plans name each node twice: tree line + detail header)
+    assert p.count("(") and p.count("BroadcastNestedLoopJoin") <= 2, p
+
+
+def test_ols_trend_partial_aggregation(spark):
+    """The five moments must partial-aggregate before the single
+    user_id exchange."""
+    p = plan(spark, _q(spark, "ols_trend"))
+    assert "partial_" in p, p
+    assert "Join" not in p, p
+
+
+def test_weighted_median_window_over_aggregated(spark):
+    """The cumulative-weight window must run over the per-(group, price)
+    pre-aggregate, not raw rows: exactly one scan, partial+final
+    aggregate below the window."""
+    import re
+
+    p = plan(spark, _q(spark, "weighted_median"))
+    assert "partial_sum" in p, p
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_quality_percentile_filter_threshold_broadcast(spark):
+    """The global-percentile threshold is a 1-row aggregate broadcast
+    back over the scored scan — the only nested-loop join allowed."""
+    p = plan(spark, _q(spark, "quality_percentile_filter"))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_dedup_containment_no_cartesian(spark):
+    """Containment shares the jaccard inverted-index shape: equi-join on
+    the 8-byte shingle hash, never an all-pairs plan."""
+    p = plan(spark, _q(spark, "dedup_containment"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "xxhash64" in p, p
+
+
+def test_gap_fill_interpolate_no_cartesian(spark):
+    """Spine join is an equi-join on (user, day); bracketing lookups are
+    window passes, not self-joins — so exactly one join in the plan."""
+    p = plan(spark, _q(spark, "gap_fill_interpolate"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "Window" in p, p
+
+
+def test_roc_auc_window_over_histogram(spark):
+    """The global-order window must run over the binned histogram
+    aggregate (bounded key space), never the raw scan."""
+    p = plan(spark, _q(spark, "roc_auc"))
+    assert "partial_sum" in p, p
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p, p
