@@ -1056,6 +1056,7 @@ DEDUP_QUERIES: list[QuerySpec] = [
         q_dedup_containment,
         ORACLE_DEDUP_CONTAINMENT,
         ("ext", "dedup"),
+        bench=True,
     ),
     QuerySpec(
         "dedup_eval_minhash",
