@@ -641,3 +641,20 @@ def test_roc_auc_window_over_histogram(spark):
     assert "partial_sum" in p, p
     assert "Window" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_split_leakage_no_cartesian(spark):
+    """Leakage audit shares the inverted-index discipline: hash
+    equi-joins only."""
+    p = plan(spark, _q(spark, "split_leakage_check"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "xxhash64" in p, p
+
+
+def test_negative_sampling_no_global_window(spark):
+    """The lead() windows must partition by batch — a single-partition
+    global window over the corpus would serialize at scale."""
+    p = plan(spark, _q(spark, "negative_sampling"))
+    assert "Window" in p, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "Join" not in p, p

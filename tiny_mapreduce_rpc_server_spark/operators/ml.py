@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import davg
+from tiny_mapreduce_rpc_server_spark.functions import portable as P
 from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -290,7 +291,92 @@ FROM r
 """
 
 
+_NEG_BATCHES = 32  # hash buckets playing the role of training batches
+_NEG_LOOKAHEAD = 4  # candidate negatives examined per anchor
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training: shuffle the corpus by content hash, partition it into
+    batches, and give each anchor the first of its next {lookahead}
+    batch-neighbors with a DIFFERENT label — exactly the "other items in
+    the shuffled batch" negatives of contrastive learners, but
+    reproducible on any cluster layout (pure function of ids).
+
+    Shape: one shuffle into {batches} hash-bucket batches, a windowed
+    lead() per batch (each window partition is a batch, never the global
+    corpus), and a per-row first-mismatch pick. No joins at all.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = P.h1(F.col("vec_id").cast("string"))
+    d = emb.select(
+        "vec_id", "label", h.alias("h"), (h % _NEG_BATCHES).alias("batch")
+    )
+    w = Window.partitionBy("batch").orderBy("h", "vec_id")
+    leads = d.select(
+        "vec_id",
+        "label",
+        *[
+            c
+            for i in range(1, _NEG_LOOKAHEAD + 1)
+            for c in (
+                F.lead("vec_id", i).over(w).alias(f"id{i}"),
+                F.lead("label", i).over(w).alias(f"lb{i}"),
+            )
+        ],
+    )
+    neg_id = F.lit(None).cast("long")
+    neg_lb = F.lit(None).cast("int")
+    # first-mismatch pick, evaluated nearest-first (build the when-chain
+    # backwards so id1 wins over id2 etc.)
+    for i in range(_NEG_LOOKAHEAD, 0, -1):
+        ok = F.col(f"lb{i}").isNotNull() & (F.col(f"lb{i}") != F.col("label"))
+        neg_id = F.when(ok, F.col(f"id{i}")).otherwise(neg_id)
+        neg_lb = F.when(ok, F.col(f"lb{i}")).otherwise(neg_lb)
+    return leads.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        neg_id.alias("negative_id"),
+        neg_lb.alias("negative_label"),
+    ).where(F.col("negative_id").isNotNull())
+
+
+def _oracle_negative_sampling() -> str:
+    h = P.sql_h1("CAST(vec_id AS VARCHAR)")
+    lead_cols = ", ".join(
+        f"lead(vec_id, {i}) OVER win AS id{i}, lead(label, {i}) OVER win AS lb{i}"
+        for i in range(1, _NEG_LOOKAHEAD + 1)
+    )
+    first_id = "CASE "
+    first_lb = "CASE "
+    for i in range(1, _NEG_LOOKAHEAD + 1):
+        cond = f"WHEN lb{i} IS NOT NULL AND lb{i} <> label THEN "
+        first_id += cond + f"id{i} "
+        first_lb += cond + f"lb{i} "
+    first_id += "END"
+    first_lb += "END"
+    return f"""
+WITH d AS (
+  SELECT vec_id, label, {h} AS h, ({h} % {_NEG_BATCHES}) AS batch
+  FROM embeddings),
+w AS (
+  SELECT vec_id, label, {lead_cols}
+  FROM d WINDOW win AS (PARTITION BY batch ORDER BY h, vec_id))
+SELECT vec_id AS anchor_id, label AS anchor_label,
+       {first_id} AS negative_id,
+       ({first_lb})::INT AS negative_label
+FROM w
+WHERE {first_id} IS NOT NULL
+"""
+
+
 ML_QUERIES = [
+    QuerySpec(
+        "negative_sampling",
+        q_negative_sampling,
+        _oracle_negative_sampling(),
+        ("ext", "ml", "sampling"),
+    ),
     QuerySpec(
         "roc_auc",
         q_roc_auc,

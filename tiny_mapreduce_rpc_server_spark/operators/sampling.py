@@ -366,7 +366,108 @@ FROM r WHERE rk <= {MANIFEST_PER_SOURCE_CAP}
 """
 
 
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SPLIT leakage audit: after the deterministic 80/10/10 hash
+    split, what fraction of val/test documents shares a rare 3-gram
+    shingle with ANY train document? ``contamination_check`` guards
+    against external benchmarks; this guards the pipeline's own held-out
+    splits — near-dup leakage across the split boundary inflates eval.
+
+    Shape: reuses the dedup family's shingle scan + stop-shingle DF cap;
+    the train shingle set is a DISTINCT on 8-byte hashes; membership is
+    one equi-join followed by a distinct on (doc, split). No all-pairs
+    stage; the split itself is a free per-row column.
+    """
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        _doc_shingles,
+    )
+
+    ds = _doc_shingles(spark, sf_dir)
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    ).alias("split")
+    sp = ds.select("doc_id", split, "shingles")
+    ex = sp.select("doc_id", "split", F.explode("shingles").alias("s")).select(
+        "doc_id", "split", F.xxhash64("s").alias("s")
+    )
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    ex = ex.join(rare, "s")
+    train_sh = ex.where(F.col("split") == "train").select("s").distinct()
+    leaked = (
+        ex.where(F.col("split") != "train")
+        .join(train_sh, "s")
+        .select("doc_id", "split")
+        .distinct()
+    )
+    tot = (
+        sp.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    lk = leaked.groupBy("split").agg(F.count("*").alias("n_leaked"))
+    n_leaked = F.coalesce(F.col("n_leaked"), F.lit(0))
+    return (
+        tot.join(lk, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            n_leaked.alias("n_leaked"),
+            (n_leaked.cast("double") / F.col("n_docs").cast("double")).alias(
+                "leak_frac"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_split_leakage() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        _SQL_SHINGLES,
+    )
+
+    bucket = _sql_bucket("doc_id")
+    return f"""
+WITH ds AS ({_SQL_SHINGLES}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split,
+         shingles
+  FROM ds),
+ex0 AS (SELECT doc_id, split, unnest(shingles) AS s FROM sp),
+rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+ex AS (SELECT doc_id, split, ex0.s FROM ex0 JOIN rare ON ex0.s = rare.s),
+tr AS (SELECT DISTINCT s FROM ex WHERE split = 'train'),
+leaked AS (
+  SELECT DISTINCT doc_id, split FROM ex JOIN tr USING (s)
+  WHERE split <> 'train'),
+tot AS (
+  SELECT split, count(*) AS n_docs FROM sp WHERE split <> 'train'
+  GROUP BY split),
+lk AS (SELECT split, count(*) AS n_leaked FROM leaked GROUP BY split)
+SELECT tot.split, n_docs,
+       COALESCE(n_leaked, 0) AS n_leaked,
+       COALESCE(n_leaked, 0)::DOUBLE / n_docs::DOUBLE AS leak_frac
+FROM tot LEFT JOIN lk ON tot.split = lk.split
+ORDER BY tot.split
+"""
+
+
 SAMPLING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "split_leakage_check",
+        q_split_leakage_check,
+        _oracle_split_leakage(),
+        ("ext", "sampling", "dedup", "quality"),
+    ),
     QuerySpec("temperature_mix", temperature_mix, ORACLE_TEMPERATURE_MIX, ("ext", "sampling", "mixing")),
     QuerySpec("sequence_packing", sequence_packing, ORACLE_SEQUENCE_PACKING, ("ext", "sampling", "packing")),
     QuerySpec("sample_hash_bucket", sample_hash_bucket, ORACLE_SAMPLE, ("ext", "sampling")),
