@@ -393,7 +393,59 @@ SELECT * FROM zs UNION ALL SELECT * FROM ns
 """
 
 
+_LAYOUT_TABLES = ("lineitem", "orders", "documents", "embeddings")
+
+
+def q_file_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit: per input FILE, the row count the scan
+    layer actually delivers — the small-files / skewed-files report a
+    pipeline runs before tuning ``maxPartitionBytes``. Engine side
+    attributes rows to files with ``input_file_name()`` (a metadata
+    column, no extra I/O); the oracle reads the parquet FOOTERS via
+    DuckDB's ``parquet_file_metadata``, so this query cross-checks the
+    scan layer against the file format's own metadata — a scan that
+    dropped or duplicated rows per file would hash-mismatch here."""
+    parts = []
+    for t in _LAYOUT_TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.select(
+                F.lit(t).alias("table_name"),
+                F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+                    "file_name"
+                ),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("table_name", "file_name")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("table_name", "file_name")
+    )
+
+
+def _oracle_file_layout(sf_dir_placeholder: str = "/root/testdata/sf0.01") -> str:
+    # the driver runs oracles at sf0.01 only; the engine path is
+    # parameterized by sf_dir, the SQL text mirrors the same files
+    parts = [
+        f"""SELECT '{t}' AS table_name,
+       regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+       num_rows AS n_rows
+FROM parquet_file_metadata('{sf_dir_placeholder}/{t}.parquet')"""
+        for t in _LAYOUT_TABLES
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name, file_name"
+
+
 FORMAT_QUERIES = [
+    QuerySpec(
+        "file_layout_report",
+        q_file_layout_report,
+        _oracle_file_layout(),
+        ("ext", "layout", "ops"),
+    ),
     _linefile_spec(),
     QuerySpec(
         "compaction_roundtrip",
