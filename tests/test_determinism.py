@@ -9,10 +9,14 @@ where partial-aggregation order, merge order, and task scheduling all
 change. A query whose floats survive DuckDB comparison by luck (summation
 order happening to match) fails here.
 
-Each query runs under the session's shuffle_partitions (8) and again
-under 3 (conf flipped around the second collect — Spark reads the conf
-at plan time, so laziness is respected by collecting eagerly inside each
-regime), comparing full canonical rowsets.
+Two regimes per query: the session default (shuffle_partitions=8, AQE
+coalescing on) vs shuffle_partitions=3 with AQE partition COALESCING
+DISABLED. The second knob is load-bearing: at sf0.01 AQE coalesces both
+8 and 3 down to the same effective layout, which would make the
+comparison vacuous — with coalescing off, the alt regime genuinely runs
+a different number of reduce partitions. Cached blocks are cleared
+around each run so internally-.cache()ing queries (dedup family) cannot
+carry the first regime's layout into the second.
 """
 
 from __future__ import annotations
@@ -35,15 +39,18 @@ FLOAT_SHUFFLE_QUERIES = [
     "item_cooccurrence",
     "negative_sampling",
     "split_leakage_check",
+    "dedup_containment",
     "theil_sen_trend",
     "ingest_anomaly",
     "text_tf_idf",
 ]
 
-_CONF = "spark.sql.shuffle.partitions"
+_SHUF = "spark.sql.shuffle.partitions"
+_COALESCE = "spark.sql.adaptive.coalescePartitions.enabled"
 
 
 def _rows(spark, name):
+    spark.catalog.clearCache()
     df = all_queries()[name].fn(spark, SF_ORACLE)
     return _rowset(df.columns, [tuple(r) for r in df.collect()])
 
@@ -51,10 +58,13 @@ def _rows(spark, name):
 @pytest.mark.parametrize("name", FLOAT_SHUFFLE_QUERIES)
 def test_partition_count_invariance(spark, name):
     base = _rows(spark, name)
-    prev = spark.conf.get(_CONF)
-    spark.conf.set(_CONF, "3")
+    prev_shuf = spark.conf.get(_SHUF)
+    prev_coal = spark.conf.get(_COALESCE)
+    spark.conf.set(_SHUF, "3")
+    spark.conf.set(_COALESCE, "false")
     try:
         alt = _rows(spark, name)
     finally:
-        spark.conf.set(_CONF, prev)
+        spark.conf.set(_SHUF, prev_shuf)
+        spark.conf.set(_COALESCE, prev_coal)
     assert base == alt, f"{name}: result depends on shuffle partitioning"

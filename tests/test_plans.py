@@ -587,7 +587,7 @@ def test_item_cooccurrence_joins(spark):
     assert p.count("BroadcastHashJoin") >= 2, p
     # the only nested-loop allowed is the 1-row total cross join
     # (formatted plans name each node twice: tree line + detail header)
-    assert p.count("(") and p.count("BroadcastNestedLoopJoin") <= 2, p
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
 
 
 def test_ols_trend_partial_aggregation(spark):

@@ -520,7 +520,10 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     final double division, so it is bit-identical in any engine.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # cache: the distinct item set feeds FOUR subplans (both self-join
+    # sides, the frequency table, and the 1-row total) — without it the
+    # scan + distinct aggregation runs up to 4x per execution
+    items = li.select("l_orderkey", "l_partkey").distinct().cache()
     # 1-row total as a broadcast cross join — no driver-side action at
     # plan-build time
     tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))

@@ -342,20 +342,11 @@ WHERE COALESCE(d.n_dup_windows, 0) > 0
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.6.
-
-    Inverted-index join: explode shingles, drop stop-shingles (DF cap),
-    equi-join on shingle to count intersections, then Jaccard from
-    per-doc set sizes. Only docs sharing a rare-enough shingle ever meet
-    — no cross join.
-
-    The join key is xxhash64(shingle), not the shingle string: an 8-byte
-    fixed key shrinks the shuffle payload 3-5x and compares faster
-    (measured ~30% on the end-to-end query). Per-doc set sizes stay
-    exact; a hash collision would merge two distinct shingles, with
-    probability ~n_distinct^2 / 2^65 — negligible, and the oracle gate
-    would catch it."""
+def _shingle_intersections(spark: SparkSession, sf_dir: str):
+    """Shared candidate pipeline for the set-overlap dedup family
+    (jaccard + containment): DF-capped inverted index on 8-byte shingle
+    hashes, pair intersection counts, per-doc set sizes joined on. Returns
+    (pairs-with-sizes DataFrame [doc_a, doc_b, i, na, nb], sizes DF)."""
     ds = _doc_shingles(spark, sf_dir).cache()
     sizes = ds.select("doc_id", F.size("shingles").alias("n"))
     ex = ds.select("doc_id", F.explode("shingles").alias("s")).select(
@@ -374,17 +365,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_VERIFY)
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b"), sizes
 
 
-ORACLE_DEDUP_NGRAM_JACCARD = f"""
-WITH ds AS ({_SQL_SHINGLES}),
+# shared oracle CTE chain for the same pipeline (string `s` instead of the
+# 8-byte hash — intersection counts are identical, as the oracle gate pins)
+_SQL_INTER_CTES = f"""ds AS ({_SQL_SHINGLES}),
 sz AS (SELECT doc_id, len(shingles) AS n FROM ds),
 ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM ds),
 rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
@@ -392,7 +378,32 @@ ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN rare ON ex0.s = rare.s),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.6.
+
+    Inverted-index join: explode shingles, drop stop-shingles (DF cap),
+    equi-join on shingle to count intersections, then Jaccard from
+    per-doc set sizes. Only docs sharing a rare-enough shingle ever meet
+    — no cross join.
+
+    The join key is xxhash64(shingle), not the shingle string: an 8-byte
+    fixed key shrinks the shuffle payload 3-5x and compares faster
+    (measured ~30% on the end-to-end query). Per-doc set sizes stay
+    exact; a hash collision would merge two distinct shingles, with
+    probability ~n_distinct^2 / 2^65 — negligible, and the oracle gate
+    would catch it."""
+    joined, _ = _shingle_intersections(spark, sf_dir)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_VERIFY
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_INTER_CTES}
 SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
 FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
@@ -992,33 +1003,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving candidate pairs. The two queries share the shingle
     scan; only the final normalization differs.
     """
-    ds = _doc_shingles(spark, sf_dir).cache()
-    sizes = ds.select("doc_id", F.size("shingles").alias("n"))
-    ex = ds.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("s")
-    )
-    rare = (
-        ex.groupBy("s").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-    )
-    ex = ex.join(rare.select("s"), "s")
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    joined, _ = _shingle_intersections(spark, sf_dir)
     cont = F.col("i") / F.least(F.col("na"), F.col("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        joined.select(
             "doc_a",
             "doc_b",
             cont.alias("containment"),
@@ -1031,15 +1019,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_CONTAINMENT = f"""
-WITH ds AS ({_SQL_SHINGLES}),
-sz AS (SELECT doc_id, len(shingles) AS n FROM ds),
-ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM ds),
-rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
-ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN rare ON ex0.s = rare.s),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+WITH {_SQL_INTER_CTES}
 SELECT doc_a, doc_b,
        CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment,
        CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc

@@ -34,6 +34,21 @@ def _sql_bucket(expr: str) -> str:
     return f"({P.sql_h1(f'CAST({expr} AS VARCHAR)')} % 100)"
 
 
+# The 80/10/10 split rule, defined ONCE — train_val_test_split assigns by
+# it and split_leakage_check audits the very same assignment.
+def _split_col(col):
+    b = _bucket(col)
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
+def _sql_split(expr: str) -> str:
+    b = _sql_bucket(expr)
+    return (
+        f"CASE WHEN {b} < 80 THEN 'train' "
+        f"WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5% deterministic sample
 # ---------------------------------------------------------------------------
@@ -66,10 +81,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a per-row expression — at 100 TB the split is a free
     column, not a 3-way shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    b = _bucket(F.col("doc_id"))
-    split = (
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
-    )
+    split = _split_col(F.col("doc_id")).alias("split")
     return (
         docs.select(split, "lang", "n_chars")
         .groupBy("split", "lang")
@@ -79,9 +91,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SPLIT = f"""
-SELECT CASE WHEN {_sql_bucket("doc_id")} < 80 THEN 'train'
-            WHEN {_sql_bucket("doc_id")} < 90 THEN 'val'
-            ELSE 'test' END AS split,
+SELECT {_sql_split("doc_id")} AS split,
        lang,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -384,11 +394,7 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ds = _doc_shingles(spark, sf_dir)
-    b = _bucket(F.col("doc_id"))
-    split = (
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-    ).alias("split")
-    sp = ds.select("doc_id", split, "shingles")
+    sp = ds.select("doc_id", _split_col(F.col("doc_id")).alias("split"), "shingles")
     ex = sp.select("doc_id", "split", F.explode("shingles").alias("s")).select(
         "doc_id", "split", F.xxhash64("s").alias("s")
     )
@@ -433,14 +439,10 @@ def _oracle_split_leakage() -> str:
         _SQL_SHINGLES,
     )
 
-    bucket = _sql_bucket("doc_id")
     return f"""
 WITH ds AS ({_SQL_SHINGLES}),
 sp AS (
-  SELECT doc_id,
-         CASE WHEN {bucket} < 80 THEN 'train'
-              WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split,
-         shingles
+  SELECT doc_id, {_sql_split("doc_id")} AS split, shingles
   FROM ds),
 ex0 AS (SELECT doc_id, split, unnest(shingles) AS s FROM sp),
 rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),

@@ -182,7 +182,9 @@ def q_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vowels = set("aeiou")
 
     @F.udf("int", useArrow=True)
-    def n_vowels(text: str) -> int:
+    def n_vowels(text: str | None) -> int | None:
+        if text is None:  # null-safe like the oracle's length(NULL)
+            return None
         return sum(1 for ch in text if ch in vowels)
 
     docs = load_table(spark, sf_dir, "documents")
@@ -206,7 +208,13 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``from_json`` for open JSON payloads (binary-encoded, typed lazy
     access — the Snowflake/Databricks semi-structured model). Extracts
     events.props.k and profiles it per event type: n, nulls, min/max —
-    all integer-exact."""
+    all integer-exact.
+
+    Coercion semantics pinned (probed on Spark 4.1): variant_get "int"
+    TRUNCATES json doubles (1.5 -> 1), coerces numeric strings
+    ("5" -> 5), and returns NULL for non-numeric strings / json null /
+    missing keys — the oracle mirrors each case via
+    trunc(TRY_CAST(... AS DOUBLE))."""
     ev = load_table(spark, sf_dir, "events")
     k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     d = ev.select("event_type", k.alias("k"))
@@ -223,13 +231,16 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_VARIANT_FUNCS = """
+WITH d AS (
+  SELECT event_type,
+         CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+              AS INT) AS k
+  FROM events)
 SELECT event_type, count(*) AS n,
-       count(CASE WHEN json_extract(props, '$.k') IS NULL
-                    OR json_type(json_extract(props, '$.k')) = 'NULL'
-             THEN 1 END) AS n_null_k,
-       min(json_extract(props, '$.k')::INT) AS min_k,
-       max(json_extract(props, '$.k')::INT) AS max_k
-FROM events
+       count(CASE WHEN k IS NULL THEN 1 END) AS n_null_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM d
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -426,9 +426,14 @@ def q_file_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_file_layout(sf_dir_placeholder: str = "/root/testdata/sf0.01") -> str:
-    # the driver runs oracles at sf0.01 only; the engine path is
-    # parameterized by sf_dir, the SQL text mirrors the same files
+def _oracle_file_layout(sf_dir_placeholder: str | None = None) -> str:
+    # parquet_file_metadata needs literal paths, so this oracle bakes in
+    # the gate's sf dir: the driver runs at sf0.01, and the local gate's
+    # override (SPARK_GRAFT_ORACLE_SF) is honored the same way
+    if sf_dir_placeholder is None:
+        sf_dir_placeholder = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+        ).rstrip("/")
     parts = [
         f"""SELECT '{t}' AS table_name,
        regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
