@@ -658,3 +658,19 @@ def test_negative_sampling_no_global_window(spark):
     assert "Window" in p, p
     assert "Exchange SinglePartition" not in p, p
     assert "Join" not in p, p
+
+
+def test_text_normalize_no_shuffle(spark):
+    """The cleaning pass is pure per-row string work: no exchange."""
+    p = plan(spark, _q(spark, "text_normalize"))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Join" not in p, p
+
+
+def test_equidepth_histogram_edges_broadcast(spark):
+    """The 1-row decile-edge aggregate must broadcast back over the scan
+    (the only nested-loop allowed); bin counting partial-aggregates."""
+    p = plan(spark, _q(spark, "equidepth_histogram"))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p, p

@@ -680,7 +680,76 @@ ORDER BY l_returnflag
 """
 
 
+_EQUIDEPTH_BINS = 10
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of l_extendedprice: bin edges at the exact
+    global deciles, so every bin holds ~10% of rows — the distribution
+    profile optimizers and drift monitors actually want (equi-WIDTH bins
+    — q_value_histogram — put 90% of a skewed column in one bucket).
+
+    Two-pass shape like quality_percentile_filter: a 1-row exact-decile
+    aggregate broadcast back over the scan; the bin index is an integer
+    sum of (value > edge) comparisons, so assignment is exact and
+    engine-portable (ties at an edge all land on the same side). At
+    100 TB the edge pass becomes approx_percentile — same plan, sketch
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [i / _EQUIDEPTH_BINS for i in range(1, _EQUIDEPTH_BINS)]
+    edges = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q})").alias(f"e{i}")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+    j = li.select("l_extendedprice").crossJoin(F.broadcast(edges))
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col(f"e{i}")).cast("int")
+        for i in range(1, _EQUIDEPTH_BINS)
+    )
+    return (
+        j.groupBy(bucket.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _oracle_equidepth() -> str:
+    qs = [i / _EQUIDEPTH_BINS for i in range(1, _EQUIDEPTH_BINS)]
+    edge_cols = ",\n         ".join(
+        f"quantile_cont(l_extendedprice, {q}) AS e{i}"
+        for i, q in enumerate(qs, 1)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN l_extendedprice > e{i} THEN 1 ELSE 0 END"
+        for i in range(1, _EQUIDEPTH_BINS)
+    )
+    return f"""
+WITH edges AS (
+  SELECT {edge_cols}
+  FROM lineitem)
+SELECT ({bucket})::INT AS bin,
+       count(*) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM lineitem, edges
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "equidepth_histogram",
+        q_equidepth_histogram,
+        _oracle_equidepth(),
+        ("stats", "quantile", "profile"),
+    ),
     QuerySpec("weighted_median", q_weighted_median, ORACLE_WEIGHTED_MEDIAN, ("stats", "quantile")),
     QuerySpec("ingest_anomaly", q_ingest_anomaly, ORACLE_INGEST_ANOMALY, ("stats", "quality", "ops")),
     QuerySpec("ols_trend", q_ols_trend, ORACLE_OLS_TREND, ("stats", "trend")),

@@ -965,7 +965,70 @@ ORDER BY source
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the cleaning pass every corpus
+    goes through before dedup/tokenization: lowercase, strip
+    non-alphanumerics, collapse whitespace runs, trim. Emits the
+    normalized text plus change accounting (chars removed, whether the
+    doc changed at all) so the pipeline can monitor how destructive the
+    pass is per batch.
+
+    Pure per-row string expressions (no shuffle). Exactness notes: the
+    punct-strip character class is written explicitly ([^a-z0-9 ])
+    rather than via POSIX classes, because Java regex and RE2 disagree
+    on [[:punct:]] membership; Spark's regexp_replace is global by
+    default where DuckDB needs the 'g' flag.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t1 = F.lower(F.col("text"))
+    d = docs.select("doc_id", F.col("text"), t1.alias("t1"))
+    d = d.select(
+        "doc_id",
+        "text",
+        "t1",
+        F.regexp_replace(F.col("t1"), "[^a-z0-9 ]", "").alias("t2"),
+    )
+    d = d.select(
+        "doc_id",
+        "text",
+        "t1",
+        "t2",
+        F.trim(F.regexp_replace(F.col("t2"), " +", " ")).alias("norm"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("norm").alias("norm_text"),
+        F.length("norm").alias("norm_len"),
+        (F.length("t1") - F.length("t2")).alias("n_stripped"),
+        (F.col("text") != F.col("norm")).alias("changed"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id, text, lower(text) AS t1,
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t2
+  FROM documents),
+n AS (
+  SELECT doc_id, text, t1, t2,
+         trim(regexp_replace(t2, ' +', ' ', 'g')) AS norm
+  FROM d)
+SELECT doc_id,
+       norm AS norm_text,
+       length(norm)::INT AS norm_len,
+       (length(t1) - length(t2))::INT AS n_stripped,
+       text <> norm AS changed
+FROM n
+"""
+
+
 TEXT_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "text_normalize",
+        q_text_normalize,
+        ORACLE_TEXT_NORMALIZE,
+        ("ext", "text", "cleaning"),
+    ),
     QuerySpec(
         "quality_percentile_filter",
         q_quality_percentile_filter,

@@ -783,7 +783,101 @@ UNION ALL SELECT * FROM expired_views
 # by the GroupState API in q_streaming_stateful_user_stats; the
 # transformWithState variant is a drop-in swap where protobuf exists.
 
+def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful window aggregations in one streaming query
+    (Spark 3.4+ multiple-stateful-operator support): 15-minute tumbling
+    counts per event type, re-aggregated into hourly totals/max/slot
+    counts by windowing OVER THE WINDOW COLUMN of the first aggregate —
+    the two-tier rollup (fine-grained + coarse alert tier) that
+    previously required two separate queries and an intermediate topic.
+
+    Append mode is mandatory for chained stateful ops, so emission is
+    watermark-gated: replayed in two microbatches (everything-but-latest
+    then the latest event) so the final watermark reaches
+    wmF = max(ts) - 10min and every hourly window whose END <= wmF
+    flushes. The oracle states exactly that set closed-form. VERSION
+    CAVEAT (same class as q_streaming_late_data): the <=-at-the-boundary
+    is engine behavior verified on this Spark; re-derive on upgrade.
+    """
+    import os
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
+    stream_dir = _replay_batches(
+        f"chain_{sf}",
+        [
+            ev.filter(F.col("event_id") != latest["event_id"]),
+            ev.filter(F.col("event_id") == latest["event_id"]),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    c15 = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    hourly = c15.groupBy(
+        F.window(F.col("window"), "1 hour"), "event_type"
+    ).agg(
+        F.sum("n").alias("total_n"),
+        F.max("n").alias("max_slot_n"),
+        F.count("*").alias("n_slots"),
+    )
+    name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        "total_n",
+        "max_slot_n",
+        "n_slots",
+    )
+
+
+ORACLE_STREAMING_CHAINED = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+c15 AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS slot, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+hourly AS (
+  SELECT CAST(date_trunc('hour', slot) AS TIMESTAMP) AS hour_start,
+         event_type,
+         sum(n)::BIGINT AS total_n,
+         max(n)::BIGINT AS max_slot_n,
+         count(*) AS n_slots
+  FROM c15 GROUP BY 1, 2)
+SELECT hour_start, event_type, total_n, max_slot_n, n_slots
+FROM hourly, m
+WHERE hour_start + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "streaming_chained_windows",
+        q_streaming_chained_windows,
+        ORACLE_STREAMING_CHAINED,
+        ("ext", "streaming", "chained"),
+    ),
     QuerySpec(
         "streaming_outer_join",
         q_streaming_outer_join,
