@@ -414,7 +414,61 @@ FROM s
 """
 
 
+def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact IMAGE dedup by content digest — the first pass every image
+    corpus runs (byte-identical files are the dominant duplicate class):
+    synthesize the BMP payloads (same derivation as q_multimodal_decode),
+    hash the raw bytes JVM-side with sha2 (the binary column never
+    reaches Python again after the encode stage), and group on the
+    32-byte digest. Shuffle carries (digest, doc_id) only — never
+    payloads — which is what makes this viable when the payload column
+    is petabytes.
+
+    Oracle: the payload is a bijection of the (w, h, color) hash triple,
+    so DuckDB groups on the closed-form triple — equal group statistics
+    without ever building a BMP.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = P.h1(F.col("text"))
+    src = docs.select(
+        "doc_id",
+        (h % 64 + 8).cast("int").alias("w"),
+        (h % 48 + 8).cast("int").alias("h"),
+        (h % 256).cast("int").alias("color"),
+    )
+    images = src.mapInPandas(encode_batch, _ENCODE_SCHEMA)
+    return (
+        images.select(F.sha2("payload", 256).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+ORACLE_MULTIMODAL_IMAGE_DEDUP = f"""
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM (
+  SELECT doc_id,
+         {P.sql_h1("text")} % 64 AS w,
+         {P.sql_h1("text")} % 48 AS h,
+         {P.sql_h1("text")} % 256 AS color
+  FROM documents)
+GROUP BY w, h, color
+HAVING count(*) >= 2
+"""
+
+
 MULTIMODAL_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "multimodal_image_dedup",
+        q_multimodal_image_dedup,
+        ORACLE_MULTIMODAL_IMAGE_DEDUP,
+        ("ext", "multimodal", "dedup", "udf"),
+    ),
     QuerySpec(
         "multimodal_audio",
         q_multimodal_audio,
