@@ -123,7 +123,73 @@ FROM nodes n LEFT JOIN edges e ON n.blk = e.blk
 """
 
 
+def q_er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive entity MERGE groups: a fuzzy match is an equivalence
+    edge, so A~B and B~C must land A, B, C in one cluster even when
+    levenshtein(A, C) exceeds the pair threshold — the step that turns
+    pairwise candidates into actual merge decisions. Reuses the dedup
+    family's distributed connected components (min-label propagation +
+    pointer jumping, O(log diameter) rounds) over the candidate edges;
+    labels here are name STRINGS (min = lexicographic), which the
+    propagation is agnostic to. Output: one row per multi-name cluster
+    with its canonical (min) name, variant count, and how many part
+    records the merge would consolidate."""
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        propagate_components,
+    )
+
+    pairs = q_er_fuzzy_candidates(spark, sf_dir).select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    comp = propagate_components(pairs)
+    parts = load_table(spark, sf_dir, "part")
+    names = parts.groupBy("p_name").agg(F.count("*").alias("n"))
+    j = comp.join(names, comp.doc_id == names.p_name)
+    return (
+        j.groupBy(F.col("component").alias("canonical_name"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.sum("n").alias("n_records"),
+        )
+        .orderBy("canonical_name")
+    )
+
+
+ORACLE_ER_ENTITY_CLUSTERS = f"""
+WITH RECURSIVE names AS (
+  SELECT p_name, count(*) AS n FROM part GROUP BY p_name
+),
+b AS (SELECT p_name, n, split_part(p_name, ' ', 1) AS blk FROM names),
+pairs AS (
+  SELECT a.p_name AS name_a, c.p_name AS name_b
+  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+  WHERE levenshtein(a.p_name, c.p_name) BETWEEN 1 AND {ER_MAX_DIST}
+),
+nodes AS (SELECT name_a AS node FROM pairs UNION SELECT name_b FROM pairs),
+edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+          UNION SELECT name_b, name_a FROM pairs),
+cc(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node)
+SELECT component AS canonical_name,
+       count(*) AS n_variants,
+       sum(n)::BIGINT AS n_records
+FROM comp JOIN names ON node = p_name
+GROUP BY component
+ORDER BY component
+"""
+
+
 ER_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "er_entity_clusters",
+        q_er_entity_clusters,
+        ORACLE_ER_ENTITY_CLUSTERS,
+        ("ext", "er", "graph"),
+    ),
     QuerySpec(
         "er_fuzzy_candidates",
         q_er_fuzzy_candidates,
