@@ -361,16 +361,11 @@ FROM e
 # ---------------------------------------------------------------------------
 
 
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel with per-step time caps: first 'view',
-    then a 'click' within 24 h of it, then a 'purchase' within 72 h of
-    that click (strict event-time order). Each stage is a
-    groupBy(user_id) min-timestamp plus a filter-join against the
-    previous stage — after the first shuffle all joins are
-    co-partitioned on user_id, and the stage tables only shrink, so AQE
-    broadcasts them. Hour-unit intervals sidestep DuckDB's
-    MONTH==30-DAY interval-equality CSE trap (see verify notes)."""
-    events = load_table(spark, sf_dir, "events")
+def _funnel_stages(events: DataFrame):
+    """The funnel's stage tables, defined ONCE: (first view, first
+    qualifying click within 24 h, first qualifying purchase within
+    72 h) per user — shared by the funnel counts and the
+    time-to-convert percentiles so the two queries cannot drift."""
     v = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -396,6 +391,33 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
+    return v, c, p
+
+
+# the same stage definitions as DuckDB CTE text, shared by both oracles
+_SQL_FUNNEL_CTES = """v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL 24 HOUR GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 72 HOUR GROUP BY e.user_id)"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with per-step time caps: first 'view',
+    then a 'click' within 24 h of it, then a 'purchase' within 72 h of
+    that click (strict event-time order). Each stage is a
+    groupBy(user_id) min-timestamp plus a filter-join against the
+    previous stage — after the first shuffle all joins are
+    co-partitioned on user_id, and the stage tables only shrink, so AQE
+    broadcasts them. Hour-unit intervals sidestep DuckDB's
+    MONTH==30-DAY interval-equality CSE trap (see verify notes)."""
+    events = load_table(spark, sf_dir, "events")
+    v, c, p = _funnel_stages(events)
 
     def _stage(df: DataFrame, stage: int, step: str) -> DataFrame:
         return df.agg(F.count("*").cast("long").alias("n_users")).select(
@@ -411,23 +433,63 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EVENT_FUNNEL = """
-WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
-c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
-      JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.v_ts
-        AND e.ts <= v.v_ts + INTERVAL 24 HOUR GROUP BY e.user_id),
-p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
-      JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
-        AND e.ts <= c.c_ts + INTERVAL 72 HOUR GROUP BY e.user_id)
+ORACLE_EVENT_FUNNEL = f"""
+WITH {_SQL_FUNNEL_CTES}
 SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
        (SELECT count(*) FROM v) AS n_users
 UNION ALL
 SELECT CAST(2 AS INTEGER), 'view>click', (SELECT count(*) FROM c)
 UNION ALL
 SELECT CAST(3 AS INTEGER), 'view>click>purchase', (SELECT count(*) FROM p)
+"""
+
+
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY percentiles per funnel transition — the other
+    half of the funnel report: not just how many users advance, but how
+    long each step takes (p25/p50/p75). Shares the stage tables with
+    ``q_event_funnel`` via ``_funnel_stages`` (one definition, two
+    reports). Latencies are exact integer microsecond diffs; the
+    percentiles are the same type-7 interpolation the oracle's
+    quantile_cont uses, and the micros→seconds conversion is one double
+    division on identical operands."""
+    events = load_table(spark, sf_dir, "events")
+    v, c, p = _funnel_stages(events)
+    # NTZ -> timestamp is the identity under the session's pinned UTC
+    def _us(col):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    vc = c.join(v, "user_id").select((_us("c_ts") - _us("v_ts")).alias("lat"))
+    cp = p.join(c, "user_id").select((_us("p_ts") - _us("c_ts")).alias("lat"))
+
+    def _stats(df: DataFrame, transition: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_users"),
+            (F.expr("percentile(lat, 0.25)") / 1e6).alias("p25_sec"),
+            (F.expr("percentile(lat, 0.5)") / 1e6).alias("p50_sec"),
+            (F.expr("percentile(lat, 0.75)") / 1e6).alias("p75_sec"),
+        ).select(F.lit(transition).alias("transition"), "*")
+
+    return _stats(vc, "view>click").unionByName(_stats(cp, "click>purchase"))
+
+
+ORACLE_FUNNEL_TIME_TO_CONVERT = f"""
+WITH {_SQL_FUNNEL_CTES},
+vc AS (SELECT epoch_us(c.c_ts) - epoch_us(v.v_ts) AS lat
+       FROM c JOIN v USING (user_id)),
+cp AS (SELECT epoch_us(p.p_ts) - epoch_us(c.c_ts) AS lat
+       FROM p JOIN c USING (user_id))
+SELECT 'view>click' AS transition, count(*) AS n_users,
+       quantile_cont(lat, 0.25) / 1e6 AS p25_sec,
+       quantile_cont(lat, 0.5) / 1e6 AS p50_sec,
+       quantile_cont(lat, 0.75) / 1e6 AS p75_sec
+FROM vc
+UNION ALL
+SELECT 'click>purchase', count(*),
+       quantile_cont(lat, 0.25) / 1e6,
+       quantile_cont(lat, 0.5) / 1e6,
+       quantile_cont(lat, 0.75) / 1e6
+FROM cp
 """
 
 
@@ -651,6 +713,12 @@ ANALYTIC_QUERIES = [
         q_event_funnel,
         ORACLE_EVENT_FUNNEL,
         ("events", "analytics", "funnel"),
+    ),
+    QuerySpec(
+        "funnel_time_to_convert",
+        q_funnel_time_to_convert,
+        ORACLE_FUNNEL_TIME_TO_CONVERT,
+        ("events", "analytics", "funnel", "quantile"),
     ),
     QuerySpec(
         "retention_cohorts",

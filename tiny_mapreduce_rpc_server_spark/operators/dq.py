@@ -101,7 +101,68 @@ ORDER BY check_name
 """
 
 
+_FRESHNESS_TABLES = (
+    ("events", "ts"),
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+)
+
+
+def q_dq_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per time-bearing table, the newest record
+    day, the table's row count, and how many rows landed in the trailing
+    7 days relative to that table's own horizon — the staleness signal a
+    pipeline checks before every training run (a stuck ingest shows up
+    as a stale max day or an empty trailing window).
+
+    One single-pass aggregate per table (min/max push into the parquet
+    footer statistics at scale); the trailing-window count rides the
+    same scan via a conditional aggregate against the max computed in a
+    1-row broadcast."""
+    parts = []
+    for t, col in _FRESHNESS_TABLES:
+        df = load_table(spark, sf_dir, t).select(
+            F.to_date(F.col(col)).alias("day")
+        )
+        mx = df.agg(F.max("day").alias("max_day"))
+        j = df.crossJoin(F.broadcast(mx))
+        parts.append(
+            j.agg(
+                F.lit(t).alias("table_name"),
+                F.min("day").alias("oldest_day"),
+                F.min("max_day").alias("newest_day"),
+                F.count("*").alias("n_rows"),
+                F.count(
+                    F.when(F.datediff(F.col("max_day"), F.col("day")) < 7, 1)
+                ).alias("n_last_7d"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy("table_name")
+
+
+ORACLE_DQ_FRESHNESS = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name,
+       min(CAST({col} AS DATE)) AS oldest_day,
+       max(CAST({col} AS DATE)) AS newest_day,
+       count(*) AS n_rows,
+       count(CASE WHEN date_diff('day', CAST({col} AS DATE),
+                    (SELECT max(CAST({col} AS DATE)) FROM {t})) < 7
+             THEN 1 END) AS n_last_7d
+FROM {t}"""
+    for t, col in _FRESHNESS_TABLES
+) + "\nORDER BY table_name"
+
+
 DQ_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "dq_freshness_check",
+        q_dq_freshness_check,
+        ORACLE_DQ_FRESHNESS,
+        ("ext", "dq", "ops"),
+    ),
     QuerySpec(
         "dq_constraint_check",
         q_dq_constraint_check,

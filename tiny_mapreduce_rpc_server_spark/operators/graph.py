@@ -393,7 +393,63 @@ LIMIT 20
 """
 
 
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree DISTRIBUTION of the supplier<->customer trade graph (same
+    edge derivation as q_graph_pagerank): per node side, how many nodes
+    have each neighbor count — the first profiling pass over any graph
+    (hubs here are the skew hazard every per-node graph algorithm must
+    budget for; this is the query that finds them). Two hash aggregates,
+    both partial-aggregated; output is bounded by the distinct degree
+    values, not the node count."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sup"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cus"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("sup").alias("node"))
+        .union(pairs.select(F.col("cus").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy(
+            F.substring("node", 1, 1).alias("side"), "degree"
+        )
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("side", "degree")
+    )
+
+
+ORACLE_GRAPH_DEGREE_STATS = """
+WITH pairs AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS sup,
+                  'c' || CAST(o_custkey AS VARCHAR) AS cus
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT sup AS node FROM pairs
+    UNION ALL
+    SELECT cus FROM pairs) GROUP BY node)
+SELECT substr(node, 1, 1) AS side, degree, count(*) AS n_nodes
+FROM deg
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 GRAPH_QUERIES = [
+    QuerySpec(
+        "graph_degree_stats",
+        q_graph_degree_stats,
+        ORACLE_GRAPH_DEGREE_STATS,
+        ("ext", "graph", "profile"),
+    ),
     QuerySpec(
         "dedup_components",
         q_dedup_components,
