@@ -121,15 +121,17 @@ _PRIORITY = [
     "streaming_sliding",
     "streaming_session_window",
     "streaming_dedup",
-    # --- 7 reference-§2-semantics re-pins: keep the core §2 surface
-    # continuously driver-verified every round ---
-    "wordcount",
-    "sum_by_key",
-    "sorted_group",
-    "linefile_wordcount",
-    "pandas_udaf_sum",
-    "python_udtf_words",
-    "sessionize",
+    # --- 7 more never-checked queries (from the 60 registered after the
+    # round-3 rotation was frozen), one per family, replacing the round-3
+    # plan's §2 re-pins: the §2 core already holds green driver rows in
+    # BOTH r1 and r3, so these slots buy net-new verified coverage ---
+    "gap_fill_interpolate",
+    "weighted_median",
+    "dedup_containment",
+    "er_fuzzy_candidates",
+    "graph_pagerank",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 # The window size is a hard coupling to the driver gate: adding or removing
