@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from tiny_mapreduce_rpc_server_spark import get_spark
 from tiny_mapreduce_rpc_server_spark.registry import all_queries
 
@@ -37,6 +39,13 @@ def main() -> None:
     if os.path.exists(smallest):
         spark.read.parquet(smallest).groupBy("r_regionkey").count().count()
     spark.range(2).mapInPandas(lambda it: it, "id long").count()
+    # sort-merge join + window codegen warm (observed: the first SMJ of a
+    # session costs ~2.5s extra regardless of which query runs it)
+    r = spark.range(64)
+    r.hint("merge").join(r.withColumnRenamed("id", "id2"), r.id == F.col("id2")).count()
+    from pyspark.sql import Window
+
+    r.select(F.sum("id").over(Window.orderBy("id"))).count()
 
     specs = [s for s in all_queries().values() if s.bench]
     timings: dict[str, float] = {}
