@@ -133,6 +133,134 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# Number of BPE merge rounds trained by q_bpe_train_merges. Fixed and
+# small so the oracle can unroll the same loop as chained CTEs.
+BPE_MERGE_ROUNDS = 6
+
+# Symbol-boundary markers for the merge-string representation. A word is
+# stored as "[t][h][e]"; merging (l, r) is then the LITERAL replacement
+# "[l][r]" -> "[lr]", whose occurrences can never share characters, so
+# both engines' left-to-right non-overlapping replace() implements exactly
+# the greedy merge rule BPE trainers use (for "a a a", one merge of (a,a)
+# yields [aa, a], not [aa, aa]).
+_BPE_L, _BPE_R = "[", "]"
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str):
+    """(word, count) over the corpus — the table real BPE trainers build
+    ONCE so the merge loop runs over word TYPES, not the 100 TB corpus.
+    Words containing the boundary markers are excluded (identically in
+    the oracle) so the bracket representation stays unambiguous."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(P.tokens(F.lower(F.col("text")))).alias("w"))
+        .where(~F.col("w").rlike(r"[\[\]]"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: ``BPE_MERGE_ROUNDS`` greedy merges.
+
+    The classic trainer loop (Sennrich et al. 2016), Spark-shaped:
+
+    - ONE corpus pass builds the (word, count) table; it is cached and
+      every round runs over word types weighted by count — the standard
+      trick that makes BPE training corpus-size-independent after the
+      first pass.
+    - Each round is a single partial/final hash aggregation over the
+      adjacent-symbol pairs of the type table (key space bounded by
+      |vocab|^2 but in practice tiny), and the argmax winner — an
+      aggregated SCALAR, like a k-means loss — is collected and folded
+      into the next round's plan as literals, keeping the per-round
+      lineage linear instead of exponentially branching.
+    - Ties break on (count DESC, lhs ASC, rhs ASC) so training is fully
+      deterministic; counts are exact integers.
+
+    Output: one row per merge step — the learned merge table.
+    """
+    wf = _bpe_word_freq(spark, sf_dir).cache()
+    vocab = wf.select(
+        F.regexp_replace("w", "(.)", f"{_BPE_L}$1{_BPE_R}").alias("s"), "cnt"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, BPE_MERGE_ROUNDS + 1):
+            sym = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\]\[")
+            pairs = (
+                vocab.where(F.size(sym) >= 2)
+                .select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(sym) - 1),
+                            lambda i: F.struct(
+                                F.element_at(sym, i).alias("lhs"),
+                                F.element_at(sym, i + 1).alias("rhs"),
+                            ),
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("cnt").alias("total"))
+            )
+            win = pairs.orderBy(F.desc("total"), "lhs", "rhs").limit(1).collect()
+            if not win:
+                break
+            lhs, rhs, total = win[0]["lhs"], win[0]["rhs"], win[0]["total"]
+            merges.append((step, lhs, rhs, lhs + rhs, int(total)))
+            vocab = vocab.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{_BPE_L}{lhs}{_BPE_R}{_BPE_L}{rhs}{_BPE_R}"),
+                    F.lit(f"{_BPE_L}{lhs}{rhs}{_BPE_R}"),
+                ),
+            )
+    finally:
+        wf.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_oracle() -> str:
+    """Unroll the identical merge loop as chained CTEs."""
+    ctes = [
+        "words AS (SELECT unnest({toks}) AS w FROM documents)".format(
+            toks=P.sql_tokens("lower(text)")
+        ),
+        "wf AS (SELECT w, count(*) AS cnt FROM words"
+        " WHERE NOT regexp_matches(w, '[\\[\\]]') GROUP BY w)",
+        "v0 AS (SELECT regexp_replace(w, '(.)', '[\\1]', 'g') AS s, cnt FROM wf)",
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        ctes.append(
+            f"c{r} AS (SELECT sym[i] AS lhs, sym[i+1] AS rhs, sum(cnt) AS total"
+            f" FROM (SELECT string_split(substr(s, 2, length(s) - 2), '][') AS sym,"
+            f" cnt FROM v{r - 1}) t, UNNEST(range(1, len(sym))) AS u(i)"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT lhs, rhs, total FROM c{r}"
+            f" ORDER BY total DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT replace(s, '[' || lhs || '][' || rhs || ']',"
+            f" '[' || lhs || rhs || ']') AS s, cnt FROM v{r - 1}, w{r})"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT {r} AS step, lhs, rhs, lhs || rhs AS merged,"
+        f" total AS pair_count FROM w{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT CAST(step AS INT) AS step, lhs, rhs, merged, CAST(pair_count AS BIGINT) AS pair_count FROM (" + steps + ") z"
+
+
+ORACLE_BPE_TRAIN_MERGES = _bpe_oracle()
+
+
 CHUNKING_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "doc_chunking",
@@ -145,5 +273,12 @@ CHUNKING_QUERIES: list[QuerySpec] = [
         q_bpe_pair_stats,
         ORACLE_BPE_PAIR_STATS,
         ("ext", "text", "tokenizer"),
+    ),
+    QuerySpec(
+        "bpe_train_merges",
+        q_bpe_train_merges,
+        ORACLE_BPE_TRAIN_MERGES,
+        ("ext", "text", "tokenizer"),
+        bench=True,
     ),
 ]

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 
@@ -186,6 +186,102 @@ SELECT d.source, count(*) AS n_kept, min(keep_buckets) AS keep_buckets
 FROM documents d JOIN rates USING (source)
 WHERE {_sql_bucket("doc_id")} < keep_buckets
 GROUP BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# rarity-bucketed mixing (log-free perplexity-style quality mix)
+# ---------------------------------------------------------------------------
+
+# keep rate (out of 100 hash buckets) per rarity quartile, 1 = rarest
+# vocabulary. Rare-token docs are kept whole; boilerplate-heavy docs are
+# aggressively downsampled — the standard rarity-aware pretraining mix.
+RARITY_KEEP = {1: 100, 2: 60, 3: 30, 4: 10}
+
+
+def q_rarity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix the corpus by token-rarity quartile.
+
+    Per-doc score = mean corpus frequency of its token occurrences — an
+    integer-exact surrogate for perplexity under a unigram LM (low mean
+    frequency = rare vocabulary = high perplexity) that needs NO ln/exp,
+    so it is bit-identical across engines: sum(corpus_cnt) is an integer
+    aggregation and the single double division is correctly-rounded IEEE.
+
+    Scale shape: token counts are one hash aggregate; the occurrence->
+    count join shuffles on the token key (AQE handles the skewed head);
+    quartile THRESHOLDS are three aggregated scalars broadcast back, so
+    bucket assignment and the keep-filter are pure map-side comparisons —
+    no global sort, unlike an ntile() over the whole corpus, which would
+    funnel 100 TB through one partition.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "doc_id", F.explode(P.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cnts = occ.groupBy("w").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        occ.join(cnts, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("mass"), F.count("*").alias("n_toks"))
+        .select("doc_id", (F.col("mass") / F.col("n_toks")).alias("commonness"))
+    )
+    thresholds = per_doc.agg(
+        F.expr("percentile(commonness, 0.25)").alias("t1"),
+        F.expr("percentile(commonness, 0.5)").alias("t2"),
+        F.expr("percentile(commonness, 0.75)").alias("t3"),
+    )
+    bucket = (
+        F.when(F.col("commonness") <= F.col("t1"), 1)
+        .when(F.col("commonness") <= F.col("t2"), 2)
+        .when(F.col("commonness") <= F.col("t3"), 3)
+        .otherwise(4)
+    )
+    keep = F.create_map(
+        *[F.lit(x) for kv in RARITY_KEEP.items() for x in kv]
+    )[bucket]
+    assigned = per_doc.join(F.broadcast(thresholds)).select(
+        "doc_id",
+        "commonness",
+        bucket.alias("rarity_bucket"),
+        (_bucket(F.col("doc_id")) < keep).alias("kept"),
+    )
+    return assigned.groupBy("rarity_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.min("commonness").alias("min_commonness"),
+        F.max("commonness").alias("max_commonness"),
+    )
+
+
+_RARITY_CASE = (
+    "CASE WHEN commonness <= t1 THEN 1 WHEN commonness <= t2 THEN 2 "
+    "WHEN commonness <= t3 THEN 3 ELSE 4 END"
+)
+_RARITY_KEEP_CASE = "CASE rb " + " ".join(
+    f"WHEN {b} THEN {r}" for b, r in RARITY_KEEP.items()
+) + " END"
+
+ORACLE_RARITY_BUCKET_MIX = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({P.sql_tokens("lower(text)")}) AS w FROM documents),
+cnts AS (SELECT w, count(*) AS cnt FROM occ GROUP BY w),
+per_doc AS (
+  SELECT doc_id, sum(cnt) / count(*) AS commonness
+  FROM occ JOIN cnts USING (w) GROUP BY doc_id),
+th AS (SELECT quantile_cont(commonness, 0.25) AS t1,
+              quantile_cont(commonness, 0.5)  AS t2,
+              quantile_cont(commonness, 0.75) AS t3 FROM per_doc),
+assigned AS (
+  SELECT doc_id, commonness, {_RARITY_CASE} AS rb
+  FROM per_doc, th)
+SELECT rb AS rarity_bucket, count(*) AS n_docs,
+       CAST(sum(CASE WHEN {_sql_bucket("doc_id")} < {_RARITY_KEEP_CASE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       min(commonness) AS min_commonness,
+       max(commonness) AS max_commonness
+FROM assigned
+GROUP BY rb
 """
 
 
@@ -471,6 +567,12 @@ SAMPLING_QUERIES: list[QuerySpec] = [
         ("ext", "sampling", "dedup", "quality"),
     ),
     QuerySpec("temperature_mix", temperature_mix, ORACLE_TEMPERATURE_MIX, ("ext", "sampling", "mixing")),
+    QuerySpec(
+        "rarity_bucket_mix",
+        q_rarity_bucket_mix,
+        ORACLE_RARITY_BUCKET_MIX,
+        ("ext", "sampling", "mixing", "text"),
+    ),
     QuerySpec("sequence_packing", sequence_packing, ORACLE_SEQUENCE_PACKING, ("ext", "sampling", "packing")),
     QuerySpec("sample_hash_bucket", sample_hash_bucket, ORACLE_SAMPLE, ("ext", "sampling")),
     QuerySpec("train_val_test_split", train_val_test_split, ORACLE_SPLIT, ("ext", "sampling")),

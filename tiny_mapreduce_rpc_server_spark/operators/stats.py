@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import dsum
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 
@@ -743,7 +744,121 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+CMS_TOP_K = 20
+
+
+def _cms_bucket(h, j: int):
+    """Row-j bucket for a token hash ``h`` (pairwise-independent affine
+    family over the portable h1, same constants as the minhash perms)."""
+    a, b = 2 * j + 3, (j * j * 7919 + 31) % P.M2
+    return ((h * a + b) % P.M31) % CMS_WIDTH
+
+
+def _sql_cms_bucket(expr: str, j: int) -> str:
+    a, b = 2 * j + 3, (j * j * 7919 + 31) % P.M2
+    return f"((({expr}) * {a} + {b}) % {P.M31}) % {CMS_WIDTH}"
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch over corpus tokens, evaluated
+    against exact truth for the top-{K} tokens.
+
+    The sketch is the 100 TB path for frequency estimation: its state is
+    DEPTH x WIDTH counters regardless of vocabulary size, built by ONE
+    explode -> hash-aggregate whose key space is {DEPTH*WIDTH} cells, so
+    virtually everything collapses in the map-side partial aggregate (an
+    exact per-token count shuffles every distinct token instead). The
+    hash rows use the repo's engine-portable h1 + affine family, so the
+    DuckDB oracle reproduces every counter exactly — the sketch itself is
+    oracle-checked, not just its row count.
+
+    Output: top-{K} tokens by true count with their CMS estimate and the
+    (always >= 0) collision overestimate. The exact top-K pass exists for
+    the evaluation; a production pipeline would ship only the sketch.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(P.tokens(F.lower(F.col("text")))).alias("w"))
+    # h1 materialized into its own projection so the char-fold runs once
+    # per token, not once per sketch row
+    hashed = toks.select(P.h1(F.col("w")).alias("h"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_bucket(F.col("h"), j).alias("b")
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        hashed.select(F.explode(buckets).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    true_top = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "w")
+        .limit(CMS_TOP_K)
+    )
+    probes = (
+        true_top.select("w", "true_cnt", P.h1(F.col("w")).alias("h"))
+        .select("w", "true_cnt", F.explode(buckets).alias("c"))
+        .select("w", "true_cnt", F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy(F.col("w").alias("token"), "true_cnt")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+        .select(
+            "token",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def _oracle_heavy_hitters_cms() -> str:
+    js = ", ".join(str(j) for j in range(CMS_DEPTH))
+    build_b = " ".join(
+        f"WHEN {j} THEN {_sql_cms_bucket('h', j)}" for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({P.sql_tokens("lower(text)")}) AS w FROM documents),
+hashed AS (SELECT {P.sql_h1("w")} AS h FROM toks),
+cells AS (
+  SELECT j, CASE j {build_b} END AS b, count(*) AS cell_cnt
+  FROM hashed, UNNEST([{js}]) AS u(j)
+  GROUP BY 1, 2),
+tt AS (SELECT w, count(*) AS true_cnt FROM toks GROUP BY w
+       ORDER BY true_cnt DESC, w LIMIT {CMS_TOP_K}),
+probes AS (
+  SELECT w, true_cnt, j, CASE j {build_b} END AS b
+  FROM (SELECT w, true_cnt, {P.sql_h1("w")} AS h FROM tt) th,
+       UNNEST([{js}]) AS u(j))
+SELECT w AS token, true_cnt, min(cell_cnt) AS est_cnt,
+       min(cell_cnt) - true_cnt AS overestimate
+FROM probes JOIN cells USING (j, b)
+GROUP BY 1, 2
+"""
+
+
+ORACLE_HEAVY_HITTERS_CMS = _oracle_heavy_hitters_cms()
+
+
 STATS_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "heavy_hitters_cms",
+        q_heavy_hitters_cms,
+        ORACLE_HEAVY_HITTERS_CMS,
+        ("ext", "stats", "sketch", "text"),
+    ),
     QuerySpec(
         "equidepth_histogram",
         q_equidepth_histogram,
