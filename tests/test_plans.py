@@ -674,3 +674,31 @@ def test_equidepth_histogram_edges_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p, p
     assert "partial_count" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_dedup_incremental_broadcasts_incoming_only(spark):
+    """The incoming batch's band keys must be the broadcast side; the
+    existing corpus's index is scanned, never cross-joined."""
+    p = plan(spark, _q(spark, "dedup_incremental"))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_heavy_hitters_cms_sketch_broadcast_and_partial_agg(spark):
+    """Sketch cells (DEPTH*WIDTH rows) broadcast to the probe side, and
+    the cell counting collapses in a map-side partial aggregate."""
+    p = plan(spark, _q(spark, "heavy_hitters_cms"))
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_rarity_bucket_mix_no_global_sort(spark):
+    """Quartile assignment must come from broadcast thresholds, not a
+    corpus-wide ntile: no single-partition exchange in the plan."""
+    p = plan(spark, _q(spark, "rarity_bucket_mix"))
+    # the 3-scalar threshold aggregate is the only single-partition
+    # funnel allowed; the corpus itself must never pass through one
+    assert p.count("Exchange SinglePartition") <= 1, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p

@@ -25,7 +25,7 @@ DuckDB oracle reproduces every signature bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
@@ -417,20 +417,14 @@ WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= {JACCARD_VERIFY}
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(4 bands x 4 rows) near-dup, exact-verified.
-
-    Pipeline: per-row shingle -> minhash signature (array math, no
-    shuffle) -> explode 4 band keys, hashed to ONE bigint
-    (xxhash64(band, key)) -> self-join on the 8-byte bucket key
-    (candidates) -> fetch the two docs' shingle arrays for the (small)
-    candidate set only -> verify exact shingle Jaccard via
-    array_intersect. The band shuffle carries only (bucket, doc_id) —
-    never the shingle arrays — and signature computation is
-    embarrassingly parallel; this is the shape that survives 100 TB."""
-    ds = _doc_shingles(spark, sf_dir).cache()
+def _band_keys(ds: DataFrame) -> DataFrame:
+    """(doc_id, bk) LSH band-bucket keys of a shingled corpus: per-row
+    minhash signature (array math, no shuffle), then the 4 band keys
+    hashed to ONE bigint (xxhash64(band, key)) so the band shuffle
+    carries an 8-byte key, never the shingle arrays."""
     th = F.transform(F.col("shingles"), lambda s: P.h1(s))
     sigs = ds.select("doc_id", th.alias("th"))
+
     def _perm_fn(i: int):
         # closure factory (a `lambda x, i=i:` default would break PySpark's
         # higher-order-function arity introspection)
@@ -456,9 +450,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    ex = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.xxhash64("bk.band", "bk.key").alias("bk")
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) near-dup, exact-verified.
+
+    Pipeline: per-row shingle -> minhash signature (array math, no
+    shuffle) -> explode 4 band keys, hashed to ONE bigint
+    (xxhash64(band, key)) -> self-join on the 8-byte bucket key
+    (candidates) -> fetch the two docs' shingle arrays for the (small)
+    candidate set only -> verify exact shingle Jaccard via
+    array_intersect. The band shuffle carries only (bucket, doc_id) —
+    never the shingle arrays — and signature computation is
+    embarrassingly parallel; this is the shape that survives 100 TB."""
+    ds = _doc_shingles(spark, sf_dir).cache()
+    ex = _band_keys(ds)
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(
@@ -521,6 +530,94 @@ verified AS (
   JOIN ds sa ON sa.doc_id = doc_a
   JOIN ds sb ON sb.doc_id = doc_b)
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_VERIFY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental (incoming-batch vs existing-corpus) near-dup
+# ---------------------------------------------------------------------------
+
+# deterministic batch split: ~20% of docs play the "incoming batch",
+# the rest the already-ingested corpus (same portable hash-bucket rule
+# as the sampling module's splits)
+INCR_INCOMING_FROM = 80
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: which INCOMING documents near-dup an
+    EXISTING document (MinHash-LSH candidates, exact-Jaccard verified)?
+
+    This is the shape a production pipeline runs every batch: the
+    existing corpus's band keys are a precomputed index (here: derived in
+    the same plan; on a real lake they'd be a persisted table keyed by
+    bucket), and the incoming batch — orders of magnitude smaller — is
+    BROADCAST against one scan of that index, so no shuffle of the
+    existing corpus happens at all. Incoming-vs-incoming pairs are
+    deliberately out of scope (they get deduped when their batch lands).
+
+    Output: one row per incoming doc that collides, with its best
+    existing match (highest jaccard, ties to the lowest existing id).
+    """
+    ds = _doc_shingles(spark, sf_dir).cache()
+    incoming_pred = (P.h1(F.col("doc_id").cast("string")) % 100) >= INCR_INCOMING_FROM
+    bk = _band_keys(ds)
+    inc_keys = bk.filter(incoming_pred)
+    ex_keys = bk.filter(~incoming_pred)
+    cand = (
+        F.broadcast(inc_keys.alias("i"))
+        .join(ex_keys.alias("e"), F.col("i.bk") == F.col("e.bk"))
+        .select(
+            F.col("i.doc_id").alias("doc_new"),
+            F.col("e.doc_id").alias("doc_old"),
+        )
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    dn = ds.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("shn"))
+    do = ds.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sho"))
+    inter = F.size(F.array_intersect("shn", "sho"))
+    jac = inter / (F.size("shn") + F.size("sho") - inter)
+    verified = (
+        F.broadcast(cand)
+        .join(dn, "doc_new")
+        .join(do, "doc_old")
+        .select("doc_new", "doc_old", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_VERIFY)
+    )
+    w = Window.partitionBy("doc_new").orderBy(F.desc("jaccard"), F.asc("doc_old"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_new", "doc_old", "jaccard")
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH ds AS ({_SQL_SHINGLES}),
+th AS (SELECT doc_id, shingles, list_transform(shingles, s -> {P.sql_h1("s")}) AS th FROM ds),
+sigs AS (
+  SELECT doc_id, shingles,
+         {_sql_minhash_sig()}
+  FROM th),
+ex AS ({_sql_bands_union()}),
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_new, e.doc_id AS doc_old
+  FROM ex i JOIN ex e ON i.band = e.band AND i.key = e.key
+  WHERE ({P.sql_h1("CAST(i.doc_id AS VARCHAR)")} % 100) >= {INCR_INCOMING_FROM}
+    AND ({P.sql_h1("CAST(e.doc_id AS VARCHAR)")} % 100) < {INCR_INCOMING_FROM}),
+verified AS (
+  SELECT doc_new, doc_old,
+         CAST(len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE)
+           / (len(sn.shingles) + len(so.shingles)
+              - len(list_intersect(sn.shingles, so.shingles))) AS jaccard
+  FROM cand
+  JOIN ds sn ON sn.doc_id = doc_new
+  JOIN ds so ON so.doc_id = doc_old),
+ranked AS (
+  SELECT doc_new, doc_old, jaccard,
+         row_number() OVER (PARTITION BY doc_new
+                            ORDER BY jaccard DESC, doc_old ASC) AS rn
+  FROM verified WHERE jaccard >= {JACCARD_VERIFY})
+SELECT doc_new, doc_old, jaccard FROM ranked WHERE rn = 1
 """
 
 
@@ -1062,6 +1159,7 @@ DEDUP_QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("ext", "dedup"), bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("ext", "dedup"), bench=True),
+    QuerySpec("dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL, ("ext", "dedup", "incremental")),
     QuerySpec("text_simhash", q_text_simhash, ORACLE_TEXT_SIMHASH, ("ext", "dedup")),
     QuerySpec("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH, ("ext", "dedup")),
     QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("ext", "dedup", "embedding"), bench=True),
