@@ -388,7 +388,95 @@ SELECT * FROM jl UNION ALL SELECT * FROM ji
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the compression step in front of IVF/PQ search)
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255  # uint8 codes 0..255
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization with a reconstruction-error
+    audit — the memory-compression pass in front of large-scale ANN (a
+    64-dim float32 corpus shrinks 4x; recall loss is bounded by the
+    per-dim error this query measures).
+
+    Two passes, both scale-safe: (1) per-dim min/max — one posexplode ->
+    (pos) aggregate producing dims-many rows; (2) the 64-row stats table
+    BROADCASTS back over a second scan, each value is coded as
+    ``round((x - vmin) / scale)`` and reconstructed, and the per-dim
+    error aggregates. All per-row math is IEEE +,-,*,/ and round on
+    nonnegative operands (HALF_UP == away-from-zero there), so both
+    engines produce bit-identical codes; the reported errors are a MAX
+    (a pick) and a decimal-exact mean of per-row doubles.
+
+    Constant dimensions (vmax == vmin) code to 0 and reconstruct
+    exactly."""
+    from tiny_mapreduce_rpc_server_spark.functions import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    stats = ex.groupBy("pos").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / QUANT_LEVELS
+    coded = (
+        ex.join(F.broadcast(stats), "pos")
+        .withColumn("scale", scale)
+        .withColumn(
+            "q",
+            F.when(
+                F.col("scale") > 0,
+                F.round((F.col("x") - F.col("vmin")) / F.col("scale"), 0),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("int"),
+        )
+        .withColumn(
+            "err",
+            F.abs(F.col("x") - (F.col("vmin") + F.col("q") * F.col("scale"))),
+        )
+    )
+    return coded.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.max("err").alias("max_abs_err"),
+        davg("err", "mean_abs_err"),
+        F.countDistinct("q").alias("n_codes"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM e),
+stats AS (SELECT pos, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY pos),
+coded AS (
+  SELECT ex.pos, x, vmin, vmax,
+         (vmax - vmin) / {QUANT_LEVELS} AS scale,
+         CASE WHEN (vmax - vmin) / {QUANT_LEVELS} > 0
+              THEN CAST(round((x - vmin) / ((vmax - vmin) / {QUANT_LEVELS}), 0) AS INT)
+              ELSE 0 END AS q
+  FROM ex JOIN stats USING (pos))
+SELECT pos, count(*) AS n, min(vmin) AS vmin, max(vmax) AS vmax,
+       max(abs(x - (vmin + q * scale))) AS max_abs_err,
+       CAST(sum(CAST(abs(x - (vmin + q * scale)) AS DECIMAL(38,6))) AS DOUBLE)
+         / count(*) AS mean_abs_err,
+       count(DISTINCT q) AS n_codes
+FROM coded
+GROUP BY pos
+"""
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "embedding_quantize",
+        q_embedding_quantize,
+        ORACLE_EMBEDDING_QUANTIZE,
+        ("ext", "similarity", "quantization"),
+    ),
     QuerySpec(
         "ann_eval_recall",
         q_ann_eval_recall,
