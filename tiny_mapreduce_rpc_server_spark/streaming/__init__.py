@@ -871,7 +871,70 @@ WHERE hour_start + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
 """
 
 
+def q_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike detection over a live stream: tumbling-hour counts per
+    event_type run as a real streaming aggregation (watermark + window,
+    complete mode), and the memory sink's table is post-processed with a
+    lag window to flag hours whose count more than doubled the previous
+    hour — the streaming-agg -> downstream-ranking split every
+    monitoring pipeline uses (ranking/lag aren't streaming-expressible
+    operators, so they belong on the sink side by construction).
+
+    Spike rule is integer-only (n > 2 * prev_n) — no float ratios to
+    disagree on. First hour per type has no predecessor: prev_n = 0,
+    spike by definition iff n > 0 (matches the oracle's coalesce)."""
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_trending_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.table(name).select(
+        F.col("window.start").alias("hour_start"), "event_type", "n"
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    return sunk.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.coalesce(F.lag("n").over(w), F.lit(0)).alias("prev_n"),
+    ).withColumn("is_spike", F.col("n") > 2 * F.col("prev_n"))
+
+
+ORACLE_STREAMING_TRENDING = """
+WITH agg AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT hour_start, event_type, n,
+       coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY hour_start), 0)
+         AS prev_n,
+       n > 2 * coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY hour_start), 0)
+         AS is_spike
+FROM agg
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "streaming_trending",
+        q_streaming_trending,
+        ORACLE_STREAMING_TRENDING,
+        ("ext", "streaming", "monitoring"),
+    ),
     QuerySpec(
         "streaming_chained_windows",
         q_streaming_chained_windows,
