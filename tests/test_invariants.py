@@ -362,3 +362,62 @@ def test_streaming_full_outer_join_min_watermark_at_sparse_sf(spark):
         ORACLE_STREAMING_FULL_OUTER_JOIN,
         sf,
     )
+
+
+def test_bpe_winner_counts_non_increasing(spark):
+    """Each BPE round's winning pair count is bounded by the previous
+    round's: every occurrence of a pair involving a merged symbol maps to
+    an occurrence of the pair that produced that symbol, so a later
+    winner can never out-count an earlier one. Also: every merged symbol
+    is the concatenation of its parts and steps are 1..K."""
+    from tiny_mapreduce_rpc_server_spark.operators.chunking import (
+        BPE_MERGE_ROUNDS,
+        q_bpe_train_merges,
+    )
+
+    rows = sorted(
+        q_bpe_train_merges(spark, SF_ORACLE).collect(), key=lambda r: r["step"]
+    )
+    assert [r["step"] for r in rows] == list(range(1, BPE_MERGE_ROUNDS + 1))
+    for r in rows:
+        assert r["merged"] == r["lhs"] + r["rhs"]
+        assert r["pair_count"] > 0
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+
+
+def test_cms_estimates_never_undercount(spark):
+    """Count-min guarantee: est >= true for every tracked token (counters
+    only ever add), and the sketch returns an estimate for all top-K."""
+    from tiny_mapreduce_rpc_server_spark.operators.stats import (
+        CMS_TOP_K,
+        q_heavy_hitters_cms,
+    )
+
+    rows = q_heavy_hitters_cms(spark, SF_ORACLE).collect()
+    assert len(rows) == CMS_TOP_K
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+        assert r["overestimate"] == r["est_cnt"] - r["true_cnt"]
+
+
+def test_dedup_incremental_sides_and_threshold(spark):
+    """Every reported pair crosses the batch boundary in the right
+    direction (new doc in the incoming bucket, old doc in the existing
+    bucket), meets the verify threshold, and doc_new appears once."""
+    from tiny_mapreduce_rpc_server_spark.functions import portable as P
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        INCR_INCOMING_FROM,
+        q_dedup_incremental,
+    )
+
+    rows = q_dedup_incremental(spark, SF_ORACLE).collect()
+    assert rows, "sf0.01 has planted near-dups; incremental must find some"
+    seen = set()
+    bucket = lambda i: P.py_h1(str(i)) % 100  # noqa: E731
+    for r in rows:
+        assert r["doc_new"] not in seen
+        seen.add(r["doc_new"])
+        assert r["jaccard"] >= JACCARD_VERIFY
+        assert bucket(r["doc_new"]) >= INCR_INCOMING_FROM, r
+        assert bucket(r["doc_old"]) < INCR_INCOMING_FROM, r
