@@ -181,43 +181,8 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per merge step — the learned merge table.
     """
     wf = _bpe_word_freq(spark, sf_dir).cache()
-    vocab = wf.select(
-        F.regexp_replace("w", "(.)", f"{_BPE_L}$1{_BPE_R}").alias("s"), "cnt"
-    )
-    merges: list[tuple[int, str, str, str, int]] = []
     try:
-        for step in range(1, BPE_MERGE_ROUNDS + 1):
-            sym = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\]\[")
-            pairs = (
-                vocab.where(F.size(sym) >= 2)
-                .select(
-                    F.explode(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(sym) - 1),
-                            lambda i: F.struct(
-                                F.element_at(sym, i).alias("lhs"),
-                                F.element_at(sym, i + 1).alias("rhs"),
-                            ),
-                        )
-                    ).alias("p"),
-                    "cnt",
-                )
-                .groupBy("p.lhs", "p.rhs")
-                .agg(F.sum("cnt").alias("total"))
-            )
-            win = pairs.orderBy(F.desc("total"), "lhs", "rhs").limit(1).collect()
-            if not win:
-                break
-            lhs, rhs, total = win[0]["lhs"], win[0]["rhs"], win[0]["total"]
-            merges.append((step, lhs, rhs, lhs + rhs, int(total)))
-            vocab = vocab.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f"{_BPE_L}{lhs}{_BPE_R}{_BPE_L}{rhs}{_BPE_R}"),
-                    F.lit(f"{_BPE_L}{lhs}{rhs}{_BPE_R}"),
-                ),
-            )
+        _, merges = _bpe_train(wf)
     finally:
         wf.unpersist()
     return spark.createDataFrame(
@@ -225,15 +190,109 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle() -> str:
-    """Unroll the identical merge loop as chained CTEs."""
+def _bpe_train(wf: DataFrame):
+    """Run the merge loop over a cached (w, cnt) table. Returns the final
+    vocab DataFrame (w, s, cnt) and the merge list."""
+    vocab = wf.select(
+        "w",
+        F.regexp_replace("w", "(.)", f"{_BPE_L}$1{_BPE_R}").alias("s"),
+        "cnt",
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_MERGE_ROUNDS + 1):
+        sym = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\]\[")
+        pairs = (
+            vocab.where(F.size(sym) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(sym) - 1),
+                        lambda i: F.struct(
+                            F.element_at(sym, i).alias("lhs"),
+                            F.element_at(sym, i + 1).alias("rhs"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        win = pairs.orderBy(F.desc("total"), "lhs", "rhs").limit(1).collect()
+        if not win:
+            break
+        lhs, rhs, total = win[0]["lhs"], win[0]["rhs"], win[0]["total"]
+        merges.append((step, lhs, rhs, lhs + rhs, int(total)))
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"{_BPE_L}{lhs}{_BPE_R}{_BPE_L}{rhs}{_BPE_R}"),
+                F.lit(f"{_BPE_L}{lhs}{rhs}{_BPE_R}"),
+            ),
+        )
+    return vocab, merges
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained BPE merges and report the
+    compression: total corpus tokens after merging vs characters before,
+    weighted by word frequency — the fertility/compression numbers a
+    tokenizer ships with.
+
+    The encode itself is the trained vocab table (word type -> final
+    symbol segmentation); a corpus-scale encode is then a broadcast join
+    of that table onto the token stream, so the expensive part stays
+    vocabulary-sized. Aggregates are integer-exact; the single
+    chars-per-token division is one IEEE op."""
+    wf = _bpe_word_freq(spark, sf_dir).cache()
+    try:
+        vocab, _ = _bpe_train(wf)
+        sym = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\]\[")
+        row = (
+            vocab.select(
+                "cnt",
+                F.length("w").alias("nc"),
+                F.size(sym).alias("n_syms"),
+            )
+            .agg(
+                F.count("*").alias("n_word_types"),
+                F.sum("cnt").alias("total_words"),
+                F.sum(F.col("nc") * F.col("cnt")).alias("total_chars"),
+                F.sum(F.col("n_syms") * F.col("cnt")).alias("total_tokens"),
+            )
+            .collect()[0]
+        )
+    finally:
+        wf.unpersist()
+    out = spark.createDataFrame(
+        [
+            (
+                row["n_word_types"],
+                row["total_words"],
+                row["total_chars"],
+                row["total_tokens"],
+            )
+        ],
+        "n_word_types bigint, total_words bigint, total_chars bigint,"
+        " total_tokens bigint",
+    )
+    return out.withColumn(
+        "chars_per_token", F.col("total_chars") / F.col("total_tokens")
+    )
+
+
+def _bpe_ctes() -> str:
+    """Unroll the identical merge loop as chained CTEs (shared by the
+    train and encode oracles; ``w`` rides along for the encode's
+    per-word accounting)."""
     ctes = [
         "words AS (SELECT unnest({toks}) AS w FROM documents)".format(
             toks=P.sql_tokens("lower(text)")
         ),
         "wf AS (SELECT w, count(*) AS cnt FROM words"
         " WHERE NOT regexp_matches(w, '[\\[\\]]') GROUP BY w)",
-        "v0 AS (SELECT regexp_replace(w, '(.)', '[\\1]', 'g') AS s, cnt FROM wf)",
+        "v0 AS (SELECT w, regexp_replace(w, '(.)', '[\\1]', 'g') AS s, cnt FROM wf)",
     ]
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         ctes.append(
@@ -247,18 +306,43 @@ def _bpe_oracle() -> str:
             f" ORDER BY total DESC, lhs, rhs LIMIT 1)"
         )
         ctes.append(
-            f"v{r} AS (SELECT replace(s, '[' || lhs || '][' || rhs || ']',"
+            f"v{r} AS (SELECT w, replace(s, '[' || lhs || '][' || rhs || ']',"
             f" '[' || lhs || rhs || ']') AS s, cnt FROM v{r - 1}, w{r})"
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_train_oracle() -> str:
     steps = " UNION ALL ".join(
         f"SELECT {r} AS step, lhs, rhs, lhs || rhs AS merged,"
         f" total AS pair_count FROM w{r}"
         for r in range(1, BPE_MERGE_ROUNDS + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\nSELECT CAST(step AS INT) AS step, lhs, rhs, merged, CAST(pair_count AS BIGINT) AS pair_count FROM (" + steps + ") z"
+    return (
+        _bpe_ctes()
+        + "\nSELECT CAST(step AS INT) AS step, lhs, rhs, merged,"
+        + " CAST(pair_count AS BIGINT) AS pair_count FROM ("
+        + steps
+        + ") z"
+    )
 
 
-ORACLE_BPE_TRAIN_MERGES = _bpe_oracle()
+ORACLE_BPE_TRAIN_MERGES = _bpe_train_oracle()
+
+ORACLE_BPE_ENCODE = (
+    _bpe_ctes()
+    + f"""
+SELECT count(*) AS n_word_types,
+       CAST(sum(cnt) AS BIGINT) AS total_words,
+       CAST(sum(length(w) * cnt) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '][')) * cnt)
+            AS BIGINT) AS total_tokens,
+       CAST(sum(length(w) * cnt) AS BIGINT)
+         / CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '][')) * cnt)
+                AS BIGINT) AS chars_per_token
+FROM v{BPE_MERGE_ROUNDS}
+"""
+)
 
 
 CHUNKING_QUERIES: list[QuerySpec] = [
@@ -280,5 +364,11 @@ CHUNKING_QUERIES: list[QuerySpec] = [
         ORACLE_BPE_TRAIN_MERGES,
         ("ext", "text", "tokenizer"),
         bench=True,
+    ),
+    QuerySpec(
+        "bpe_encode",
+        q_bpe_encode,
+        ORACLE_BPE_ENCODE,
+        ("ext", "text", "tokenizer"),
     ),
 ]
