@@ -389,6 +389,76 @@ SELECT * FROM jl UNION ALL SELECT * FROM ji
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 3
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} hardest negatives per query vector: the most-similar
+    corpus vectors with a DIFFERENT label — the pairs that matter for
+    contrastive/retrieval training (in-batch random negatives are too
+    easy; the near-miss wrong-label ones carry the gradient signal).
+
+    Complement of ``negative_sampling`` (hash-bucketed in-batch pick,
+    no distances): this one ranks by true cosine. Same scale contract as
+    ann_bruteforce — queries broadcast, one corpus scan, per-query top-k
+    via window over Q partitions; at real scale the scan side would be
+    the LSH/IVF-bucketed candidate set instead, same downstream shape."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    cos = cosine(F.col("qv"), F.col("embedding"))
+    scored = emb.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select(
+            "query_id", "query_label", "rnk", "neighbor_id",
+            "neighbor_label", "cos_sim",
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVE_MINING = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, query_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         list_dot_product(qv, e.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+           AS cos_sim
+  FROM q JOIN e ON e.label <> q.query_label),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, query_label, rnk, neighbor_id, neighbor_label, cos_sim
+FROM ranked WHERE rnk <= {HARD_NEG_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization (the compression step in front of IVF/PQ search)
 # ---------------------------------------------------------------------------
 
@@ -471,6 +541,12 @@ GROUP BY pos
 
 
 SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "hard_negative_mining",
+        q_hard_negative_mining,
+        ORACLE_HARD_NEGATIVE_MINING,
+        ("ext", "similarity", "training"),
+    ),
     QuerySpec(
         "embedding_quantize",
         q_embedding_quantize,
