@@ -1127,7 +1127,65 @@ WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= {CONTAIN_THRESHOLD}
 """
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: which SOURCES duplicate each other? Near-dup
+    pairs (exact shingle Jaccard >= verify threshold, same pipeline as
+    q_dedup_ngram_jaccard) are rolled up into a source x source matrix —
+    pair counts and mean jaccard per unordered source pair. The diagonal
+    (within-source duplication) is the mirror/boilerplate signal; the
+    off-diagonal reveals scrape-of-a-scrape lineage between feeds.
+
+    Rollup cost is proportional to surviving PAIRS, not the corpus: two
+    dimension-sized joins to fetch sources, one tiny aggregate."""
+    joined, _ = _shingle_intersections(spark, sf_dir)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_VERIFY
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    labeled = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        F.least("sa", "sb").alias("source_x"),
+        F.greatest("sa", "sb").alias("source_y"),
+        "jaccard",
+    )
+    from tiny_mapreduce_rpc_server_spark.functions import davg
+
+    return labeled.groupBy("source_x", "source_y").agg(
+        F.count("*").alias("n_pairs"), davg("jaccard", "mean_jaccard")
+    )
+
+
+ORACLE_SOURCE_OVERLAP_MATRIX = f"""
+WITH {_SQL_INTER_CTES},
+pairs AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= {JACCARD_VERIFY}),
+labeled AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y, jaccard
+  FROM pairs
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b)
+SELECT source_x, source_y, count(*) AS n_pairs,
+       CAST(sum(CAST(jaccard AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+         AS mean_jaccard
+FROM labeled
+GROUP BY 1, 2
+"""
+
+
 DEDUP_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "source_overlap_matrix",
+        q_source_overlap_matrix,
+        ORACLE_SOURCE_OVERLAP_MATRIX,
+        ("ext", "dedup", "forensics"),
+    ),
     QuerySpec(
         "dedup_containment",
         q_dedup_containment,
