@@ -1,0 +1,81 @@
+"""Pre-flight for the driver's CORRECTNESS window under a VANILLA session.
+
+The external driver builds its own SparkSession — NOT the tuned one from
+``session.py`` — so defaults apply: 200 shuffle partitions, no Arrow
+toggle, session-local timezone. Any query whose result silently depends
+on the tuned config (partition counts feeding into floats, timezone,
+Arrow batch semantics) passes the local gate but fails the driver.
+This script replays the exact driver comparison (first-N registry
+entries, DuckDB oracle, order-insensitive value compare) under default
+config and reports per-query PASS/FAIL.
+
+Usage: python tools/verify_window_vanilla.py [--sf-dir D] [--n 50] [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--all", action="store_true", help="check every registered query")
+    ap.add_argument("--names", nargs="*", default=None, help="explicit query names")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # Deliberately vanilla: mirror the driver's session, not session.py.
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("verify-window-vanilla")
+        .config("spark.sql.warehouse.dir", "/tmp/vanilla_warehouse")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+    from tiny_mapreduce_rpc_server_spark.registry import all_queries
+    from oracle_utils import compare
+
+    q = all_queries()
+    if args.names:
+        names = args.names
+    else:
+        names = list(q)[: (len(q) if args.all else args.n)]
+
+    failed: list[str] = []
+    for i, name in enumerate(names):
+        spec = q[name]
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, args.sf_dir)
+            if spec.oracle is None:
+                n_rows = df.count()
+                print(f"[{i+1:3d}/{len(names)}] {name}: rows-only ({n_rows} rows) "
+                      f"{time.time()-t0:.1f}s", flush=True)
+                continue
+            compare(df, spec.oracle, args.sf_dir)
+            print(f"[{i+1:3d}/{len(names)}] {name}: PASS {time.time()-t0:.1f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            failed.append(name)
+            print(f"[{i+1:3d}/{len(names)}] {name}: FAIL {e}", flush=True)
+            traceback.print_exc(limit=3)
+
+    print(f"\n-- vanilla window check: {len(names) - len(failed)}/{len(names)} pass")
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
