@@ -702,3 +702,29 @@ def test_rarity_bucket_mix_no_global_sort(spark):
     assert p.count("Exchange SinglePartition") <= 1, p
     assert "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_total_order_sort_range_exchange(spark):
+    """The terasort shape: ONE range exchange (sampled boundaries) feeding
+    a PER-PARTITION sort — never a global single-partition sort. The
+    verification aggregate in the registered query runs after the write;
+    this pins the plan of the sort stage itself."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        (F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber")).alias(
+            "sort_key"
+        )
+    )
+    sorted_df = li.repartitionByRange(8, "sort_key").sortWithinPartitions(
+        "sort_key"
+    )
+    p = plan(spark, sorted_df)
+    assert "rangepartitioning(sort_key" in p, p
+    assert "SinglePartition" not in p, p
+    # exactly one shuffle: the range exchange (tree + detail render = 2)
+    assert p.count("Exchange") == 2, p
+    # Sort node must be non-global (global flag rendered as ", false, 0")
+    assert ", false, 0" in p, p

@@ -393,6 +393,92 @@ SELECT * FROM zs UNION ALL SELECT * FROM ns
 """
 
 
+_SORT_FILES = 8
+
+
+def q_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total-order sort (the terasort shape) with the sorted
+    layout VERIFIED from the files it produced.
+
+    Reference parity: a sorted global output is the reference engine's
+    defining product — map-side sort/spill/k-way merge (SURVEY §2 W1-W5)
+    feeding a reduce-side tiered merge (R1-R5) yields reducer files that
+    are each sorted and span disjoint key ranges. Spark's equivalent is
+    ``repartitionByRange`` (sampled range boundaries, one shuffle) +
+    ``sortWithinPartitions`` (external sort per partition, spilling like
+    W3/R3) + a parquet write: N output files, each internally sorted,
+    with globally disjoint key ranges. That pair of properties IS total
+    order, so the check reads the files back and proves (a) per-file
+    [min,max] ranges don't overlap (0 expected) and (b) nothing was
+    dropped or duplicated (count + key checksum + global min/max match
+    the source table).
+
+    Scale: the sort is one range-exchange over the full table — the
+    unavoidable shuffle of a total sort — with boundary sampling reading
+    only ~100 rows/partition. The verification aggregates per FILE
+    (``input_file_name`` is a metadata column), so the post-sort pass is
+    a single scan folding to ``_SORT_FILES`` rows; the boundary-overlap
+    window runs on those N driver-small rows, not on data.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        # (orderkey, linenumber) is the table's unique key; linenumber
+        # is 1..7, so 8*orderkey+linenumber is a unique, order-preserving
+        # single BIGINT sort key (keeps the range compare scalar)
+        (F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber")).alias(
+            "sort_key"
+        )
+    )
+    path = _tmp(sf_dir, "sorted_li")
+    (
+        li.repartitionByRange(_SORT_FILES, "sort_key")
+        .sortWithinPartitions("sort_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "sort_key",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("f"),
+    )
+    per_file = back.groupBy("f").agg(
+        F.count("*").alias("n"),
+        F.sum("sort_key").alias("s"),
+        F.min("sort_key").alias("lo"),
+        F.max("sort_key").alias("hi"),
+    )
+    w = Window.orderBy("lo")  # N-file summary rows, not data rows
+    flagged = per_file.select(
+        "n",
+        "s",
+        "lo",
+        "hi",
+        F.when(F.lag("hi").over(w) >= F.col("lo"), 1).otherwise(0).alias("ov"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").alias("total_rows"),
+        F.sum("ov").alias("n_overlapping_file_pairs"),
+        F.sum("s").alias("key_checksum"),
+        F.min("lo").alias("global_min_key"),
+        F.max("hi").alias("global_max_key"),
+    )
+
+
+# The file boundaries are sample-derived (not oracle-reproducible), but
+# every reported fact is closed-form: disjointness must hold exactly,
+# and the totals must equal the source table's.
+ORACLE_TOTAL_ORDER_SORT = f"""
+SELECT CAST({_SORT_FILES} AS BIGINT) AS n_files,
+       count(*) AS total_rows,
+       CAST(0 AS BIGINT) AS n_overlapping_file_pairs,
+       CAST(sum(k) AS BIGINT) AS key_checksum,
+       min(k) AS global_min_key,
+       max(k) AS global_max_key
+FROM (SELECT l_orderkey::BIGINT * 8 + l_linenumber AS k FROM lineitem)
+"""
+
+
 _LAYOUT_TABLES = ("lineitem", "orders", "documents", "embeddings")
 
 
@@ -493,6 +579,12 @@ FORMAT_QUERIES = [
         q_dpp_partitioned_join,
         ORACLE_DPP_JOIN,
         ("source", "partitioning", "dpp"),
+    ),
+    QuerySpec(
+        "total_order_sort",
+        q_total_order_sort,
+        ORACLE_TOTAL_ORDER_SORT,
+        ("layout", "sort", "scale"),
     ),
     QuerySpec(
         "layout_zorder",
