@@ -27,6 +27,7 @@ from tiny_mapreduce_rpc_server_spark.operators.temporal import TEMPORAL_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.text import TEXT_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.tpch import TPCH_QUERIES
 from tiny_mapreduce_rpc_server_spark.operators.udf_surface import UDF_SURFACE_QUERIES
+from tiny_mapreduce_rpc_server_spark.rpc import RPC_QUERIES
 from tiny_mapreduce_rpc_server_spark.sources.formats import FORMAT_QUERIES
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 from tiny_mapreduce_rpc_server_spark.streaming import STREAMING_QUERIES
@@ -49,6 +50,7 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
     ML_QUERIES,
     GRAPH_QUERIES,
     UDF_SURFACE_QUERIES,
+    RPC_QUERIES,
     FORMAT_QUERIES,
     ANALYTIC_QUERIES,
     STREAMING_QUERIES,

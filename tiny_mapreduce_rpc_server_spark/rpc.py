@@ -86,3 +86,55 @@ def default_registry() -> FunctionRegistry:
     reg = FunctionRegistry()
     reg.register("add", lambda a, b: a + b)
     return reg
+
+
+def q_rpc_registry_call(spark: "SparkSession", sf_dir: str):
+    """The reference's RPC test workload, end to end and oracle-checked:
+    register ``add`` (Test/RpcServer.cpp:30-37), run the test client's
+    Fibonacci-by-repeated-``Call`` loop (Test/RpcClient.cpp:57-78)
+    driver-side, and dispatch the same registered function by NAME from
+    SQL on executors via ``register_udf`` over the nation dimension.
+
+    Scale note: the per-row UDF is the RPC-parity surface itself (name
+    dispatch is the thing under test), applied to a 25-row dimension —
+    row-at-a-time Python stays off every data path per the repo rule."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    reg = default_registry()
+    reg.register_udf(spark, "tmrs_rpc_add", reg.search("add"), "bigint")
+    # the client's workload: fib via repeated registry calls (fib(10)=55)
+    a, b = 0, 1
+    for _ in range(10):
+        a, b = b, reg.call("add", a, b)
+    nat = load_table(spark, sf_dir, "nation")
+    return nat.selectExpr(
+        "n_nationkey",
+        "n_regionkey",
+        "tmrs_rpc_add(CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)) AS added",
+    ).withColumn("fib10", F.lit(a).cast("long"))
+
+
+ORACLE_RPC_REGISTRY = """
+SELECT n_nationkey, n_regionkey,
+       n_nationkey::BIGINT + n_regionkey AS added,
+       CAST(55 AS BIGINT) AS fib10
+FROM nation
+"""
+
+
+def _rpc_specs():
+    from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
+
+    return [
+        QuerySpec(
+            "rpc_registry_call",
+            q_rpc_registry_call,
+            ORACLE_RPC_REGISTRY,
+            ("s2", "rpc", "udf"),
+        )
+    ]
+
+
+RPC_QUERIES = _rpc_specs()
