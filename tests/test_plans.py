@@ -728,3 +728,15 @@ def test_total_order_sort_range_exchange(spark):
     assert p.count("Exchange") == 2, p
     # Sort node must be non-global (global flag rendered as ", false, 0")
     assert ", false, 0" in p, p
+
+
+def test_point_in_time_join_equi_not_cartesian(spark):
+    """The interval-containment probe must ride on the user_id equi-join
+    (per-user pair evaluation), never degrade to a nested-loop/cartesian
+    over probes x intervals."""
+    p = plan(spark, _q(spark, "point_in_time_join"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p

@@ -702,6 +702,74 @@ FROM w
 """
 
 
+_PIT_PROBE_TYPE = "purchase"
+
+
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: each purchase is enriched with
+    the per-(user, feature) value that was VALID AT purchase time — the
+    lookup whose correctness ("no feature leakage from the future")
+    defines ML feature stores. The non-purchase event types are the
+    feature changelogs; each becomes SCD2 validity intervals (same
+    lead() construction as q_scd2_history), and purchases probe them
+    with an equi-join on user plus interval containment, so a purchase
+    sees exactly the latest click/view/signup/error state at or before
+    its timestamp and never a later one. Rolled up per feature type:
+    match count + decimal-exact value sum.
+
+    Scale shape: the join is a plain shuffle equi-join on user_id — the
+    containment predicate rides along as a join condition evaluated on
+    (probe, interval) pairs WITHIN a user, bounded by that user's
+    version count, never a cross product. One window shuffle to build
+    intervals, one join shuffle; the rollup partial-aggregates map-side.
+    Zero-width intervals (two changes at the same timestamp) match
+    nothing, exactly as the oracle's lead() does."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    iv = ev.filter(F.col("event_type") != _PIT_PROBE_TYPE).select(
+        F.col("user_id").alias("f_uid"),
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "value",
+    )
+    probes = ev.filter(F.col("event_type") == _PIT_PROBE_TYPE).select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    j = probes.join(
+        iv,
+        (F.col("user_id") == F.col("f_uid"))
+        & (F.col("valid_from") <= F.col("pts"))
+        & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to"))),
+        "inner",
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_feature_rows"),
+        dsum("value", "sum_feature_value"),
+    )
+
+
+ORACLE_POINT_IN_TIME = f"""
+WITH iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS valid_to,
+         value
+  FROM events WHERE event_type <> '{_PIT_PROBE_TYPE}'),
+j AS (
+  SELECT iv.event_type, iv.value
+  FROM (SELECT user_id, ts FROM events
+        WHERE event_type = '{_PIT_PROBE_TYPE}') p
+  JOIN iv
+    ON iv.user_id = p.user_id
+   AND iv.valid_from <= p.ts
+   AND (iv.valid_to IS NULL OR p.ts < iv.valid_to))
+SELECT event_type, count(*) AS n_feature_rows,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_feature_value
+FROM j GROUP BY event_type
+"""
+
+
 TEMPORAL_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "gap_fill_interpolate",
@@ -744,6 +812,12 @@ TEMPORAL_QUERIES: list[QuerySpec] = [
         q_scd2_history,
         ORACLE_SCD2_HISTORY,
         ("temporal", "cdc", "scd2"),
+    ),
+    QuerySpec(
+        "point_in_time_join",
+        q_point_in_time_join,
+        ORACLE_POINT_IN_TIME,
+        ("ext", "temporal", "asof", "feature-store"),
     ),
     QuerySpec("asof_join", asof_join_last_order, ORACLE_ASOF, ("temporal", "asof"), bench=True),
     QuerySpec("asof_join_forward", asof_join_next_order, ORACLE_ASOF_NEXT, ("temporal", "asof")),
