@@ -740,3 +740,14 @@ def test_point_in_time_join_equi_not_cartesian(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     ), p
+
+
+def test_snapshot_diff_full_outer_smj(spark):
+    """Snapshot diff must be ONE full-outer sort-merge join on the key —
+    never a nested-loop — with the 4-row rollup partial-aggregated."""
+    p = plan(spark, _q(spark, "snapshot_diff"))
+    assert "FullOuter" in p, p
+    assert "SortMergeJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_count" in p, p

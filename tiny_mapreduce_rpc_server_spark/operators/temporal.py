@@ -770,6 +770,89 @@ FROM j GROUP BY event_type
 """
 
 
+# deterministic snapshot derivation: B corrects every 31st price, drops
+# every 89th order; A is missing every 97th order (late arrival in B)
+_SNAP_UPD, _SNAP_DEL, _SNAP_NEW = 31, 89, 97
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — derive the changelog FROM two table states (the
+    inverse of merge_into_upsert, which applies one): classify every key
+    as added / deleted / changed / unchanged between snapshot A and
+    snapshot B of orders, the operation behind lakehouse change-data-feed
+    and table-versioning audits. Snapshots are derived deterministically
+    from the one orders table (constants above) so the oracle sees the
+    identical inputs.
+
+    Shape: ONE full-outer sort-merge join on the key plus null-safe
+    column comparison (``<=>`` / IS NOT DISTINCT FROM) — no row hashing
+    needed, and the price perturbation is an exact float add (+10.0) so
+    both engines agree bit-for-bit. The classification rollup
+    partial-aggregates map-side to 4 rows. On a real lakehouse table the
+    same plan prunes unchanged files by partition/file stats first; the
+    join here is the residual within-file work."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    snap_a = orders.filter(k % _SNAP_NEW != 0)
+    snap_b = orders.filter(k % _SNAP_DEL != 0).withColumn(
+        "o_totalprice",
+        F.when(k % _SNAP_UPD == 0, F.col("o_totalprice") + F.lit(10.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    same = (
+        F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+        & F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+        & F.col("a.o_orderpriority").eqNullSafe(F.col("b.o_orderpriority"))
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key = F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+    return j.select(change.alias("change_type"), key.alias("k")).groupBy(
+        "change_type"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders),
+a AS (SELECT * FROM o WHERE o_orderkey % {_SNAP_NEW} <> 0),
+b AS (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % {_SNAP_UPD} = 0
+                  THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM o WHERE o_orderkey % {_SNAP_DEL} <> 0),
+j AS (
+  SELECT CASE
+           WHEN a.o_orderkey IS NULL THEN 'added'
+           WHEN b.o_orderkey IS NULL THEN 'deleted'
+           WHEN a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+            AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+            AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
+             THEN 'unchanged'
+           ELSE 'changed'
+         END AS change_type,
+         coalesce(a.o_orderkey, b.o_orderkey) AS k
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT change_type, count(*) AS n_rows,
+       min(k) AS min_key, max(k) AS max_key
+FROM j GROUP BY change_type
+"""
+
+
 TEMPORAL_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "gap_fill_interpolate",
@@ -812,6 +895,12 @@ TEMPORAL_QUERIES: list[QuerySpec] = [
         q_scd2_history,
         ORACLE_SCD2_HISTORY,
         ("temporal", "cdc", "scd2"),
+    ),
+    QuerySpec(
+        "snapshot_diff",
+        q_snapshot_diff,
+        ORACLE_SNAPSHOT_DIFF,
+        ("ext", "temporal", "cdc", "versioning"),
     ),
     QuerySpec(
         "point_in_time_join",
