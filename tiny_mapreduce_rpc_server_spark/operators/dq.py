@@ -156,7 +156,66 @@ FROM {t}"""
 ) + "\nORDER BY table_name"
 
 
+# k-anonymity threshold: a quasi-identifier group smaller than this is a
+# re-identification risk
+K_ANON = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: group by the
+    quasi-identifier tuple (nation, market segment, account-balance
+    thousand-bucket) and report how much of the table lives in groups
+    smaller than k=K_ANON — the privacy gate a training-data release
+    runs BEFORE publishing, complementing q_pii_redact's content scrub
+    (structured re-identification risk vs in-text identifiers).
+
+    Shape: one hash aggregate over the quasi-identifier key (partial
+    map-side), then a 4-field summary over the GROUP table — group
+    cardinality, orders of magnitude below the row count, so the second
+    aggregate is driver-trivial at any scale. Bucketing the continuous
+    column is what makes k-anonymity well-defined; floor-division is
+    integer-exact in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_k"),
+    ).agg(F.count("*").alias("gsize"))
+    below = F.col("gsize") < K_ANON
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(below, 1)).alias("n_groups_below_k"),
+        F.sum(F.when(below, F.col("gsize")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.sum("gsize").alias("n_rows_total"),
+        F.min("gsize").alias("min_group_size"),
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH g AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         count(*) AS gsize
+  FROM customer GROUP BY 1, 2, 3)
+SELECT count(*) AS n_groups,
+       count(CASE WHEN gsize < {K_ANON} THEN 1 END) AS n_groups_below_k,
+       CAST(sum(CASE WHEN gsize < {K_ANON} THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(sum(gsize) AS BIGINT) AS n_rows_total,
+       min(gsize) AS min_group_size
+FROM g
+"""
+
+
 DQ_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "k_anonymity_audit",
+        q_k_anonymity_audit,
+        ORACLE_K_ANONYMITY,
+        ("ext", "dq", "privacy"),
+    ),
     QuerySpec(
         "dq_freshness_check",
         q_dq_freshness_check,
