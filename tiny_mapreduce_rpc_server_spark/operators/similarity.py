@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
+from tiny_mapreduce_rpc_server_spark.functions import cosine, davg, dot
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
 from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
@@ -540,7 +540,86 @@ GROUP BY pos
 """
 
 
+# matryoshka prefix lengths audited against the full 64-dim cosine
+_MRL_DIMS = (8, 16, 32)
+
+
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much cosine similarity distorts
+    when embeddings are cut to their first 8/16/32 dims — the
+    measurement behind MRL-style "store the prefix, rerank with the
+    full vector" serving, run over the same query-x-corpus pairs as
+    ann_bruteforce. Reports, per prefix length, the decimal-exact mean
+    and the max absolute cosine error vs the full 64 dims (one wide
+    row: the per-dim columns share one scan).
+
+    Shape: queries broadcast, corpus scanned ONCE; full and truncated
+    cosines are aliased into their own projections (each ordered fold
+    computed once per pair, expression-materialization rule), and the
+    whole thing collapses in a single partial-aggregated global agg.
+    The errors are differences of identically-computed doubles, so both
+    engines agree bit-for-bit before the decimal cast."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos_cols = [cosine(F.col("qv"), F.col("embedding")).alias("cos_full")]
+    for d in _MRL_DIMS:
+        cos_cols.append(
+            cosine(
+                F.slice(F.col("qv"), 1, d), F.slice(F.col("embedding"), 1, d)
+            ).alias(f"cos_{d}")
+        )
+    scored = pairs.select(*cos_cols)
+    errs = scored.select(
+        *[
+            F.abs(F.col(f"cos_{d}") - F.col("cos_full")).alias(f"err_{d}")
+            for d in _MRL_DIMS
+        ]
+    )
+    aggs = [F.count("*").alias("n_pairs")]
+    for d in _MRL_DIMS:
+        aggs.append(davg(f"err_{d}", f"mean_abs_err_d{d}"))
+        aggs.append(F.max(f"err_{d}").alias(f"max_abs_err_d{d}"))
+    return errs.agg(*aggs)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+ORACLE_EMBEDDING_MATRYOSHKA = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT {_sql_cos('qv', 'e.v')} AS cos_full,
+{','.join(f"         {_sql_cos(f'qv[1:{d}]', f'e.v[1:{d}]')} AS cos_{d}" for d in _MRL_DIMS)}
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+errs AS (
+  SELECT {', '.join(f'abs(cos_{d} - cos_full) AS err_{d}' for d in _MRL_DIMS)}
+  FROM scored)
+SELECT count(*) AS n_pairs,
+{','.join(
+    f'''       CAST(sum(CAST(err_{d} AS DECIMAL(38,6))) AS DOUBLE) / count(err_{d})
+         AS mean_abs_err_d{d},
+       max(err_{d}) AS max_abs_err_d{d}''' for d in _MRL_DIMS)}
+FROM errs
+"""
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "embedding_matryoshka",
+        q_embedding_matryoshka,
+        ORACLE_EMBEDDING_MATRYOSHKA,
+        ("ext", "embedding", "similarity", "eval"),
+    ),
     QuerySpec(
         "hard_negative_mining",
         q_hard_negative_mining,
