@@ -613,7 +613,94 @@ FROM errs
 """
 
 
+_DEC = "DECIMAL(38,6)"
+
+
+def q_source_semantic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic twin of dedup's source_overlap_matrix: which SOURCES are
+    close in embedding space? Documents join their vectors (doc_id =
+    vec_id), per-source centroids come from a decimal-exact per-dim
+    mean, and every source pair gets a centroid cosine — the corpus-map
+    a mixing strategy reads (near-duplicate feeds cluster, distinct
+    domains spread out).
+
+    Shape: one equi-join docs-to-vectors, one shuffle to (source, dim)
+    partial-aggregated cells, then all pair math runs on the CELLS table
+    (sources x 64 dims — driver-small at any corpus size).
+
+    Exactness: cosine is scale-invariant, so the per-source count
+    divisions cancel and the pair math runs on the exact decimal SUM
+    vectors — no double->decimal recast of an arbitrary double anywhere
+    (that cast rounds differently across engines in the last ulp). The
+    sums are re-typed to DECIMAL(18,6) (exact: values are bounded far
+    below 12 integer digits at these SFs; widen for a larger corpus) so
+    decimal products stay exact in BOTH engines — at (38,6) Spark
+    truncates product scale while DuckDB promotes to double, and the
+    engines diverge. Each moment rounds to double exactly once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    ex = j.select(
+        "source",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cells = ex.groupBy("source", "pos").agg(
+        F.sum(F.col("x").cast(_DEC)).cast("decimal(18,6)").alias("s")
+    )
+    a = cells.select(
+        F.col("source").alias("source_x"), "pos", F.col("s").alias("sa")
+    )
+    b = cells.select(
+        F.col("source").alias("source_y"), "pos", F.col("s").alias("sb")
+    )
+    pairs = a.join(b, "pos").filter(F.col("source_x") < F.col("source_y"))
+    g = pairs.groupBy("source_x", "source_y").agg(
+        F.count("*").alias("n_dims"),
+        F.sum(F.col("sa") * F.col("sb")).cast("double").alias("dp"),
+        F.sum(F.col("sa") * F.col("sa")).cast("double").alias("na"),
+        F.sum(F.col("sb") * F.col("sb")).cast("double").alias("nb"),
+    )
+    return g.select(
+        "source_x",
+        "source_y",
+        "n_dims",
+        (F.col("dp") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))).alias(
+            "centroid_cos"
+        ),
+    )
+
+
+ORACLE_SOURCE_SEMANTIC = f"""
+WITH j AS (
+  SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+ex AS (SELECT source, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM j),
+cells AS (
+  SELECT source, pos,
+         CAST(sum(CAST(x AS {_DEC})) AS DECIMAL(18,6)) AS s
+  FROM ex GROUP BY source, pos),
+pairs AS (
+  SELECT a.source AS source_x, b.source AS source_y, a.s AS sa, b.s AS sb
+  FROM cells a JOIN cells b ON a.pos = b.pos AND a.source < b.source),
+g AS (
+  SELECT source_x, source_y, count(*) AS n_dims,
+         CAST(sum(sa * sb) AS DOUBLE) AS dp,
+         CAST(sum(sa * sa) AS DOUBLE) AS na,
+         CAST(sum(sb * sb) AS DOUBLE) AS nb
+  FROM pairs GROUP BY source_x, source_y)
+SELECT source_x, source_y, n_dims,
+       dp / (sqrt(na) * sqrt(nb)) AS centroid_cos
+FROM g
+"""
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "source_semantic_similarity",
+        q_source_semantic_similarity,
+        ORACLE_SOURCE_SEMANTIC,
+        ("ext", "embedding", "similarity", "corpus-map"),
+    ),
     QuerySpec(
         "embedding_matryoshka",
         q_embedding_matryoshka,
