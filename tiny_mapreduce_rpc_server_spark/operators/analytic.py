@@ -653,7 +653,62 @@ LIMIT {_COOCCUR_TOP}
 """
 
 
+# behavioral sequences are truncated to this many leading events: the
+# collect is bounded per user, and the output row stays small
+_SEQ_HEAD = 30
+
+
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type sequences in TIME order — the event2seq
+    assembly that turns a log table into behavioral-LM training rows
+    (string_agg_sorted sorts by value; this sorts by when it happened).
+    Determinism under parallelism comes from sorting the collected
+    structs by (ts, event_id) before projecting the types, the only way
+    a gather aggregate is reproducible on a cluster; the head is capped
+    at _SEQ_HEAD events so a hot user cannot blow up the output row
+    (real pipelines window the log first — the cap is that contract).
+
+    One shuffle on user_id with a bounded per-user collect; everything
+    after the groupBy is per-row array code (no further exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("types"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.concat_ws(">", F.slice("types", 1, _SEQ_HEAD)).alias("seq_head"),
+        F.element_at("types", 1).alias("first_type"),
+        F.element_at("types", -1).alias("last_type"),
+    )
+
+
+ORACLE_USER_EVENT_SEQUENCES = f"""
+WITH l AS (
+  SELECT user_id, count(*) AS n_events,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       array_to_string(types[1:{_SEQ_HEAD}], '>') AS seq_head,
+       types[1] AS first_type,
+       types[-1] AS last_type
+FROM l
+"""
+
+
 ANALYTIC_QUERIES = [
+    QuerySpec(
+        "user_event_sequences",
+        q_user_event_sequences,
+        ORACLE_USER_EVENT_SEQUENCES,
+        ("ext", "sequence", "behavioral"),
+    ),
     QuerySpec(
         "item_cooccurrence",
         q_item_cooccurrence,
