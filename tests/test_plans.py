@@ -751,3 +751,24 @@ def test_snapshot_diff_full_outer_smj(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "partial_count" in p, p
+
+
+def test_embedding_matryoshka_single_scan_broadcast(spark):
+    """Queries broadcast; full + truncated cosines share ONE corpus scan
+    (the query-side scan is the second); final agg partial-aggregates."""
+    import re
+
+    p = plan(spark, _q(spark, "embedding_matryoshka"))
+    assert "BroadcastHashJoin" not in p  # non-equi broadcast join
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert "partial_count" in p, p
+
+
+def test_source_semantic_similarity_equi_joins(spark):
+    """Doc-vector link and the cells self-join are hash equi-joins; the
+    (source, dim) aggregate partial-aggregates map-side."""
+    p = plan(spark, _q(spark, "source_semantic_similarity"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_sum" in p, p
