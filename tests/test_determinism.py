@@ -43,6 +43,10 @@ FLOAT_SHUFFLE_QUERIES = [
     "theil_sen_trend",
     "ingest_anomaly",
     "text_tf_idf",
+    # round-4 session additions that derive floats through a shuffle
+    "point_in_time_join",
+    "embedding_matryoshka",
+    "source_semantic_similarity",
 ]
 
 _SHUF = "spark.sql.shuffle.partitions"
