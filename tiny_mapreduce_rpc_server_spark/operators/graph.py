@@ -185,6 +185,74 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
 )
 
 
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity-planning number dedup exists to produce: per source,
+    how many documents and how many CHARACTERS near-dup dedup removes
+    (non-canonical cluster members, representative = min doc_id) — the
+    report that decides whether a feed is worth re-scraping and what the
+    post-dedup storage/token budget is.
+
+    Shape: the duplicate list is cluster members minus representatives —
+    orders of magnitude smaller than the corpus — broadcast against one
+    corpus scan (LEFT join marks drops); the per-source rollup
+    partial-aggregates map-side. The savings fraction is a double
+    division of two exact BIGINTs, identical in both engines."""
+    comp = _components(spark, sf_dir)
+    dups = (
+        comp.filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    marked = docs.join(F.broadcast(dups), "doc_id", "left")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_dup").alias("n_dropped"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("chars_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            "chars_total",
+            "chars_dropped",
+            (F.col("chars_dropped") / F.col("chars_total")).alias(
+                "savings_frac"
+            ),
+        )
+    )
+
+
+ORACLE_DEDUP_SAVINGS = (
+    _ORACLE_CC_CTE
+    + """
+, comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+dups AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+marked AS (
+  SELECT d.source, d.n_chars, dup.doc_id AS dup_id
+  FROM documents d LEFT JOIN dups dup ON d.doc_id = dup.doc_id)
+SELECT source,
+       count(*) AS n_docs,
+       count(dup_id) AS n_dropped,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN dup_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped,
+       CAST(sum(CASE WHEN dup_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
+         / CAST(sum(n_chars) AS BIGINT) AS savings_frac
+FROM marked GROUP BY source
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # PageRank (iterative algorithm family; fixed-point integer arithmetic)
 # ---------------------------------------------------------------------------
@@ -467,6 +535,12 @@ GRAPH_QUERIES = [
         q_dedup_cluster_stats,
         ORACLE_DEDUP_CLUSTER_STATS,
         ("ext", "dedup", "graph", "stats"),
+    ),
+    QuerySpec(
+        "dedup_savings_report",
+        q_dedup_savings_report,
+        ORACLE_DEDUP_SAVINGS,
+        ("ext", "dedup", "graph", "ops"),
     ),
     QuerySpec(
         "graph_pagerank",
