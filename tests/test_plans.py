@@ -772,3 +772,14 @@ def test_source_semantic_similarity_equi_joins(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "partial_sum" in p, p
+
+
+def test_attribution_asof_single_shuffle(spark):
+    """Tolerance as-of keeps the union-merge shape: one hash exchange,
+    window-based, no join operator at all."""
+    import re
+
+    p = plan(spark, _q(spark, "attribution_asof_tolerance"))
+    assert "Window" in p
+    assert "Join" not in p, "attribution as-of should be window-based"
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p

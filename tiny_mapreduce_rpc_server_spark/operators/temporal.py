@@ -770,6 +770,93 @@ FROM j GROUP BY event_type
 """
 
 
+# attribution lookback: a purchase attributes to the user's most recent
+# click no older than this many seconds
+_ATTR_WINDOW_S = 3600
+
+
+def q_attribution_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (the attribution shape): every
+    purchase is matched to the same user's most RECENT click, but only
+    if it happened within the last hour — older clicks don't count and
+    the purchase stays unattributed (NULL click, attributed=false).
+    The staleness bound is what separates this from plain as-of: a
+    feature/touchpoint older than the tolerance must NOT leak in.
+
+    Same union-merge single-shuffle shape as asof_join (clicks sort
+    before purchases at equal timestamps, running last() carries the
+    latest click forward), with the tolerance applied as a final per-row
+    nullification — no second join, no extra exchange. The attribution
+    lag is computed in MICROSECONDS (timestampdiff / epoch_us) because
+    the event timestamps carry sub-second precision and second-truncation
+    rules differ between engines; the bigint difference is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"), F.col("event_id").alias("cid")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"), F.col("event_id").alias("cid")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "cid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(buys).select(
+        "user_id",
+        "ts",
+        "tag",
+        "cid",
+        F.last(F.when(F.col("tag") == 0, F.col("cid")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+    )
+    # timestampdiff is TIMESTAMP_NTZ-safe; unix_micros is not
+    lag_us = F.expr("timestampdiff(MICROSECOND, last_click_ts, ts)")
+    fresh = F.col("last_click_ts").isNotNull() & (
+        lag_us <= _ATTR_WINDOW_S * 1_000_000
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        F.col("cid").alias("purchase_id"),
+        "user_id",
+        "ts",
+        fresh.alias("attributed"),
+        F.when(fresh, F.col("last_click_id")).alias("click_id"),
+        F.when(fresh, lag_us).alias("attribution_lag_us"),
+    )
+
+
+# ANSI formulation: argmax click inside the window (max ts, then max
+# event_id at that ts) via two grouped left joins — identical tie rule.
+ORACLE_ATTRIBUTION = f"""
+WITH buys AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'),
+clk AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+best_ts AS (
+  SELECT b.purchase_id, b.user_id, b.ts, max(c.ts) AS click_ts
+  FROM buys b
+  LEFT JOIN clk c
+    ON c.user_id = b.user_id AND c.ts <= b.ts
+   AND epoch_us(b.ts) - epoch_us(c.ts) <= {_ATTR_WINDOW_S}::BIGINT * 1000000
+  GROUP BY b.purchase_id, b.user_id, b.ts),
+best AS (
+  SELECT t.purchase_id, t.user_id, t.ts, t.click_ts,
+         max(c.event_id) AS click_id
+  FROM best_ts t
+  LEFT JOIN clk c ON c.user_id = t.user_id AND c.ts = t.click_ts
+  GROUP BY t.purchase_id, t.user_id, t.ts, t.click_ts)
+SELECT purchase_id, user_id, ts,
+       click_ts IS NOT NULL AS attributed,
+       click_id,
+       epoch_us(ts) - epoch_us(click_ts) AS attribution_lag_us
+FROM best
+"""
+
+
 # deterministic snapshot derivation: B corrects every 31st price, drops
 # every 89th order; A is missing every 97th order (late arrival in B)
 _SNAP_UPD, _SNAP_DEL, _SNAP_NEW = 31, 89, 97
@@ -895,6 +982,12 @@ TEMPORAL_QUERIES: list[QuerySpec] = [
         q_scd2_history,
         ORACLE_SCD2_HISTORY,
         ("temporal", "cdc", "scd2"),
+    ),
+    QuerySpec(
+        "attribution_asof_tolerance",
+        q_attribution_asof_tolerance,
+        ORACLE_ATTRIBUTION,
+        ("ext", "temporal", "asof", "attribution"),
     ),
     QuerySpec(
         "snapshot_diff",
