@@ -693,3 +693,92 @@ SAMPLING_QUERIES.append(
         ("ext", "sampling", "pipeline"),
     )
 )
+
+
+def q_pipeline_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage YIELD of the training_manifest pipeline — the ops
+    view of the same gates, in the same order (near-dup canonical ->
+    exact-dup drop -> >=20-token quality gate): how many documents and
+    characters survive each stage, so a pipeline owner sees WHERE the
+    corpus shrinks instead of only the final manifest.
+
+    Shape: the component assignment is localCheckpoint-materialized by
+    its builder, so the four stage branches read it instead of re-running
+    clustering; each stage is a one-row aggregate over a progressively
+    filtered scan, unioned at the end. The duplicate list broadcasts; the
+    sha256 dedup shuffles 32-byte digests."""
+    from pyspark.sql import Window
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import _components
+
+    comp = _components(spark, sf_dir)
+    dups = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    s2 = docs.join(F.broadcast(dups), "doc_id", "left_anti")
+    w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy(
+        "doc_id"
+    )
+    s3 = s2.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).drop("rn")
+    s4 = s3.filter(F.size(P.tokens(F.col("text"))) >= 20)
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+
+    out = stage(1, "raw", docs)
+    for no, name, df in (
+        (2, "near_dup_removed", s2),
+        (3, "exact_dup_removed", s3),
+        (4, "quality_gated", s4),
+    ):
+        out = out.unionByName(stage(no, name, df))
+    return out
+
+
+def _oracle_pipeline_yield() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.graph import _ORACLE_CC_CTE
+
+    return (
+        _ORACLE_CC_CTE
+        + f"""
+, s2 AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE doc_id NOT IN (
+    SELECT node FROM (
+      SELECT node, min(label) AS component FROM cc GROUP BY node
+    ) WHERE node <> component)),
+s3 AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn = 1),
+s4 AS (SELECT doc_id, n_chars FROM s3
+       WHERE len({P.sql_tokens("text")}) >= 20)
+SELECT 1 AS stage_no, 'raw' AS stage, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents
+UNION ALL
+SELECT 2, 'near_dup_removed', count(*), CAST(sum(n_chars) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'exact_dup_removed', count(*), CAST(sum(n_chars) AS BIGINT) FROM s3
+UNION ALL
+SELECT 4, 'quality_gated', count(*), CAST(sum(n_chars) AS BIGINT) FROM s4
+"""
+    )
+
+
+SAMPLING_QUERIES.append(
+    QuerySpec(
+        "pipeline_yield_report",
+        q_pipeline_yield_report,
+        _oracle_pipeline_yield(),
+        ("ext", "sampling", "pipeline", "ops"),
+    )
+)
