@@ -702,7 +702,81 @@ FROM l
 """
 
 
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION feature extraction — the row a behavioral model
+    trains on: for every 30-min-gap session (identical rule to
+    q_sessionize: lag + cumulative sum), its event count, distinct
+    types, exact microsecond duration, and a purchase-conversion flag.
+    q_sessionize rolls sessions up per user; this emits the session
+    feature table itself.
+
+    One shuffle on user_id shared by the lag window, the cumulative
+    sum, and the session aggregate (all partition on user_id); duration
+    is a bigint microsecond difference, exact in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # naive TIMESTAMP_NTZ -> TIMESTAMP cast is value-preserving with the
+    # session tz pinned to UTC; matches DuckDB epoch_us (same rule as
+    # q_sessionize)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gapped = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("tus"),
+        F.when(
+            (ts_us - F.lag(ts_us, 1).over(w)) > 1800 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    sess = gapped.select(
+        "user_id",
+        "event_type",
+        "tus",
+        F.sum("new_session")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.max("tus") - F.min("tus")).alias("duration_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+
+
+ORACLE_SESSION_FEATURES = """
+WITH gapped AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, event_type, tus,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM gapped)
+SELECT user_id, session_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       max(tus) - min(tus) AS duration_us,
+       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 ANALYTIC_QUERIES = [
+    QuerySpec(
+        "session_features",
+        q_session_features,
+        ORACLE_SESSION_FEATURES,
+        ("ext", "sequence", "behavioral", "session"),
+    ),
     QuerySpec(
         "user_event_sequences",
         q_user_event_sequences,
