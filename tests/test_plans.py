@@ -783,3 +783,13 @@ def test_attribution_asof_single_shuffle(spark):
     assert "Window" in p
     assert "Join" not in p, "attribution as-of should be window-based"
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_embedding_spectrum_broadcast_iterations(spark):
+    """Every power-iteration step joins the dim-sized (or row-count-
+    sized) iterate via broadcast; the corpus never shuffles for a join
+    and nothing degrades to a nested loop."""
+    p = plan(spark, _q(spark, "embedding_spectrum"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

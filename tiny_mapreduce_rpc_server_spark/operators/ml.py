@@ -370,7 +370,159 @@ WHERE {first_id} IS NOT NULL
 """
 
 
+# --- embedding spectrum (power iteration, exact integer arithmetic) -------
+
+# embeddings quantized to 1e-6 (floor — unambiguous across engines,
+# unlike round-half); the uniform start vector is the same scale
+SPECTRUM_QUANT = 1_000_000
+SPECTRUM_ITERS = 3
+# per-iteration rescales (truncating integer division — probed identical
+# in Spark [decimal DIV -> long] and DuckDB [HUGEINT //], including
+# negative operands). The v-divisor scales with the ROW COUNT so the
+# iterate keeps ~the quantization magnitude at any SF: v' ~ (lambda1 /
+# (N*1e12-scale)) * v. Products run in DECIMAL(19,0) casts (exact in
+# both engines at width 38); with per-component |x| <= ~8 and three
+# iterations every intermediate stays far inside the exact range.
+SPECTRUM_S_DIV = 1_000_000
+
+
+def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-eigenvalue health check of the embedding gram matrix: three
+    rounds of power iteration, then the Rayleigh quotient lambda1 =
+    (v'Av)/(v'v) and its share of the trace — the number that says
+    whether the embedding space has collapsed onto one direction
+    (dominance -> 1) or stays spread (dominance -> 1/dim, the isotropic
+    floor this synthetic corpus should sit near).
+
+    Exactness: vectors are floor-quantized to 1e-6 integers and EVERY
+    iteration step is int64 arithmetic (products, sums, truncating DIV
+    rescales — probed identical in Spark and DuckDB, including negative
+    operands), so the iterate is bit-identical with no float or
+    decimal-rounding seam; only the two final Rayleigh ratios round to
+    double, once, from exact DECIMAL(19,0)-squared sums.
+
+    Scale shape: each iteration is (a) a 64-row broadcast join + per-row
+    dot product + hash agg by vec_id, then (b) a per-dim agg — two
+    narrow shuffles per round over the exploded (vec_id, pos, xi) table,
+    which a real deployment would persist once (localCheckpoint here);
+    the iterate v is always dim rows, driver-small."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("x") * SPECTRUM_QUANT).cast("long").alias("xi"),
+        )
+        .localCheckpoint()
+    )
+    n_vec = emb.count()  # parquet metadata count at plan-build time
+    v_div = n_vec * SPECTRUM_QUANT
+    d19 = "decimal(19,0)"
+    prod = lambda a, b: F.col(a).cast(d19) * F.col(b).cast(d19)  # noqa: E731
+    v = ex.select("pos").distinct().select(
+        "pos", F.lit(SPECTRUM_QUANT).cast("long").alias("vj")
+    )
+    for _ in range(SPECTRUM_ITERS):
+        s = (
+            ex.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(prod("xi", "vj")).alias("sraw"))
+            .select(
+                "vec_id",
+                F.expr(f"sraw DIV {SPECTRUM_S_DIV}").alias("s"),
+            )
+        )
+        v = (
+            ex.join(F.broadcast(s), "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(prod("s", "xi")).alias("wraw"))
+            .select("pos", F.expr(f"wraw DIV {v_div}").alias("vj"))
+        )
+    sv = (
+        ex.join(F.broadcast(v), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(prod("xi", "vj")).cast("long").alias("sv"))
+    )
+    vav = sv.agg(
+        F.sum(F.col("sv").cast(d19) * F.col("sv").cast(d19)).alias("vav"),
+        F.count("*").alias("n_vectors"),
+    )
+    vv = v.agg(
+        F.sum(F.col("vj").cast(d19) * F.col("vj").cast(d19)).alias("vv"),
+        F.count("*").alias("dim"),
+    )
+    tr = ex.agg(
+        F.sum(F.col("xi").cast(d19) * F.col("xi").cast(d19)).alias("trace")
+    )
+    j = vav.crossJoin(F.broadcast(vv)).crossJoin(F.broadcast(tr))
+    lam = F.col("vav").cast("double") / F.col("vv").cast("double")
+    return j.select(
+        "n_vectors",
+        "dim",
+        lam.alias("lambda1"),
+        (lam / F.col("trace").cast("double")).alias("dominance"),
+    )
+
+
+def _oracle_embedding_spectrum() -> str:
+    q, sd = SPECTRUM_QUANT, SPECTRUM_S_DIV
+    p = lambda a, b: (  # noqa: E731
+        f"CAST({a} AS DECIMAL(19,0)) * CAST({b} AS DECIMAL(19,0))"
+    )
+    vd = f"((SELECT count(*) FROM embeddings) * {q})"
+    it_cte = []
+    prev_v = "v0"
+    for i in range(1, SPECTRUM_ITERS + 1):
+        it_cte.append(
+            f"""s{i} AS (
+  SELECT ex.vec_id,
+         CAST(CAST(sum({p('ex.xi', 'v.vj')}) AS HUGEINT) // {sd} AS BIGINT) AS s
+  FROM ex JOIN {prev_v} v ON v.pos = ex.pos GROUP BY ex.vec_id),
+v{i} AS (
+  SELECT ex.pos,
+         CAST(CAST(sum({p('s.s', 'ex.xi')}) AS HUGEINT) // {vd} AS BIGINT) AS vj
+  FROM ex JOIN s{i} s ON s.vec_id = ex.vec_id GROUP BY ex.pos)"""
+        )
+        prev_v = f"v{i}"
+    its = ",\n".join(it_cte)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ex AS (
+  SELECT vec_id, unnest(range(0, len(emb))) AS pos,
+         CAST(floor(unnest(emb) * {q}) AS BIGINT) AS xi
+  FROM e),
+v0 AS (SELECT unnest(range(0, 64)) AS pos, CAST({q} AS BIGINT) AS vj),
+{its},
+sv AS (
+  SELECT ex.vec_id, CAST(sum({p('ex.xi', 'v.vj')}) AS BIGINT) AS sv
+  FROM ex JOIN {prev_v} v ON v.pos = ex.pos GROUP BY ex.vec_id),
+vav AS (SELECT CAST(sum(CAST(sv AS DECIMAL(19,0)) * CAST(sv AS DECIMAL(19,0)))
+                    AS DOUBLE) AS vav,
+               count(*) AS n_vectors FROM sv),
+vvt AS (SELECT CAST(sum(CAST(vj AS DECIMAL(19,0)) * CAST(vj AS DECIMAL(19,0)))
+                    AS DOUBLE) AS vv,
+               count(*) AS dim FROM {prev_v}),
+tr AS (SELECT CAST(sum(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+                   AS DOUBLE) AS trace FROM ex)
+SELECT n_vectors, dim, vav / vv AS lambda1,
+       (vav / vv) / trace AS dominance
+FROM vav, vvt, tr
+"""
+
+
 ML_QUERIES = [
+    QuerySpec(
+        "embedding_spectrum",
+        q_embedding_spectrum,
+        _oracle_embedding_spectrum(),
+        ("ext", "embedding", "ml", "iterative"),
+    ),
     QuerySpec(
         "negative_sampling",
         q_negative_sampling,
