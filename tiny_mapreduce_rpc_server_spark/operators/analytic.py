@@ -862,3 +862,65 @@ ANALYTIC_QUERIES = [
         ("events", "analytics", "markov"),
     ),
 ]
+
+
+MOTIF_TOP_K = 20
+
+
+def q_event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral motifs: the most frequent 3-event type
+    sequences over consecutive per-user events — the pattern-mining
+    pass that surfaces dominant user journeys (view>click>purchase vs
+    error>error>error) before anyone trains on the sequences.
+
+    One user_id window shuffle builds the trigrams (two lags), one hash
+    aggregate counts them; the global top-k is an orderBy+limit
+    (TakeOrdered — never a single-partition sort of the full motif
+    table). Ties break on the motif string, so the cut is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("motif"), "user_id"
+        )
+        .groupBy("motif")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("motif"))
+        .limit(MOTIF_TOP_K)
+    )
+
+
+ORACLE_EVENT_MOTIFS = f"""
+WITH tri AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1 || '>' || t2 || '>' || t3 AS motif,
+       count(*) AS n_occurrences,
+       count(DISTINCT user_id) AS n_users
+FROM tri WHERE t1 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, motif ASC
+LIMIT {MOTIF_TOP_K}
+"""
+
+ANALYTIC_QUERIES.append(
+    QuerySpec(
+        "event_motifs",
+        q_event_motifs,
+        ORACLE_EVENT_MOTIFS,
+        ("ext", "sequence", "behavioral", "topk"),
+    )
+)

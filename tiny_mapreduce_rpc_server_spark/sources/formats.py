@@ -599,3 +599,66 @@ FORMAT_QUERIES = [
         ("source", "schema-evolution"),
     ),
 ]
+
+
+def q_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-record handling, proven end to end: a
+    CSV is generated from nation with every 5th row deliberately
+    corrupted (a non-numeric token in the INT region column), read back
+    with an explicit schema + ``columnNameOfCorruptRecord``, and the
+    report proves the reader (a) quarantined exactly the corrupted rows
+    into ``_corrupt_record``, (b) still parsed the leading valid fields
+    of those rows, and (c) parsed every clean row fully. This is the
+    ingest contract at 100 TB: one bad scrape line must cost one row in
+    the quarantine column, never a failed job (FAILFAST) or a silent
+    drop (DROPMALFORMED).
+
+    The writer and reader are both distributed (one task per split);
+    the oracle computes the identical report closed-form from nation."""
+    nat = load_table(spark, sf_dir, "nation")
+    bad = F.col("n_nationkey") % 5 == 0
+    line = F.when(
+        bad,
+        F.concat_ws(",", F.col("n_nationkey"), F.col("n_name"), F.lit("x")),
+    ).otherwise(
+        F.concat_ws(
+            ",", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+        )
+    )
+    path = _tmp(sf_dir, "malformed_csv")
+    nat.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "k INT, nm STRING, r INT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.sum("r").alias("sum_region_good"),
+        F.sum("k").alias("sum_key_all"),
+    )
+
+
+ORACLE_CSV_MALFORMED = """
+SELECT count(*) AS n_rows,
+       count(CASE WHEN n_nationkey % 5 = 0 THEN 1 END) AS n_corrupt,
+       count(CASE WHEN n_nationkey % 5 <> 0 THEN 1 END) AS n_good,
+       CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_regionkey END) AS BIGINT)
+         AS sum_region_good,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_key_all
+FROM nation
+"""
+
+FORMAT_QUERIES.append(
+    QuerySpec(
+        "csv_malformed_handling",
+        q_csv_malformed_handling,
+        ORACLE_CSV_MALFORMED,
+        ("source", "csv", "quarantine"),
+    )
+)
