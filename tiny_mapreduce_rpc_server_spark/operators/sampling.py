@@ -782,3 +782,77 @@ SAMPLING_QUERIES.append(
         ("ext", "sampling", "pipeline", "ops"),
     )
 )
+
+
+TEMPORAL_SPLIT_FRAC_NUM, TEMPORAL_SPLIT_FRAC_DEN = 4, 5  # 80% train
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based train/test split of the event log — the split that
+    prevents temporal leakage for forecasting/behavioral models, where
+    hash splits (train_val_test_split) are wrong by construction: test
+    data must be strictly LATER than train data. The cutoff is the first
+    day at which the running row count reaches 80%, so the boundary is a
+    data-derived constant, not a config guess.
+
+    Shape: one per-day count (tiny table), a running sum over days (a
+    window over the DAY table, hundreds of rows — not the corpus), then
+    one broadcast of the scalar cutoff back over the scan. The report
+    carries the proof: max(train day) < min(test day) shows zero overlap
+    by construction."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day")
+    )
+    days = ev.groupBy("day").agg(F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = days.agg(F.sum("n").alias("total"))
+    run = days.select(
+        "day", F.sum("n").over(w).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    cutoff = run.filter(
+        F.col("cum") * TEMPORAL_SPLIT_FRAC_DEN
+        >= F.col("total") * TEMPORAL_SPLIT_FRAC_NUM
+    ).agg(F.min("day").alias("cutoff_day"))
+    labeled = ev.crossJoin(F.broadcast(cutoff)).select(
+        F.when(F.col("day") <= F.col("cutoff_day"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "day",
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+ORACLE_TEMPORAL_SPLIT = f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+run AS (
+  SELECT day, sum(n) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         (SELECT sum(n) FROM days) AS total
+  FROM days),
+cutoff AS (
+  SELECT min(day) AS cutoff_day FROM run
+  WHERE cum * {TEMPORAL_SPLIT_FRAC_DEN} >= total * {TEMPORAL_SPLIT_FRAC_NUM})
+SELECT CASE WHEN day <= (SELECT cutoff_day FROM cutoff)
+            THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_events,
+       min(day) AS first_day,
+       max(day) AS last_day
+FROM ev GROUP BY 1
+"""
+
+SAMPLING_QUERIES.append(
+    QuerySpec(
+        "temporal_split",
+        q_temporal_split,
+        ORACLE_TEMPORAL_SPLIT,
+        ("ext", "sampling", "temporal", "split"),
+    )
+)

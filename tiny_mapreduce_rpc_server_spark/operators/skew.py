@@ -127,3 +127,61 @@ SKEW_QUERIES: list[QuerySpec] = [
     QuerySpec("salted_user_stats", salted_user_stats, ORACLE_SALTED, ("scale", "skew")),
     QuerySpec("skew_join_salted", q_skew_join_salted, ORACLE_SKEW_JOIN_SALTED, ("scale", "skew", "join")),
 ]
+
+
+SKEW_TOP_K = 10
+
+
+def q_join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew advisory for the events-by-user workload: the
+    top-10 hottest join keys with their exact row share (integer-ratio
+    double) and, on every row, the global imbalance factor max/avg —
+    the number that decides whether a planned join needs salting
+    (operators in this module) or AQE skew handling before it runs at
+    100 TB. Run this against the BIG side's key before shipping a join.
+
+    One hash aggregate over the key (partial map-side); the top-k cut
+    is TakeOrdered; the two scalars (total rows, max key count) ride a
+    1-row broadcast — the corpus is scanned once and never sorted."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+        F.count("*").alias("n_keys"),
+    )
+    top = (
+        per_key.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(SKEW_TOP_K)
+        .crossJoin(F.broadcast(stats))
+    )
+    return top.select(
+        "user_id",
+        "n",
+        (F.col("n") / F.col("total")).alias("row_share"),
+        (
+            F.col("max_n") * F.col("n_keys") / F.col("total")
+        ).alias("imbalance_factor"),
+    )
+
+
+ORACLE_JOIN_SKEW = f"""
+WITH per_key AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+stats AS (SELECT CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n,
+                 count(*) AS n_keys FROM per_key)
+SELECT user_id, n,
+       n / total AS row_share,
+       max_n * n_keys / total AS imbalance_factor
+FROM per_key, stats
+ORDER BY n DESC, user_id ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+SKEW_QUERIES.append(
+    QuerySpec(
+        "join_skew_diagnosis",
+        q_join_skew_diagnosis,
+        ORACLE_JOIN_SKEW,
+        ("ext", "skew", "ops", "topk"),
+    )
+)
