@@ -47,6 +47,9 @@ FLOAT_SHUFFLE_QUERIES = [
     "point_in_time_join",
     "embedding_matryoshka",
     "source_semantic_similarity",
+    "embedding_spectrum",
+    "join_skew_diagnosis",
+    "dedup_savings_report",
 ]
 
 _SHUF = "spark.sql.shuffle.partitions"

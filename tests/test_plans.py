@@ -793,3 +793,11 @@ def test_embedding_spectrum_broadcast_iterations(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+@pytest.mark.parametrize("name", ["event_motifs", "join_skew_diagnosis"])
+def test_global_topk_is_take_ordered(spark, name):
+    """Global top-k cuts must be TakeOrdered(AndProject), never a full
+    single-partition sort of the aggregated table."""
+    p = plan(spark, _q(spark, name))
+    assert "TakeOrdered" in p, p
