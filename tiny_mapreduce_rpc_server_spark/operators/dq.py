@@ -229,3 +229,50 @@ DQ_QUERIES: list[QuerySpec] = [
         ("ext", "quality", "dq"),
     ),
 ]
+
+
+# deterministic pseudonymization pepper — versioned so a rotation is an
+# explicit, auditable change
+PSEUDO_PEPPER = "tmrs-pepper-v1"
+
+
+def q_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key pseudonymization — the governance transform a
+    training-data release applies to direct identifiers: user_id becomes
+    md5(pepper || id), which (a) removes the raw key, (b) keeps
+    referential integrity (equal ids map to equal pseudonyms, so joins
+    and per-user aggregation still work), and (c) is reproducible across
+    engines and runs. The per-pseudonym activity rollup IS the proof:
+    its row count equals the distinct-user count (no collisions) and its
+    per-row stats equal the per-user stats under the mapping.
+
+    Pure per-row hash projection (no shuffle for the transform) + one
+    partial-aggregated rollup. A real release would keep the pepper in a
+    secrets store; the versioned literal stands in for that here."""
+    ev = load_table(spark, sf_dir, "events")
+    pseud = F.md5(
+        F.concat(F.lit(PSEUDO_PEPPER), F.col("user_id").cast("string"))
+    )
+    return ev.select(pseud.alias("user_pseudonym"), "event_type").groupBy(
+        "user_pseudonym"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+ORACLE_PSEUDONYMIZE = f"""
+SELECT md5('{PSEUDO_PEPPER}' || CAST(user_id AS VARCHAR)) AS user_pseudonym,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+"""
+
+DQ_QUERIES.append(
+    QuerySpec(
+        "pseudonymize_keys",
+        q_pseudonymize_keys,
+        ORACLE_PSEUDONYMIZE,
+        ("ext", "dq", "privacy", "pseudonymization"),
+    )
+)
