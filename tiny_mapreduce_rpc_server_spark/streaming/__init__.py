@@ -928,7 +928,91 @@ FROM agg
 """
 
 
+def q_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter quarantine: a JSON-lines feed where every
+    7th record is deliberately invalid (a bare-word value token) streams
+    through ``from_json``; unparseable lines yield null parsed fields
+    and are COUNTED, never dropped and never fatal — the streaming twin of
+    csv_malformed_handling's ingest contract. Complete-mode global
+    rollup: quarantined count, good count, and the decimal-exact value
+    sum of the good records, which must equal the batch oracle on the
+    clean subset (proving the corruption touched exactly the intended
+    rows and the JSON round-trip preserved every double bit-for-bit).
+
+    Shape: per-row parse (no shuffle) + one tiny global aggregate; the
+    feed directory is written once by a distributed text sink."""
+    import os
+    import shutil
+    import tempfile
+
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bad = F.col("event_id") % 7 == 0
+    line = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"event_type":"'),
+        F.col("event_type"),
+        F.lit('","value":'),
+        F.when(bad, F.lit("oops")).otherwise(F.col("value").cast("string")),
+        F.lit("}"),
+    )
+    feed = os.path.join(
+        tempfile.gettempdir(),
+        f"tmrs_quarantine_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(feed, ignore_errors=True)
+    ev.select(line.alias("value")).write.mode("overwrite").text(feed)
+
+    raw = spark.readStream.format("text").load(feed)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"), "event_id BIGINT, event_type STRING, value DOUBLE"
+        ).alias("r")
+    )
+    # PERMISSIVE from_json yields a struct with NULL fields (not a null
+    # struct) for malformed lines; value is non-null in every good record
+    agg = parsed.agg(
+        F.count(F.when(F.col("r.value").isNull(), 1)).alias("n_quarantined"),
+        F.count(F.when(F.col("r.value").isNotNull(), 1)).alias("n_good"),
+        F.sum(F.col("r.value").cast(_DEC.lower()))
+        .cast("double")
+        .alias("sum_value_good"),
+    )
+    name = f"stream_quarantine_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_QUARANTINE = f"""
+SELECT count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_quarantined,
+       count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS n_good,
+       CAST(sum(CASE WHEN event_id % 7 <> 0
+                     THEN CAST(value AS {_DEC}) END) AS DOUBLE)
+         AS sum_value_good
+FROM events
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "streaming_quarantine",
+        q_streaming_quarantine,
+        ORACLE_STREAMING_QUARANTINE,
+        ("ext", "streaming", "quarantine"),
+    ),
     QuerySpec(
         "streaming_trending",
         q_streaming_trending,
