@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tiny_mapreduce_rpc_server_spark.functions import dsum
+from tiny_mapreduce_rpc_server_spark.functions import davg, dsum
 from tiny_mapreduce_rpc_server_spark.sources import load_table
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -922,5 +922,103 @@ ANALYTIC_QUERIES.append(
         q_event_motifs,
         ORACLE_EVENT_MOTIFS,
         ("ext", "sequence", "behavioral", "topk"),
+    )
+)
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic activity taxonomy:
+    per-customer Recency (days since last order, against the table's own
+    horizon), Frequency (order count) and Monetary (decimal-exact spend)
+    are quartile-bucketed at their exact 25/50/75 percentiles and rolled
+    up per (r,f,m) segment with size and mean spend. The segment table
+    is what retention/value-weighted sampling strategies key on.
+
+    Shape: one shuffle builds the per-customer table; the 9 percentile
+    edges are ONE 1-row aggregate over it, broadcast back (the
+    equidepth_histogram pattern — exact here, approx_percentile at
+    100 TB, same plan); bucket assignment is an integer sum of
+    comparisons, so ties land identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    horizon = per_cust.agg(F.max("last_order").alias("h"))
+    rfm = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("h"), F.to_date("last_order")).alias("recency_d"),
+        "frequency",
+        "monetary",
+    )
+    edges = rfm.agg(
+        *[
+            F.expr(f"percentile({m}, {q})").alias(f"{m}_e{i}")
+            for m in ("recency_d", "frequency", "monetary")
+            for i, q in enumerate((0.25, 0.5, 0.75), 1)
+        ]
+    )
+    j = rfm.crossJoin(F.broadcast(edges))
+
+    def bucket(m: str):
+        return sum(
+            (F.col(m) > F.col(f"{m}_e{i}")).cast("int") for i in (1, 2, 3)
+        )
+
+    return (
+        j.groupBy(
+            bucket("recency_d").alias("r_bucket"),
+            bucket("frequency").alias("f_bucket"),
+            bucket("monetary").alias("m_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            davg("monetary", "mean_monetary"),
+        )
+    )
+
+
+def _oracle_rfm() -> str:
+    edge_cols = ",\n         ".join(
+        f"quantile_cont({m}, {q}) AS {m}_e{i}"
+        for m in ("recency_d", "frequency", "monetary")
+        for i, q in enumerate((0.25, 0.5, 0.75), 1)
+    )
+
+    def bucket(m: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {m} > {m}_e{i} THEN 1 ELSE 0 END" for i in (1, 2, 3)
+        )
+
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey),
+rfm AS (
+  SELECT date_diff('day',
+                   CAST(last_order AS DATE),
+                   (SELECT CAST(max(last_order) AS DATE) FROM per_cust))
+           AS recency_d,
+         frequency, monetary
+  FROM per_cust),
+edges AS (SELECT {edge_cols} FROM rfm)
+SELECT ({bucket('recency_d')})::INT AS r_bucket,
+       ({bucket('frequency')})::INT AS f_bucket,
+       ({bucket('monetary')})::INT AS m_bucket,
+       count(*) AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE) / count(monetary)
+         AS mean_monetary
+FROM rfm, edges
+GROUP BY 1, 2, 3
+"""
+
+
+ANALYTIC_QUERIES.append(
+    QuerySpec(
+        "rfm_segmentation",
+        q_rfm_segmentation,
+        _oracle_rfm(),
+        ("ext", "segmentation", "quantile"),
     )
 )
