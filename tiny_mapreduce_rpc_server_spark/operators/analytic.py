@@ -1022,3 +1022,62 @@ ANALYTIC_QUERIES.append(
         ("ext", "segmentation", "quantile"),
     )
 )
+
+
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity seasonality: per (event_type, day-of-week), total volume
+    and the PEAK hour of day with its count — the baseline matrix that
+    anomaly detectors and capacity schedulers compare against (a spike
+    is only a spike relative to its own weekday/hour norm).
+
+    Calendar decode is per-row integer arithmetic; the profile aggregate
+    collapses to at most types x 7 x 24 cells map-side, so the window
+    that picks each cell-group's peak runs over a driver-small table —
+    never the corpus. Ties break on the earlier hour, deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type", "dow").orderBy(
+        F.desc("n"), F.asc("hod")
+    )
+    return (
+        cells.withColumn("rnk", F.row_number().over(w))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.max(F.when(F.col("rnk") == 1, F.col("hod"))).alias("peak_hour"),
+            F.max(F.when(F.col("rnk") == 1, F.col("n"))).alias("peak_n"),
+        )
+    )
+
+
+# dayofweek: Spark = 1(Sun)..7(Sat); DuckDB dayofweek = 0(Sun)..6 -> +1
+ORACLE_SEASONALITY = """
+WITH cells AS (
+  SELECT event_type,
+         dayofweek(ts) + 1 AS dow,
+         CAST(hour(ts) AS INT) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, dow
+                               ORDER BY n DESC, hod ASC) AS rnk
+  FROM cells)
+SELECT event_type, dow,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       max(CASE WHEN rnk = 1 THEN hod END) AS peak_hour,
+       max(CASE WHEN rnk = 1 THEN n END) AS peak_n
+FROM ranked GROUP BY 1, 2
+"""
+
+ANALYTIC_QUERIES.append(
+    QuerySpec(
+        "seasonality_profile",
+        q_seasonality_profile,
+        ORACLE_SEASONALITY,
+        ("ext", "temporal", "profile"),
+    )
+)
