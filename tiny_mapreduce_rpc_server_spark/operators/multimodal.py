@@ -480,3 +480,200 @@ MULTIMODAL_QUERIES: list[QuerySpec] = [
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE, ("ext", "multimodal", "udf")),
     QuerySpec("multimodal_resize", q_multimodal_resize, ORACLE_RESIZE, ("ext", "multimodal", "udf")),
 ]
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (aHash) over decoded pixels -> visual near-dup clusters
+# ---------------------------------------------------------------------------
+#
+# The solid-fill payloads above make a perceptual hash degenerate, so
+# this pipeline synthesizes TWO-TONE images (left band color c1, right
+# band c2, split at a hash-varying column w*k//8) and computes the classic 8x8 average-hash from
+# the DECODED pixels. Every comparison is integer cross-multiplication
+# (cell_sum * total_pixels > total_sum * cell_pixels) and the hash is a
+# 16-hex-char string, so there is no float or 64-bit-shift seam, and the
+# oracle can state the hash closed-form from (w, h, c1, c2) — a pass
+# proves the real decoder and the geometry of the downsample grid, not
+# just row plumbing.
+
+_AHASH_SCHEMA = "doc_id long, width int, height int, ahash string"
+
+
+def _bmp_encode_two_tone(w: int, h: int, c1: int, c2: int, k: int) -> bytes:
+    split = w * k // 8
+    row = bytes([c1, c1, c1]) * split + bytes([c2, c2, c2]) * (w - split)
+    pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
+    pixels = (row + pad) * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(pixels), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    return header + pixels
+
+
+def _ahash_from_payload(payload: bytes) -> tuple[int, int, str]:
+    """8x8 average-hash from DECODED BMP bytes: integer cell sums, bit =
+    cell average > global average via cross-multiplication, hex-encoded
+    row-major (bit 0 = top-left nibble-high)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    # gray value = blue byte (B==G==R by construction)
+    rows = [
+        payload[offset + r * stride : offset + r * stride + 3 * w : 3]
+        for r in range(h)
+    ]
+    col_edges = [c * w // 8 for c in range(9)]
+    row_edges = [r * h // 8 for r in range(9)]
+    total_sum = sum(sum(row) for row in rows)
+    total_pixels = w * h
+    bits = []
+    for rc in range(8):
+        r0, r1 = row_edges[rc], row_edges[rc + 1]
+        for cc in range(8):
+            c0, c1_ = col_edges[cc], col_edges[cc + 1]
+            cell_sum = sum(sum(rows[r][c0:c1_]) for r in range(r0, r1))
+            cell_pixels = (r1 - r0) * (c1_ - c0)
+            bits.append(
+                1 if cell_sum * total_pixels > total_sum * cell_pixels else 0
+            )
+    hexd = "0123456789abcdef"
+    ahash = "".join(
+        hexd[bits[i] * 8 + bits[i + 1] * 4 + bits[i + 2] * 2 + bits[i + 3]]
+        for i in range(0, 64, 4)
+    )
+    return w, h, ahash
+
+
+def encode_two_tone_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [
+            _bmp_encode_two_tone(int(w), int(h), int(a), int(b), int(k))
+            for w, h, a, b, k in zip(
+                pdf["w"], pdf["h"], pdf["c1"], pdf["c2"], pdf["k"]
+            )
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ws, hs, hashes = [], [], []
+        for payload in pdf["payload"]:
+            w, h, a = _ahash_from_payload(bytes(payload))
+            ws.append(w)
+            hs.append(h)
+            hashes.append(a)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "ahash": hashes,
+            }
+        )
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup clustering by perceptual hash: synthesize a real
+    two-tone BMP per document, DECODE it, compute the 8x8 integer aHash
+    from the pixels, and group documents by hash — images with the same
+    visual signature cluster regardless of their byte-level digest
+    (multimodal_image_dedup's exact-digest complement).
+
+    Two Arrow-batched mapInPandas stages (per-row, no shuffle) + one
+    hash-group; the oracle recomputes every hash closed-form from the
+    generating (w, h, c1, c2), so a pass proves decoder + downsample
+    geometry + integer bit rule end to end."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hsh = P.h1(F.col("text"))
+    src = docs.select(
+        "doc_id",
+        (hsh % 64 + 9).cast("int").alias("w"),
+        (hsh % 48 + 9).cast("int").alias("h"),
+        (hsh % 256).cast("int").alias("c1"),
+        ((hsh * 7 + 13) % 256).cast("int").alias("c2"),
+        (hsh % 5 + 2).cast("int").alias("k"),
+    )
+    images = src.mapInPandas(encode_two_tone_batch, _ENCODE_SCHEMA)
+    hashed = images.mapInPandas(ahash_batch, _AHASH_SCHEMA)
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.min("width").alias("min_w"),
+            F.max("width").alias("max_w"),
+        )
+    )
+
+
+def _oracle_phash() -> str:
+    h1 = P.sql_h1("text")
+    return f"""
+WITH params AS (
+  SELECT doc_id,
+         {h1} % 64 + 9 AS w,
+         {h1} % 48 + 9 AS h,
+         {h1} % 256 AS c1,
+         ({h1} * 7 + 13) % 256 AS c2,
+         {h1} % 5 + 2 AS k
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h, c1, c2, k,
+         unnest(range(0, 64)) AS bitpos
+  FROM params),
+bits AS (
+  SELECT doc_id, w, h, bitpos,
+         -- cell column range [c0, c1e); left band is [0, w//2)
+         (bitpos % 8) * w // 8 AS c0,
+         ((bitpos % 8) + 1) * w // 8 AS c1e,
+         (bitpos // 8) * h // 8 AS r0,
+         ((bitpos // 8) + 1) * h // 8 AS r1e,
+         w * k // 8 AS split, c1, c2
+  FROM cells),
+scored AS (
+  SELECT doc_id, bitpos,
+         -- integer cell sum: rows * (left-overlap*c1 + right-overlap*c2)
+         (r1e - r0) * (greatest(least(c1e, split) - c0, 0) * c1
+                       + (c1e - c0 - greatest(least(c1e, split) - c0, 0)) * c2)
+           AS cell_sum,
+         (r1e - r0) * (c1e - c0) AS cell_pixels,
+         h * (split * c1 + (w - split) * c2) AS total_sum,
+         w * h AS total_pixels
+  FROM bits),
+bitvals AS (
+  SELECT doc_id, bitpos,
+         CASE WHEN cell_sum * total_pixels > total_sum * cell_pixels
+              THEN 1 ELSE 0 END AS bit
+  FROM scored),
+nibbles AS (
+  SELECT doc_id, bitpos // 4 AS nib,
+         sum(bit * (CASE bitpos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                    WHEN 2 THEN 2 ELSE 1 END)) AS v
+  FROM bitvals GROUP BY 1, 2),
+hashes AS (
+  SELECT doc_id,
+         string_agg(substring('0123456789abcdef', CAST(v AS INT) + 1, 1),
+                    '' ORDER BY nib) AS ahash
+  FROM nibbles GROUP BY doc_id)
+SELECT ahash, count(*) AS n_docs,
+       min(p.doc_id) AS canonical_doc,
+       min(p.w) AS min_w, max(p.w) AS max_w
+FROM hashes hh JOIN params p ON p.doc_id = hh.doc_id
+GROUP BY ahash
+"""
+
+
+MULTIMODAL_QUERIES.append(
+    QuerySpec(
+        "multimodal_phash_dedup",
+        q_multimodal_phash_dedup,
+        _oracle_phash(),
+        ("ext", "multimodal", "dedup", "phash"),
+    )
+)
