@@ -677,3 +677,114 @@ MULTIMODAL_QUERIES.append(
         ("ext", "multimodal", "dedup", "phash"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (segment-energy signature) -> acoustic near-dup
+# ---------------------------------------------------------------------------
+
+_AFP_SCHEMA = "doc_id long, n_samples long, sig int"
+
+
+def _audio_fingerprint(payload: bytes) -> tuple[int, int]:
+    """8-segment energy signature from DECODED PCM: split the waveform
+    into 8 windows, bit w = window |amplitude| sum above the global mean
+    (integer cross-multiplication — no float), packed little-endian into
+    an 8-bit int. The audio analog of the image aHash."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF":
+        raise ValueError("not a WAV payload")
+    n = struct.unpack_from("<I", payload, 40)[0] // 2
+    xs = np.frombuffer(payload, dtype="<i2", offset=44, count=n).astype(
+        np.int64
+    )
+    a = np.abs(xs)
+    total = int(a.sum())
+    sig = 0
+    for w in range(8):
+        lo, hi = w * n // 8, (w + 1) * n // 8
+        seg = int(a[lo:hi].sum())
+        if seg * n > total * (hi - lo):
+            sig |= 1 << w
+    return n, sig
+
+
+def audio_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [_audio_fingerprint(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": pd.Series([r[0] for r in rows], dtype="int64"),
+                "sig": pd.Series([r[1] for r in rows], dtype="int32"),
+            }
+        )
+
+
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup clustering: synthesize the real PCM WAVs (same
+    derivation as q_multimodal_audio), DECODE them, compute an
+    8-segment-energy signature from the samples, and group clips by
+    signature — clips with the same coarse energy envelope cluster
+    regardless of byte digest or exact length. Every signature bit is an
+    integer cross-multiplication, and the oracle recomputes it
+    closed-form from the generating (n, k) waveform, so a pass proves
+    the PCM decode and the windowing geometry end to end."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = P.h1(F.col("text"))
+    src = docs.select(
+        "doc_id",
+        (h % 4000 + 100).cast("int").alias("n"),
+        (h % 97 + 1).cast("int").alias("k"),
+    )
+    audio = src.mapInPandas(audio_encode_batch, _AUDIO_ENCODE_SCHEMA)
+    fp = audio.mapInPandas(audio_fp_batch, _AFP_SCHEMA)
+    return fp.groupBy("sig").agg(
+        F.count("*").alias("n_clips"),
+        F.min("doc_id").alias("canonical_doc"),
+        F.min("n_samples").alias("min_samples"),
+        F.max("n_samples").alias("max_samples"),
+    )
+
+
+ORACLE_AUDIO_FINGERPRINT = f"""
+WITH src AS (
+  SELECT doc_id,
+         {P.sql_h1("text")} % 4000 + 100 AS n,
+         {P.sql_h1("text")} % 97 + 1 AS k
+  FROM documents),
+s AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n), i -> abs((i * k) % 2048 - 1024)) AS a
+  FROM src),
+segs AS (
+  SELECT doc_id, n, unnest(range(0, 8)) AS w, a,
+         list_sum(a) AS total
+  FROM s),
+bits AS (
+  SELECT doc_id, n, w,
+         CASE WHEN list_sum(a[(w * n // 8) + 1 : ((w + 1) * n // 8)]) * n
+                   > total * (((w + 1) * n // 8) - (w * n // 8))
+              THEN 1 ELSE 0 END AS bit
+  FROM segs),
+sigs AS (
+  SELECT doc_id, min(n) AS n,
+         CAST(sum(bit * (1 << w)) AS INT) AS sig
+  FROM bits GROUP BY doc_id)
+SELECT sig, count(*) AS n_clips,
+       min(doc_id) AS canonical_doc,
+       CAST(min(n) AS BIGINT) AS min_samples,
+       CAST(max(n) AS BIGINT) AS max_samples
+FROM sigs GROUP BY sig
+"""
+
+
+MULTIMODAL_QUERIES.append(
+    QuerySpec(
+        "multimodal_audio_fingerprint",
+        q_multimodal_audio_fingerprint,
+        ORACLE_AUDIO_FINGERPRINT,
+        ("ext", "multimodal", "dedup", "audio"),
+    )
+)
