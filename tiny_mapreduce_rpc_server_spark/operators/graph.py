@@ -555,3 +555,89 @@ GRAPH_QUERIES = [
         ("ext", "graph"),
     ),
 ]
+
+
+LINKPRED_TOP_K = 20
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the supplier-customer bipartite
+    graph: for every supplier pair that shares at least one customer,
+    the Jaccard of their customer sets — the classic missing-link score
+    (suppliers serving the same accounts are likely substitutes). Top-20
+    by score, ties broken on the pair keys.
+
+    Counting formulation, no arrays: one wedge join on the shared
+    customer produces (s1, s2, shared) with a hash aggregate; degrees
+    join in from a per-supplier count; jaccard = shared/(d1+d2-shared)
+    is a ratio of exact integers. The wedge is bounded by per-customer
+    supplier-list sizes (same caveat as triangle counting: at real
+    scale, cap or degree-orient hub customers first); the TakeOrdered
+    cut never sorts more than the candidate-pair table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    j = (
+        shared.join(
+            F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "shared",
+            (
+                F.col("shared")
+                / (F.col("d1") + F.col("d2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "s1", "s2").limit(LINKPRED_TOP_K)
+
+
+ORACLE_LINK_PREDICTION = f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+shared AS (
+  SELECT a.s AS s1, b.s AS s2, count(*) AS shared
+  FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2),
+deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s)
+SELECT s1, s2, shared,
+       shared / (d1.d + d2.d - shared) AS jaccard
+FROM shared
+JOIN deg d1 ON d1.s = s1
+JOIN deg d2 ON d2.s = s2
+ORDER BY jaccard DESC, s1, s2
+LIMIT {LINKPRED_TOP_K}
+"""
+
+GRAPH_QUERIES.append(
+    QuerySpec(
+        "graph_link_prediction",
+        q_graph_link_prediction,
+        ORACLE_LINK_PREDICTION,
+        ("ext", "graph", "similarity", "topk"),
+    )
+)
