@@ -250,6 +250,20 @@ def _linefile_spec() -> QuerySpec:
     )
 
 
+def _kv_textsink_spec() -> QuerySpec:
+    from tiny_mapreduce_rpc_server_spark.sources.linefile import (
+        ORACLE_KV_TEXTSINK,
+        q_kv_textsink_roundtrip,
+    )
+
+    return QuerySpec(
+        "kv_textsink_roundtrip",
+        q_kv_textsink_roundtrip,
+        ORACLE_KV_TEXTSINK,
+        ("sink", "linefile", "datasource-v2"),
+    )
+
+
 def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet snapshots: an old snapshot written
     WITHOUT ``o_totalprice`` and a new snapshot WITH it are read back as
@@ -538,6 +552,7 @@ FORMAT_QUERIES = [
         ("ext", "layout", "ops"),
     ),
     _linefile_spec(),
+    _kv_textsink_spec(),
     QuerySpec(
         "compaction_roundtrip",
         q_compaction_roundtrip,

@@ -27,7 +27,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DEFAULT_SPLIT_SIZE = 128 * 1024 * 1024  # reference Callbacks.h:40
 
@@ -96,6 +102,50 @@ class LineFileReader(DataSourceReader):
                 pos += len(line)
 
 
+class _KVCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class KVTextWriter(DataSourceWriter):
+    """The reference's OutputFormat surface (``OutputFormat.h:6-17``),
+    write path: stringify each KV pair as ``key<SPACE>value\\n`` — the
+    on-disk format of ``TextOutputFormat.h:12-38``, with its value-drop
+    defect FIXED (the reference persists ``'\\0'`` for every value,
+    "因为一些特殊原因暂未将value值进行持久化"; this writer keeps the
+    value). One file per input partition (the reference's one file per
+    reducer), two-phase commit: tasks write to ``*.tmp`` and return
+    commit messages; ``commit()`` renames — an un-committed task leaves
+    no visible output, matching Spark's task-commit protocol."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("linefile sink requires option 'path'")
+
+    def write(self, iterator) -> _KVCommit:
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(f"{row[0]} {row[1]}\n")
+                n += 1
+        return _KVCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(m.path, m.path[: -len(".tmp")] + ".txt")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class LineFileDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -106,6 +156,9 @@ class LineFileDataSource(DataSource):
 
     def reader(self, schema) -> LineFileReader:
         return LineFileReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> KVTextWriter:
+        return KVTextWriter(self.options)
 
 
 def register(spark) -> None:
@@ -162,3 +215,55 @@ GROUP BY word
 
 
 ORACLE_LINEFILE_WORDCOUNT = _oracle_linefile_wordcount()
+
+
+def q_kv_textsink_roundtrip(spark, sf_dir: str):
+    """The reference's FULL I/O loop, both ends custom: the word-count
+    KV output is persisted through the `linefile` WRITER (the
+    TextOutputFormat surface, value kept, per-partition files, two-phase
+    commit) and read back through the `linefile` READER (byte-range
+    splits + straddle rule), then re-aggregated. The oracle is the
+    direct word count over documents, so a pass proves the sink wrote
+    every pair exactly once AND the source re-read it exactly once —
+    write-path and read-path parity in one check."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.functions import portable as P
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    register(spark)
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    out = _os.path.join(tempfile.gettempdir(), f"tmrs_kvsink_{sf}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv = (
+        docs.select(F.explode(P.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    kv.write.format("linefile").option("path", out).mode("append").save()
+
+    lines = (
+        spark.read.format("linefile")
+        .option("path", out)
+        .option("split_size", 4 * 1024)  # force straddles on the read-back
+        .load()
+    )
+    parsed = lines.select(
+        F.split_part(F.col("line"), F.lit(" "), F.lit(1)).alias("word"),
+        F.split_part(F.col("line"), F.lit(" "), F.lit(2))
+        .cast("bigint")
+        .alias("n"),
+    )
+    # re-aggregate (sum of per-file counts) == the direct word count
+    return parsed.groupBy("word").agg(F.sum("n").alias("n"))
+
+
+# the sink+source roundtrip re-derives the same word count, so it shares
+# the wordcount oracle
+ORACLE_KV_TEXTSINK = _oracle_linefile_wordcount()
