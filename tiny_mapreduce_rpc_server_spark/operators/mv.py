@@ -95,3 +95,67 @@ MV_QUERIES: list[QuerySpec] = [
         ("ext", "mv", "incremental"),
     ),
 ]
+
+
+# deterministic delta split for the JOIN view: every 13th order and
+# every 17th customer are "newly arrived"
+_JOIN_DELTA_O, _JOIN_DELTA_C = 13, 17
+
+
+def q_mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the other half of the
+    IVM algebra: with base tables (A, B) and arriving deltas (dA, dB),
+    the new view rows are exactly dA⋈B ∪ A⋈dB ∪ dA⋈dB (three joins over
+    the DELTAS, never recomputing A⋈B). The output merges the standing
+    view with those delta rows and aggregates, and the oracle recomputes
+    the full join over (A∪dA)⋈(B∪dB) — so the check pins the delta
+    algebra itself: a missing or double-counted term hash-mismatches.
+
+    At 100 TB the three delta joins touch |delta|-proportional data
+    (with B/A sides pruned by the join keys present in the deltas);
+    co-partitioning the base tables on the join key makes them
+    shuffle-free. The sums stay decimal so base+delta merges are exactly
+    associative."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast(_DEC).alias("p")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a = orders.filter(F.col("o_orderkey") % _JOIN_DELTA_O != 0)
+    da = orders.filter(F.col("o_orderkey") % _JOIN_DELTA_O == 0)
+    b = cust.filter(F.col("c_custkey") % _JOIN_DELTA_C != 0)
+    db = cust.filter(F.col("c_custkey") % _JOIN_DELTA_C == 0)
+
+    def j(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(
+            right, left.o_custkey == right.c_custkey
+        ).select("c_mktsegment", "p")
+
+    view = j(a, b)  # the standing materialized view
+    delta_rows = j(da, b).unionAll(j(a, db)).unionAll(j(da, db))
+    return (
+        view.unionAll(delta_rows)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
+    )
+
+
+ORACLE_MV_INCREMENTAL_JOIN = """
+SELECT c_mktsegment, count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+MV_QUERIES.append(
+    QuerySpec(
+        "mv_incremental_join",
+        q_mv_incremental_join,
+        ORACLE_MV_INCREMENTAL_JOIN,
+        ("ext", "mv", "ivm", "join"),
+    )
+)
