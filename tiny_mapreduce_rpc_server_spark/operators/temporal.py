@@ -1007,3 +1007,73 @@ TEMPORAL_QUERIES: list[QuerySpec] = [
     QuerySpec("interval_overlap_join", q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP, ("temporal", "range-join")),
     QuerySpec("time_bucket_rollup", time_bucket_rollup, ORACLE_TIME_BUCKET, ("temporal", "rollup"), bench=True),
 ]
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's value signal: every
+    observation is weighted by how long it remained current (until the
+    user's next event) — the correct mean for irregularly-sampled
+    telemetry and price feeds, where the arithmetic mean over-weights
+    bursts. Per user: TWAP, observed span, and observation count.
+
+    Exactness discipline: values floor-quantize to 1e-6 integers and
+    durations are bigint microseconds (timestampdiff/epoch_us, NTZ-safe);
+    the weighted sum runs in DECIMAL(19,0) products (exact width 38 in
+    both engines), and the TWAP is reported in exact micro-value units
+    via truncating integer division (probed identical across engines) —
+    the weighted sum exceeds 2^53, and DuckDB's hugeint->double cast is
+    not correctly rounded, so a float result would diverge in the last
+    ulp. Bit-stable at any parallelism. One window + one aggregate,
+    both partitioned on user_id (one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d19 = "decimal(19,0)"
+    stepped = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vi"),
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, lead(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id))"
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    g = stepped.groupBy("user_id").agg(
+        F.sum(F.col("vi").cast(d19) * F.col("dt_us").cast(d19)).alias("num"),
+        F.sum("dt_us").alias("den_us"),
+        F.count("*").alias("n_obs"),
+    )
+    return g.select(
+        "user_id",
+        F.expr("num DIV den_us").alias("twap_micro"),
+        "den_us",
+        "n_obs",
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS vi,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events),
+g AS (
+  SELECT user_id,
+         sum(CAST(vi AS DECIMAL(19,0)) * CAST(dt_us AS DECIMAL(19,0))) AS num,
+         CAST(sum(dt_us) AS BIGINT) AS den_us,
+         count(*) AS n_obs
+  FROM stepped WHERE dt_us IS NOT NULL
+  GROUP BY user_id)
+SELECT user_id,
+       CAST(CAST(num AS HUGEINT) // den_us AS BIGINT) AS twap_micro,
+       den_us, n_obs
+FROM g
+"""
+
+TEMPORAL_QUERIES.append(
+    QuerySpec(
+        "time_weighted_avg",
+        q_time_weighted_avg,
+        ORACLE_TIME_WEIGHTED_AVG,
+        ("ext", "temporal", "twap"),
+    )
+)
