@@ -1081,3 +1081,84 @@ ANALYTIC_QUERIES.append(
         ("ext", "temporal", "profile"),
     )
 )
+
+
+PARETO_NUM, PARETO_DEN = 4, 5  # the 80% revenue line
+
+
+def q_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many top customers produce 80% of
+    revenue — the concentration number behind retention priorities and
+    skew expectations (a heavy-tailed customer base also predicts
+    join-key skew; see join_skew_diagnosis). One row: customer count,
+    the smallest top-N reaching the 80% line, and that group's exact
+    revenue share.
+
+    Shape: the corpus-sized work is one per-customer decimal aggregate;
+    the ranking/running-sum window runs over the CUSTOMER table (orders
+    of magnitude smaller — the same small-table window exception as
+    temporal_split's day spine). The crossing test is integer-free of
+    floats: cum*DEN >= total*NUM on decimal sums; the reported share
+    divides two decimal-exact sums whose unscaled values sit far below
+    2^53, where both engines' double casts are exact."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
+    )
+    tot = per_cust.agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n_customers")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("rev").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    crossing = ranked.filter(
+        F.col("cum") * PARETO_DEN >= F.col("total") * PARETO_NUM
+    ).agg(F.min("rnk").alias("n_top_80"))
+    at = ranked.join(
+        F.broadcast(crossing), F.col("rnk") == F.col("n_top_80")
+    )
+    return at.select(
+        "n_customers",
+        "n_top_80",
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "top_share"
+        ),
+    )
+
+
+ORACLE_PARETO = f"""
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT sum(rev) AS total, count(*) AS n_customers FROM per_cust),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rnk,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM per_cust),
+crossing AS (
+  SELECT min(rnk) AS n_top_80 FROM ranked, tot
+  WHERE cum * {PARETO_DEN} >= total * {PARETO_NUM})
+SELECT t.n_customers, c.n_top_80,
+       CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS top_share
+FROM ranked r, tot t, crossing c
+WHERE r.rnk = c.n_top_80
+"""
+
+ANALYTIC_QUERIES.append(
+    QuerySpec(
+        "pareto_report",
+        q_pareto_report,
+        ORACLE_PARETO,
+        ("ext", "concentration", "profile"),
+    )
+)
