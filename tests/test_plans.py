@@ -786,9 +786,10 @@ def test_attribution_asof_single_shuffle(spark):
 
 
 def test_embedding_spectrum_broadcast_iterations(spark):
-    """Every power-iteration step joins the dim-sized (or row-count-
-    sized) iterate via broadcast; the corpus never shuffles for a join
-    and nothing degrades to a nested loop."""
+    """At bench SFs every power-iteration step joins via broadcast (the
+    s side is row-count-sized and would switch to a hash equi-join at
+    real scale — documented in the op); nothing degrades to a nested
+    loop or cartesian."""
     p = plan(spark, _q(spark, "embedding_spectrum"))
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p

@@ -404,8 +404,11 @@ def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each iteration is (a) a 64-row broadcast join + per-row
     dot product + hash agg by vec_id, then (b) a per-dim agg — two
     narrow shuffles per round over the exploded (vec_id, pos, xi) table,
-    which a real deployment would persist once (localCheckpoint here);
-    the iterate v is always dim rows, driver-small."""
+    which a real deployment would persist once (localCheckpoint here).
+    The iterate v is always dim rows (driver-small, broadcast is the
+    scale path); the s-side join broadcasts only at these SFs — s is
+    row-count-sized, so at real scale that join becomes a plain hash
+    equi-join on vec_id (same algebra, swap the hint)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = (
         emb.select(
