@@ -1075,3 +1075,84 @@ TEXT_QUERIES: list[QuerySpec] = [
     QuerySpec("text_bigram_lm", q_bigram_lm, ORACLE_BIGRAM_LM, ("ext", "text", "ngram"), bench=True),
     QuerySpec("text_novelty", q_novelty, ORACLE_NOVELTY, ("ext", "text", "ngram", "quality"), bench=True),
 ]
+
+
+def q_vocab_arrival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary arrival curve (the Heaps-law measurement): how many
+    NEVER-SEEN-BEFORE bigram types first appear in each tenth of the corpus,
+    reading documents in doc_id order — the growth curve that says
+    whether a tokenizer's vocabulary budget has saturated or the corpus
+    keeps minting new types (and therefore whether more data buys
+    coverage). Complements text_vocab_coverage (static top-N coverage)
+    with the dynamic arrival view.
+
+    Shape: one explode + one hash aggregate computes each type's FIRST
+    document (min doc_id per token — partial map-side); bucketing into
+    deciles rides a 1-row broadcast of the max doc id; the cumulative
+    sum runs over the 10-row decile table. Nothing after the first
+    aggregate is corpus-sized."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # bigram TYPES: the synthetic unigram vocabulary (~31 words) saturates
+    # in the first decile, so the curve is measured over bigrams, whose
+    # type space keeps minting — the same switch a real pipeline makes
+    # when unigram vocab saturates
+    toked = docs.select("doc_id", P.tokens(F.lower(F.col("text"))).alias("t"))
+    tc, n = F.col("t"), F.size(F.col("t"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = toked.select("doc_id", F.explode(bigrams).alias("w"))
+    first = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").alias("max_doc"))
+    # integer division: DuckDB's double->int cast ROUNDS while Spark's
+    # truncates, so the bucket must never touch a float
+    b = first.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.expr("first_doc * 10 DIV (max_doc + 1)"), F.lit(9).cast("bigint")
+        )
+        .cast("int")
+        .alias("decile")
+    )
+    per = b.groupBy("decile").agg(F.count("*").alias("n_new_types"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_new_types",
+        F.sum("n_new_types").over(w).alias("vocab_size"),
+    )
+
+
+ORACLE_VOCAB_ARRIVAL = f"""
+WITH d AS (SELECT doc_id, {P.sql_tokens("lower(text)")} AS t FROM documents),
+tok AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM d WHERE len(t) >= 2)),
+first AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
+mx AS (SELECT max(doc_id) AS max_doc FROM documents),
+b AS (
+  SELECT CAST(least(first_doc * 10 // (max_doc + 1), 9) AS INT) AS decile
+  FROM first, mx),
+per AS (SELECT decile, count(*) AS n_new_types FROM b GROUP BY decile)
+SELECT decile, n_new_types,
+       CAST(sum(n_new_types) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM per
+"""
+
+TEXT_QUERIES.append(
+    QuerySpec(
+        "vocab_arrival_curve",
+        q_vocab_arrival_curve,
+        ORACLE_VOCAB_ARRIVAL,
+        ("ext", "text", "vocabulary", "curve"),
+    )
+)
