@@ -252,3 +252,37 @@ def test_linefile_one_task_per_split(spark, tmp_path):
         .load()
     )
     assert df.rdd.getNumPartitions() == 4  # 200/50 byte-range splits
+
+
+def test_kvtext_writer_stages_invisible_and_ignores_orphans(spark, tmp_path):
+    """Two-phase-commit hygiene for the linefile sink: staged files are
+    dot-prefixed (invisible to the reader even before commit), committed
+    files are ``part-*.txt``, and orphan ``*.tmp`` files — what a failed
+    or losing speculative attempt leaves behind, since the Python
+    DataSourceWriter API has no per-task abort — are never read back as
+    data under EITHER exclusion rule (leading '.', trailing '.tmp')."""
+    import os
+
+    from tiny_mapreduce_rpc_server_spark.sources.linefile import register
+
+    register(spark)
+    out = str(tmp_path / "kvout")
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["k", "v"])
+    df.repartition(2).write.format("linefile").option("path", out).mode(
+        "append"
+    ).save()
+    names = sorted(os.listdir(out))
+    assert names and all(
+        n.startswith("part-") and n.endswith(".txt") for n in names
+    ), names
+    # plant orphans from hypothetical failed attempts, both name shapes
+    with open(os.path.join(out, ".part-deadbeef.tmp"), "w") as fh:
+        fh.write("zzz 99\n")
+    with open(os.path.join(out, "part-cafebabe.tmp"), "w") as fh:
+        fh.write("yyy 98\n")
+    back = spark.read.format("linefile").option("path", out).load()
+    got = {}
+    for r in back.collect():
+        k, v = r.line.split(" ")
+        got[k] = int(v)
+    assert got == {"a": 1, "b": 2, "c": 3}

@@ -421,3 +421,32 @@ def test_dedup_incremental_sides_and_threshold(spark):
         assert r["jaccard"] >= JACCARD_VERIFY
         assert bucket(r["doc_new"]) >= INCR_INCOMING_FROM, r
         assert bucket(r["doc_old"]) < INCR_INCOMING_FROM, r
+
+
+def test_ntz_epoch_us_is_timezone_free(spark):
+    """The round-5 discovery, pinned: both unix_micros(cast) AND
+    timestampdiff(MICROSECOND, ...) route NTZ operands through the
+    session timezone (a diff spanning a DST transition is off by the
+    offset change), so epoch micros must come from NTZ interval
+    subtraction — functions.ntz_epoch_us / ntz_diff_us. Checked on a
+    timestamp INSIDE the America/New_York spring-forward gap, where the
+    tz-dependent formulations are off by 3600s."""
+    from tiny_mapreduce_rpc_server_spark.functions import ntz_diff_us, ntz_epoch_us
+
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-03-10 02:30:00.123456' AS ts, "
+        "TIMESTAMP_NTZ '2024-03-10 01:30:00' AS before"
+    )
+    sel = df.select(
+        ntz_epoch_us("ts").alias("e"), ntz_diff_us("before", "ts").alias("d")
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = sel.collect()[0]
+            # DuckDB: epoch_us(TIMESTAMP '2024-03-10 02:30:00.123456')
+            assert row["e"] == 1710037800123456, (tz, row)
+            assert row["d"] == 3600123456, (tz, row)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -802,3 +802,32 @@ def test_global_topk_is_take_ordered(spark, name):
     single-partition sort of the aggregated table."""
     p = plan(spark, _q(spark, name))
     assert "TakeOrdered" in p, p
+
+
+def test_minhash_verify_join_broadcasts_bounded_candidate_set(spark):
+    """The exact re-score join must broadcast the candidate pair set so
+    shingle arrays never ride an exchange. The hint is count-gated
+    (dedup._bounded_broadcast — the round-4 scale-hazard fix), so this
+    pins BOTH that the bound admits the broadcast at test SF AND that no
+    Exchange in the plan carries the shingles column."""
+    import re
+
+    p = plan(spark, _q(spark, "dedup_minhash_lsh"))
+    assert "BroadcastHashJoin" in p, p
+    for block in re.split(r"\n\s*\n", p):
+        if re.search(r"\(\d+\) Exchange", block):
+            assert "shingles" not in block, block
+
+
+def test_bounded_broadcast_degrades_above_bound(spark, monkeypatch):
+    """Above the pair bound the broadcast hint must be DROPPED — the
+    re-score degrades to a shuffled join instead of OOMing the driver
+    on a duplicate-heavy corpus."""
+    from tiny_mapreduce_rpc_server_spark.operators import dedup
+
+    pairs = spark.range(100).selectExpr("id as doc_a", "id + 1 as doc_b")
+    hinted = dedup._bounded_broadcast(pairs)
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    monkeypatch.setattr(dedup, "BROADCAST_PAIR_BOUND", 10)
+    plain = dedup._bounded_broadcast(pairs)
+    assert "hint" not in plain._jdf.queryExecution().logical().toString().lower()

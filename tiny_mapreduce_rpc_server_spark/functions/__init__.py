@@ -43,6 +43,38 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# timestamps
+# ---------------------------------------------------------------------------
+
+
+def ntz_diff_us(start: Column | str, end: Column | str) -> Column:
+    """Exact microseconds from ``start`` to ``end`` (TIMESTAMP_NTZ),
+    timezone-free.
+
+    The ONLY tz-free microsecond arithmetic Spark offers on NTZ values
+    is interval subtraction: ``end - start`` on two NTZ columns is pure
+    wall-clock (verified under a DST-gap timestamp with the session tz
+    set to America/New_York). Both ``unix_micros(ts.cast('timestamp'))``
+    AND — surprisingly — ``timestampdiff(MICROSECOND, a, b)`` route
+    through the session timezone (timestampdiff converts NTZ operands to
+    instants first, so a diff spanning a DST transition is off by the
+    offset change), diverging from DuckDB's tz-free ``epoch_us`` on any
+    non-UTC machine. The interval is cast through DECIMAL seconds (exact
+    — the physical payload is integer micros) to integer microseconds.
+    """
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    return ((e - s).cast("decimal(30,6)") * 1000000).cast("long")
+
+
+def ntz_epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column, timezone-free —
+    matches DuckDB's ``epoch_us`` on naive timestamps on ANY machine
+    (see ``ntz_diff_us`` for why the obvious formulations don't)."""
+    return ntz_diff_us(F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col)
+
+
+# ---------------------------------------------------------------------------
 # vector math (array<float|double> columns) — built-ins, no UDF
 # ---------------------------------------------------------------------------
 

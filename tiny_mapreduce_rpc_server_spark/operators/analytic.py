@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tiny_mapreduce_rpc_server_spark.functions import davg, dsum
+from tiny_mapreduce_rpc_server_spark.functions import davg, dsum, ntz_epoch_us
 from tiny_mapreduce_rpc_server_spark.sources import load_table
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -455,9 +455,9 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     division on identical operands."""
     events = load_table(spark, sf_dir, "events")
     v, c, p = _funnel_stages(events)
-    # NTZ -> timestamp is the identity under the session's pinned UTC
+    # tz-free epoch micros (matches DuckDB epoch_us on any machine)
     def _us(col):
-        return F.unix_micros(F.col(col).cast("timestamp"))
+        return ntz_epoch_us(col)
 
     vc = c.join(v, "user_id").select((_us("c_ts") - _us("v_ts")).alias("lat"))
     cp = p.join(c, "user_id").select((_us("p_ts") - _us("c_ts")).alias("lat"))
@@ -715,10 +715,10 @@ def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a bigint microsecond difference, exact in both engines."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # naive TIMESTAMP_NTZ -> TIMESTAMP cast is value-preserving with the
-    # session tz pinned to UTC; matches DuckDB epoch_us (same rule as
-    # q_sessionize)
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # tz-free epoch micros (matches DuckDB epoch_us on any machine —
+    # see functions.ntz_diff_us for why unix_micros AND timestampdiff
+    # both fail under a non-UTC session)
+    ts_us = ntz_epoch_us("ts")
     gapped = events.select(
         "user_id",
         "event_id",

@@ -136,6 +136,8 @@ LIMIT {BPE_TOP_PAIRS}
 # Number of BPE merge rounds trained by q_bpe_train_merges. Fixed and
 # small so the oracle can unroll the same loop as chained CTEs.
 BPE_MERGE_ROUNDS = 6
+# lineage-truncation cadence for the merge loop (see _bpe_train)
+_BPE_CHECKPOINT_EVERY = 4
 
 # Symbol-boundary markers for the merge-string representation. A word is
 # stored as "[t][h][e]"; merging (l, r) is then the LITERAL replacement
@@ -231,6 +233,14 @@ def _bpe_train(wf: DataFrame):
                 F.lit(f"{_BPE_L}{lhs}{rhs}{_BPE_R}"),
             ),
         )
+        # truncate lineage every few merges: without this, step k's job
+        # replays all k-1 prior replace()s over the word-type table, so
+        # per-step cost grows linearly and a real tokenizer run (10k+
+        # merges) becomes quadratic. Lazy (eager=False) so the
+        # materialization rides the NEXT round's pair-count job instead
+        # of spending a dedicated job per checkpoint.
+        if step % _BPE_CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint(eager=False)
     return vocab, merges
 
 

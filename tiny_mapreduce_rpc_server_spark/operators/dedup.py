@@ -45,6 +45,31 @@ COSINE_DUP = 0.4
 # many docs (stop-shingle cap — prevents hot-key shuffle skew at scale)
 MAX_SHINGLE_DF = 50
 
+# broadcast a candidate-pair set only below this many pairs: 2M rows of
+# (long, long) is ~32 MB, the session's autoBroadcastJoinThreshold
+BROADCAST_PAIR_BOUND = 2_000_000
+
+
+def _bounded_broadcast(cand: DataFrame) -> DataFrame:
+    """Broadcast a candidate-pair set only when it is provably small.
+
+    The exact re-score joins want the pair set broadcast so the large
+    shingle/embedding tables are never shuffled — but an *unconditional*
+    hint is a scale hazard: on a duplicate-heavy 100 TB crawl LSH bands
+    can emit billions of candidate pairs, and a forced broadcast then
+    kills the driver instead of degrading. So the pair set (two longs
+    per row — cheap to hold) is persisted, counted, and broadcast only
+    under BROADCAST_PAIR_BOUND; above the bound the hint is dropped and
+    the re-score degrades to a shuffled join — slower, but alive. The
+    count reuses the persisted pairs, so candidate generation still runs
+    exactly once.
+    """
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    n = cand.count()
+    return F.broadcast(cand) if n <= BROADCAST_PAIR_BOUND else cand
+
 
 # ---------------------------------------------------------------------------
 # building blocks (Spark side)
@@ -483,7 +508,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = ds.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
     db = ds.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
-    joined = F.broadcast(cand).join(da, "doc_a").join(db, "doc_b")
+    joined = _bounded_broadcast(cand).join(da, "doc_a").join(db, "doc_b")
     inter = F.size(F.array_intersect("sha", "shb"))
     jac = inter / (F.size("sha") + F.size("shb") - inter)
     return joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
@@ -577,7 +602,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("shn", "sho"))
     jac = inter / (F.size("shn") + F.size("sho") - inter)
     verified = (
-        F.broadcast(cand)
+        _bounded_broadcast(cand)
         .join(dn, "doc_new")
         .join(do, "doc_old")
         .select("doc_new", "doc_old", jac.alias("jaccard"))
@@ -864,7 +889,7 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine(F.col("ea"), F.col("eb"))
     return (
-        F.broadcast(cand).join(a, "vec_a")
+        _bounded_broadcast(cand).join(a, "vec_a")
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_DUP)

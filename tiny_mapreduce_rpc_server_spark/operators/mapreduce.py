@@ -108,8 +108,15 @@ class MapReduceEngine:
             # exchange.
             kv = kv.reduceByKey(reduce_fn, numPartitions=num_partitions, partitionFunc=part_fn)
             if sort_within_partitions:
-                kv = kv.mapPartitions(
-                    lambda it: iter(sorted(it)), preservesPartitioning=True
+                # repartitionAndSortWithinPartitions sees the matching
+                # partitioner reduceByKey installed, so partitionBy()
+                # returns self — NO second exchange — and the per-
+                # partition sort is PySpark's ExternalSorter, which
+                # spills instead of materializing the whole partition in
+                # worker memory (a high-cardinality key domain at 100×
+                # would OOM a plain in-memory sorted())
+                kv = kv.repartitionAndSortWithinPartitions(
+                    num_partitions, part_fn
                 )
         elif sort_within_partitions:
             kv = kv.repartitionAndSortWithinPartitions(num_partitions, part_fn)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiny_mapreduce_rpc_server_spark.functions import davg, dsum
+from tiny_mapreduce_rpc_server_spark.functions import davg, dsum, ntz_epoch_us
 from tiny_mapreduce_rpc_server_spark.operators.mapreduce import word_count
 from tiny_mapreduce_rpc_server_spark.sources import load_table
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
@@ -944,9 +944,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # testdata parquet stores naive timestamps (TIMESTAMP_NTZ in Spark 4);
-    # unix_micros requires TIMESTAMP, and with session tz pinned to UTC the
-    # cast is value-preserving and matches DuckDB's epoch_us on naive ts.
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # tz-free epoch micros (matches DuckDB epoch_us on any machine, not
+    # just under a UTC session — see functions.ntz_diff_us)
+    ts_us = ntz_epoch_us("ts")
     gapped = events.select(
         "user_id",
         "event_id",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiny_mapreduce_rpc_server_spark.functions import dsum
+from tiny_mapreduce_rpc_server_spark.functions import dsum, ntz_epoch_us
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
 from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
@@ -446,8 +446,8 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        # NTZ -> timestamp is the identity under the session's pinned UTC
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        # tz-free epoch micros (matches DuckDB epoch_us on any machine)
+        ntz_epoch_us("ts").alias("t"),
         "value",
     )
     a, b = ev.alias("a"), ev.alias("b")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiny_mapreduce_rpc_server_spark.functions import dsum
+from tiny_mapreduce_rpc_server_spark.functions import dsum, ntz_diff_us
 from tiny_mapreduce_rpc_server_spark.sources import load_table
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -787,7 +787,7 @@ def q_attribution_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     before purchases at equal timestamps, running last() carries the
     latest click forward), with the tolerance applied as a final per-row
     nullification — no second join, no extra exchange. The attribution
-    lag is computed in MICROSECONDS (timestampdiff / epoch_us) because
+    lag is computed in MICROSECONDS (tz-free interval diff / epoch_us) because
     the event timestamps carry sub-second precision and second-truncation
     rules differ between engines; the bigint difference is exact."""
     ev = load_table(spark, sf_dir, "events")
@@ -814,8 +814,9 @@ def q_attribution_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_click_ts"),
     )
-    # timestampdiff is TIMESTAMP_NTZ-safe; unix_micros is not
-    lag_us = F.expr("timestampdiff(MICROSECOND, last_click_ts, ts)")
+    # NTZ-NTZ interval subtraction is the only tz-free micro diff
+    # (timestampdiff converts through the session tz — functions.ntz_diff_us)
+    lag_us = ntz_diff_us("last_click_ts", "ts")
     fresh = F.col("last_click_ts").isNotNull() & (
         lag_us <= _ATTR_WINDOW_S * 1_000_000
     )
@@ -1017,7 +1018,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bursts. Per user: TWAP, observed span, and observation count.
 
     Exactness discipline: values floor-quantize to 1e-6 integers and
-    durations are bigint microseconds (timestampdiff/epoch_us, NTZ-safe);
+    durations are bigint microseconds (tz-free interval diff / epoch_us);
     the weighted sum runs in DECIMAL(19,0) products (exact width 38 in
     both engines), and the TWAP is reported in exact micro-value units
     via truncating integer division (probed identical across engines) —
@@ -1031,10 +1032,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stepped = ev.select(
         "user_id",
         F.floor(F.col("value") * 1_000_000).cast("long").alias("vi"),
-        F.expr(
-            "timestampdiff(MICROSECOND, ts, lead(ts) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id))"
-        ).alias("dt_us"),
+        ntz_diff_us(F.col("ts"), F.lead("ts").over(w)).alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
     g = stepped.groupBy("user_id").agg(
         F.sum(F.col("vi").cast(d19) * F.col("dt_us").cast(d19)).alias("num"),

@@ -68,72 +68,74 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
 # listed keeps its group order after the priority block and stays
 # covered by the identical local gate (tests/test_oracle_relational.py).
 _PRIORITY = [
-    # --- the 43 queries never yet covered by a driver CORRECTNESS round
-    # (computed as registry minus union of CORRECTNESS_r01..r03 keys) ---
-    # TPC-H shapes
-    "q11_important_parts",
-    "q12_priority_classes",
-    "q16_parts_suppliers",
-    "q20_dominant_suppliers",
-    "q21_suppliers_kept_waiting",
-    # temporal
-    "scd2_history",
-    # sampling / mixing
-    "sample_hash_bucket",
-    "train_val_test_split",
-    "quality_weighted_sample",
-    # sketches / stats
-    "approx_distinct_users",
-    "column_profile",
-    "value_histogram",
-    # dedup + similarity additions
-    "dedup_exact",
-    "dedup_minhash_ml",
-    "dedup_cluster_stats",
-    "embedding_normalize",
-    "ann_ml_brp",
-    # text additions
-    "text_simhash",
-    "text_bigram_lm",
-    # multimodal
-    "multimodal_meta",
-    # formats / layout roundtrips
-    "compaction_roundtrip",
-    "partitioned_sink_roundtrip",
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "orc_source_roundtrip",
-    "dpp_partitioned_join",
-    # scalar-function families
-    "array_set_ops",
-    "conditional_aggs",
-    "window_value_funcs",
-    "window_rank_stats",
-    "unpivot",
-    "array_funcs",
-    "higher_order_funcs",
-    "map_funcs",
-    "window_lag_lead",
-    "ntile_buckets",
-    "grouping_sets",
-    # streaming (the 6 not yet driver-checked)
-    "streaming_static_join",
-    "streaming_foreach_batch",
-    "streaming_tumbling",
-    "streaming_sliding",
-    "streaming_session_window",
-    "streaming_dedup",
-    # --- 7 more never-checked queries (from the 60 registered after the
-    # round-3 rotation was frozen), one per family, replacing the round-3
-    # plan's §2 re-pins: the §2 core already holds green driver rows in
-    # BOTH r1 and r3, so these slots buy net-new verified coverage ---
-    "gap_fill_interpolate",
-    "weighted_median",
-    "dedup_containment",
-    "er_fuzzy_candidates",
-    "graph_pagerank",
-    "event_funnel",
-    "retention_cohorts",
+    # --- round-5 window: the next 50 of the 92 queries never yet covered
+    # by a driver CORRECTNESS round (registry minus the union of
+    # CORRECTNESS_r01..r04 keys; tools/rotation_helper.py computes it).
+    # Every name is oracle-backed — the 3 justified rows-only entries
+    # (approx_distinct_users, dedup_minhash_ml, ann_ml_brp) are kept OUT
+    # so no slot burns on a `no_oracle` row. ---
+    # user-facing pipeline composites (the end-to-end manifest a real
+    # training-data pipeline ships)
+    "corpus_manifest",
+    "training_manifest",
+    "pipeline_yield_report",
+    "temporal_split",
+    # lakehouse row algebra / temporal joins
+    "merge_into_upsert",
+    "snapshot_diff",
+    "point_in_time_join",
+    "asof_join_forward",
+    "attribution_asof_tolerance",
+    "interval_overlap_join",
+    "time_weighted_avg",
+    # reference-parity capstones (W1-W5/R1-R5 sorted product, O2 writer,
+    # N3 registry) + physical-layout audits
+    "total_order_sort",
+    "kv_textsink_roundtrip",
+    "rpc_registry_call",
+    "file_layout_report",
+    "layout_zorder",
+    "schema_evolution_roundtrip",
+    "csv_malformed_handling",
+    # the remaining streaming set
+    "streaming_quarantine",
+    "streaming_trending",
+    "streaming_chained_windows",
+    "streaming_outer_join",
+    "streaming_full_outer_join",
+    # BPE tokenizer family
+    "bpe_pair_stats",
+    "bpe_train_merges",
+    "bpe_encode",
+    # dedup / leakage / savings
+    "split_leakage_check",
+    "dedup_eval_minhash",
+    "dedup_substring",
+    "dedup_substring_anchored",
+    "dedup_incremental",
+    "dedup_savings_report",
+    "source_overlap_matrix",
+    # data-quality / privacy
+    "k_anonymity_audit",
+    "dq_freshness_check",
+    "dq_constraint_check",
+    "pseudonymize_keys",
+    "aes_column_roundtrip",
+    # sketches / robust stats / drift
+    "heavy_hitters_cms",
+    "equidepth_histogram",
+    "ingest_anomaly",
+    "ols_trend",
+    "theil_sen_trend",
+    "winsorized_stats",
+    "outlier_mad",
+    "drift_chisq",
+    # incremental view maintenance
+    "mv_incremental_agg",
+    "mv_incremental_join",
+    # skew handling
+    "skew_join_salted",
+    "join_skew_diagnosis",
 ]
 
 # The window size is a hard coupling to the driver gate: adding or removing

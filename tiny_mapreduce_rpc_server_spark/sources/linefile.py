@@ -58,6 +58,7 @@ class LineFileReader(DataSourceReader):
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
                 if not f.startswith(("_", "."))
+                and not f.endswith(".tmp")
                 and os.path.isfile(os.path.join(self.path, f))
             )
         return [self.path]
@@ -115,9 +116,14 @@ class KVTextWriter(DataSourceWriter):
     defect FIXED (the reference persists ``'\\0'`` for every value,
     "因为一些特殊原因暂未将value值进行持久化"; this writer keeps the
     value). One file per input partition (the reference's one file per
-    reducer), two-phase commit: tasks write to ``*.tmp`` and return
-    commit messages; ``commit()`` renames — an un-committed task leaves
-    no visible output, matching Spark's task-commit protocol."""
+    reducer), two-phase commit: tasks stage to a dot-prefixed
+    ``.part-*.tmp`` and return commit messages; ``commit()`` renames to
+    the visible ``part-*.txt``. Staged names are invisible to the reader
+    by BOTH rules (leading '.', trailing '.tmp'), so a failed or losing
+    speculative attempt — whose staged file the Python DataSourceWriter
+    API gives us no per-task abort hook to delete — can never be read
+    back as data; ``abort()`` additionally sweeps any remaining ``*.tmp``
+    on whole-job failure."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -128,7 +134,9 @@ class KVTextWriter(DataSourceWriter):
         import uuid as _uuid
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.tmp")
+        # dot-prefixed staging: excluded by the reader's '.'-prefix rule
+        # even before commit(), so orphaned attempts are never visible
+        tmp = os.path.join(self.path, f".part-{_uuid.uuid4().hex}.tmp")
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
@@ -138,12 +146,19 @@ class KVTextWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         for m in messages:
-            os.replace(m.path, m.path[: -len(".tmp")] + ".txt")
+            base = os.path.basename(m.path)  # ".part-<uuid>.tmp"
+            final = base.lstrip(".")[: -len(".tmp")] + ".txt"
+            os.replace(m.path, os.path.join(os.path.dirname(m.path), final))
 
     def abort(self, messages) -> None:
         for m in messages:
             if os.path.exists(m.path):
                 os.remove(m.path)
+        # sweep staged files from failed attempts that produced no message
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".tmp"):
+                    os.remove(os.path.join(self.path, f))
 
 
 class LineFileDataSource(DataSource):

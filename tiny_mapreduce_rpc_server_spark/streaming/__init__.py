@@ -940,26 +940,40 @@ def q_streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and the JSON round-trip preserved every double bit-for-bit).
 
     Shape: per-row parse (no shuffle) + one tiny global aggregate; the
-    feed directory is written once by a distributed text sink."""
+    feed directory is written once by a distributed text sink. Good
+    lines are serialized with ``to_json(struct(...))`` (robust against
+    quoting/locale surprises), and the feed is explicitly restricted to
+    finite non-null values IN BOTH ENGINES — a null value would make
+    ``to_json`` omit the field and a non-finite double would serialize
+    unparseably, either of which would silently diverge from the
+    event_id % 7 corruption oracle."""
     import os
     import shutil
     import tempfile
 
     from tiny_mapreduce_rpc_server_spark.sources import load_table
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
     )
     bad = F.col("event_id") % 7 == 0
-    line = F.concat(
-        F.lit('{"event_id":'),
-        F.col("event_id").cast("string"),
-        F.lit(',"event_type":"'),
-        F.col("event_type"),
-        F.lit('","value":'),
-        F.when(bad, F.lit("oops")).otherwise(F.col("value").cast("string")),
-        F.lit("}"),
-    )
+    line = F.when(
+        bad,
+        # deliberately invalid JSON: bare-word value token
+        F.concat(
+            F.lit('{"event_id":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"event_type":"'),
+            F.col("event_type"),
+            F.lit('","value":oops}'),
+        ),
+    ).otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
     feed = os.path.join(
         tempfile.gettempdir(),
         f"tmrs_quarantine_{os.path.basename(os.path.normpath(sf_dir))}",
@@ -1003,6 +1017,7 @@ SELECT count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_quarantined,
                      THEN CAST(value AS {_DEC}) END) AS DOUBLE)
          AS sum_value_good
 FROM events
+WHERE value IS NOT NULL AND isfinite(value)
 """
 
 
