@@ -51,17 +51,19 @@ BROADCAST_PAIR_BOUND = 2_000_000
 
 
 def _bounded_broadcast(cand: DataFrame) -> DataFrame:
-    """Broadcast a candidate-pair set only when it is provably small.
+    """Broadcast a small derived table (candidate pairs, duplicate-id
+    lists) only when it is PROVABLY small.
 
-    The exact re-score joins want the pair set broadcast so the large
-    shingle/embedding tables are never shuffled — but an *unconditional*
+    The consumers want these tables broadcast so the large corpus /
+    shingle / embedding side is never shuffled — but an *unconditional*
     hint is a scale hazard: on a duplicate-heavy 100 TB crawl LSH bands
-    can emit billions of candidate pairs, and a forced broadcast then
-    kills the driver instead of degrading. So the pair set (two longs
-    per row — cheap to hold) is persisted, counted, and broadcast only
+    can emit billions of candidate pairs and the duplicate list is a
+    large fraction of the corpus, and a forced broadcast then kills the
+    driver instead of degrading. So the table (a couple of longs per
+    row — cheap to hold) is persisted, counted, and broadcast only
     under BROADCAST_PAIR_BOUND; above the bound the hint is dropped and
-    the re-score degrades to a shuffled join — slower, but alive. The
-    count reuses the persisted pairs, so candidate generation still runs
+    the join degrades to a shuffle — slower, but alive. The count
+    reuses the persisted rows, so the upstream computation still runs
     exactly once.
     """
     from pyspark import StorageLevel

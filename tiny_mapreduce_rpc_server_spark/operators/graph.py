@@ -36,7 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+    BROADCAST_PAIR_BOUND,
     ORACLE_DEDUP_NGRAM_JACCARD,
+    _bounded_broadcast,
     q_dedup_ngram_jaccard,
 )
 from tiny_mapreduce_rpc_server_spark.sources import load_table
@@ -192,9 +194,13 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report that decides whether a feed is worth re-scraping and what the
     post-dedup storage/token budget is.
 
-    Shape: the duplicate list is cluster members minus representatives —
-    orders of magnitude smaller than the corpus — broadcast against one
-    corpus scan (LEFT join marks drops); the per-source rollup
+    Shape: the duplicate list is cluster members minus representatives,
+    broadcast against one corpus scan when provably small (count-gated
+    via dedup._bounded_broadcast — on a duplicate-heavy crawl the dup
+    list is a large FRACTION of the corpus, and an unconditional hint
+    would OOM the driver; the count is a cheap scan of the
+    localCheckpoint-materialized component table). Above the bound the
+    LEFT join degrades to a hash shuffle on doc_id. The per-source rollup
     partial-aggregates map-side. The savings fraction is a double
     division of two exact BIGINTs, identical in both engines."""
     comp = _components(spark, sf_dir)
@@ -206,7 +212,7 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    marked = docs.join(F.broadcast(dups), "doc_id", "left")
+    marked = docs.join(_bounded_broadcast(dups), "doc_id", "left")
     return (
         marked.groupBy("source")
         .agg(
@@ -369,8 +375,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: at 100 TB orient by (degree, id) instead of raw id so
     hub adjacency lists stay short (arboricity bound, Suri &
     Vassilvitskii "Counting Triangles and the Curse of the Last
-    Reducer"), and swap the adjacency broadcast for a sort-merge join
-    when the node table outgrows the broadcast budget — the per-edge
+    Reducer"); the adjacency broadcast is count-gated on |E| (the
+    exact adjacency payload), degrading to shuffled equi-joins when
+    the graph outgrows the broadcast budget — the per-edge
     intersection algebra is unchanged. Id-orientation keeps the oracle
     deterministic here. The oracle verifies via the independent wedge
     formulation in SQL.
@@ -404,11 +411,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj_u = adj.withColumnRenamed("u", "x").withColumnRenamed("nb", "nb_u")
     adj_v = adj.withColumnRenamed("u", "y").withColumnRenamed("nb", "nb_v")
     empty = F.array().cast("array<bigint>")
+    # the adjacency payload holds exactly |E| neighbor entries, so gate
+    # the broadcast on the edge count (e is cached — this materializes
+    # it once for both consumers); above the bound the probes degrade to
+    # shuffled equi-joins instead of OOMing the driver
+    if e.count() <= BROADCAST_PAIR_BOUND:
+        adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
     ea = (
-        e.join(F.broadcast(adj_u), F.col("u") == F.col("x"))
+        e.join(adj_u, F.col("u") == F.col("x"))
         .drop("x")
         # left: the highest node of a neighborhood has no adjacency row
-        .join(F.broadcast(adj_v), F.col("v") == F.col("y"), "left")
+        .join(adj_v, F.col("v") == F.col("y"), "left")
         .drop("y")
     )
     inter = (
@@ -593,13 +606,16 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared"))
     )
     deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    # the degree table is O(|suppliers|) — unhinted, so AQE broadcasts
+    # it while it fits (both join inputs are shuffle stages with exact
+    # runtime stats) and degrades to a hash join beyond that
     j = (
         shared.join(
-            F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))),
+            deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")),
             "s1",
         )
         .join(
-            F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))),
+            deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")),
             "s2",
         )
         .select(

@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--names", nargs="*", default=None, help="explicit query names")
     args = ap.parse_args()
 
+    # must precede the registry import: the file_layout_report oracle
+    # bakes literal parquet paths (DuckDB parquet_file_metadata cannot
+    # take a view) from this env var at module-import time
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf_dir
+
     from pyspark.sql import SparkSession
 
     # Deliberately vanilla: mirror the driver's session, not session.py.
