@@ -831,3 +831,16 @@ def test_bounded_broadcast_degrades_above_bound(spark, monkeypatch):
     monkeypatch.setattr(dedup, "BROADCAST_PAIR_BOUND", 10)
     plain = dedup._bounded_broadcast(pairs)
     assert "hint" not in plain._jdf.queryExecution().logical().toString().lower()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_savings_report", "pipeline_yield_report", "graph_triangles"],
+)
+def test_gated_broadcasts_still_broadcast_at_test_sf(spark, name):
+    """The round-5 bounded-broadcast discipline must not cost the small-
+    scale plan: at test SF the count gates admit the hint, so the dup-
+    list / adjacency joins stay broadcast (no corpus-side exchange)."""
+    p = plan(spark, _q(spark, name))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p

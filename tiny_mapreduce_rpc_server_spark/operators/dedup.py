@@ -591,7 +591,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc_keys = bk.filter(incoming_pred)
     ex_keys = bk.filter(~incoming_pred)
     cand = (
-        F.broadcast(inc_keys.alias("i"))
+        # the incoming batch is small BY CONTRACT, but gate the hint on
+        # an actual count anyway — this demo's batch is a corpus
+        # fraction, and a mis-sized batch should degrade to a shuffled
+        # probe of the index, not kill the driver
+        _bounded_broadcast(inc_keys.alias("i"))
         .join(ex_keys.alias("e"), F.col("i.bk") == F.col("e.bk"))
         .select(
             F.col("i.doc_id").alias("doc_new"),
