@@ -450,3 +450,48 @@ def test_ntz_epoch_us_is_timezone_free(spark):
             assert row["d"] == 3600123456, (tz, row)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_ntz_instant_bridge_is_timezone_free(spark):
+    """Pins the round-5 streaming bridge: watermarks reject TIMESTAMP_NTZ
+    (Spark 4.1 [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), so streaming
+    queries reinterpret naive event time as UTC instants via
+    ntz_as_instant, run the stateful plan on TIMESTAMP, and convert
+    window bounds back with instant_as_ntz. Both directions (plus
+    ntz_from_micros / ntz_epoch_s) must be session-tz-invariant — a plain
+    cast is not, shifting by the zone offset and non-uniformly across DST
+    transitions. Checked on a timestamp inside the America/New_York
+    spring-forward gap and one on a half-hour-offset zone's hour edge."""
+    from tiny_mapreduce_rpc_server_spark.functions import (
+        instant_as_ntz,
+        ntz_as_instant,
+        ntz_epoch_s,
+        ntz_epoch_us,
+        ntz_from_micros,
+    )
+
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-03-10 02:30:00.123456' AS ts, "
+        "CAST(1710037800123456 AS LONG) AS us"
+    )
+    sel = df.select(
+        ntz_epoch_us(ntz_from_micros(F.col("us"))).alias("roundtrip_us"),
+        F.unix_micros(ntz_as_instant("ts")).alias("instant_us"),
+        ntz_epoch_us(instant_as_ntz(ntz_as_instant("ts"))).alias("bridge_us"),
+        ntz_epoch_s("ts").alias("floor_s"),
+        ntz_epoch_s(ntz_from_micros(F.lit(-1))).alias("neg_floor_s"),
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = sel.collect()[0]
+            assert row["roundtrip_us"] == 1710037800123456, (tz, row)
+            assert row["instant_us"] == 1710037800123456, (tz, row)
+            assert row["bridge_us"] == 1710037800123456, (tz, row)
+            assert row["floor_s"] == 1710037800, (tz, row)
+            # floor (not truncate-toward-zero) below the epoch, like
+            # DuckDB's epoch_us(ts) // 1000000
+            assert row["neg_floor_s"] == -1, (tz, row)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

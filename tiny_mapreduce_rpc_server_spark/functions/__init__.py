@@ -74,6 +74,55 @@ def ntz_epoch_us(col: Column | str) -> Column:
     return ntz_diff_us(F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col)
 
 
+def ntz_epoch_s(col: Column | str) -> Column:
+    """Floor epoch SECONDS of a TIMESTAMP_NTZ column, timezone-free —
+    matches DuckDB's ``epoch_us(ts) // 1000000``. Pure long arithmetic:
+    subtract the floor-mod microsecond remainder, then divide (the
+    dividend is exactly divisible and < 2^53, so the double division is
+    exact). ``unix_timestamp`` is NOT a substitute — it routes the NTZ
+    value through the session timezone."""
+    us = ntz_epoch_us(col)
+    return ((us - F.pmod(us, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+
+
+def instant_as_ntz(col: Column | str) -> Column:
+    """TIMESTAMP (instant) -> TIMESTAMP_NTZ carrying the instant's UTC
+    wall-clock, timezone-free. A plain cast renders the instant in the
+    SESSION timezone; this goes through unix_micros (instant -> epoch
+    micros, tz-free) and the tz-free micros->NTZ builder, so the result
+    is the same on any machine. The inverse of ``ntz_as_instant``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ntz_from_micros(F.unix_micros(c))
+
+
+def ntz_as_instant(col: Column | str) -> Column:
+    """TIMESTAMP_NTZ -> TIMESTAMP holding the instant whose UTC
+    wall-clock equals the naive value, timezone-free. A plain cast
+    interprets the naive value in the SESSION timezone (shifting it by
+    the zone offset, non-uniformly across DST transitions); this
+    reinterprets it as UTC via tz-free epoch micros. Needed where Spark
+    requires a TIMESTAMP — e.g. streaming event time: watermarks reject
+    NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE], Spark 4.1) — while the
+    oracle works in naive time."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(ntz_epoch_us(c))
+
+
+def ntz_from_micros(us: Column) -> Column:
+    """Epoch microseconds -> TIMESTAMP_NTZ, timezone-free (the inverse of
+    ``ntz_epoch_us``). ``timestamp_micros`` is NOT a substitute: it
+    yields a session-tz TIMESTAMP, and casting that to NTZ converts
+    through the session timezone. Split into whole days + sub-day
+    remainder so the double seconds argument of ``make_dt_interval``
+    stays < 86400e6 microseconds — exactly representable, round-trip
+    safe at microsecond resolution."""
+    rem = F.pmod(us, F.lit(86_400_000_000))
+    days = ((us - rem) / F.lit(86_400_000_000)).cast("long")
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        days, F.lit(0), F.lit(0), rem / F.lit(1_000_000)
+    )
+
+
 # ---------------------------------------------------------------------------
 # vector math (array<float|double> columns) — built-ins, no UDF
 # ---------------------------------------------------------------------------

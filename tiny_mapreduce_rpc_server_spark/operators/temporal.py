@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiny_mapreduce_rpc_server_spark.functions import dsum, ntz_diff_us
+from tiny_mapreduce_rpc_server_spark.functions import dsum, ntz_diff_us, ntz_epoch_s
 from tiny_mapreduce_rpc_server_spark.sources import load_table
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -253,12 +253,15 @@ def q_rolling_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     same customer (RANGE BETWEEN 7 DAYS PRECEDING, not ROWS — the frame
     is defined by event time, so gaps and bursts are handled correctly).
 
-    Spark range frames need a numeric ordering column: order by unix
-    seconds with a [-604800, 0] range — identical membership to DuckDB's
-    INTERVAL 7 DAYS PRECEDING on the timestamp. Partitioned by customer
+    Spark range frames need a numeric ordering column: order by tz-free
+    naive epoch seconds (ntz_epoch_s — unix_timestamp would route the
+    NTZ value through the session timezone, shifting frame membership
+    across DST transitions under a non-UTC driver session) with a
+    [-604800, 0] range — identical membership to DuckDB's INTERVAL
+    7 DAYS PRECEDING on the naive timestamp. Partitioned by customer
     => distributed; decimal frame sums => order-independent."""
     orders = load_table(spark, sf_dir, "orders")
-    secs = F.unix_timestamp("o_orderdate")
+    secs = ntz_epoch_s("o_orderdate")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(secs)
@@ -496,11 +499,15 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on user_id; lag() within the per-user time order gives
     each inter-event gap; everything downstream is per-user aggregate
-    granularity. Gaps are integer epoch-second differences, so the
-    oracle matches exactly with no float discipline needed."""
+    granularity. Gaps are integer floor-epoch-second differences via the
+    tz-free ntz_epoch_s (unix_timestamp would convert through the
+    session timezone and diverge from the oracle's naive epoch_us//1e6
+    across DST transitions), so the oracle matches exactly with no float
+    discipline needed."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    secs = ntz_epoch_s("ts")
+    gap = secs - F.lag(secs).over(w)
     gaps = ev.select("user_id", gap.alias("gap_s")).filter(
         F.col("gap_s").isNotNull()
     )

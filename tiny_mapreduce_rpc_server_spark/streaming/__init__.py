@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tiny_mapreduce_rpc_server_spark.functions import instant_as_ntz, ntz_as_instant
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 from tiny_mapreduce_rpc_server_spark.sources import table_path
 
@@ -65,9 +66,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     layouts for events.ts — parquet TIMESTAMP(NANOS), which Spark can only
     read as raw int64 (legacy conf) and needs ns->us truncation, and plain
     us-precision naive timestamps (TIMESTAMP_NTZ). Probe the footer via a
-    batch read, build the matching stream schema, and normalize ts to a
-    session-UTC TIMESTAMP either way so watermarks/windows and the DuckDB
-    oracles see identical instants."""
+    batch read, build the matching stream schema, and keep ts
+    TIMESTAMP_NTZ either way: watermarks/windows support NTZ (Spark
+    3.4+), window boundaries align on naive time exactly like the DuckDB
+    oracles' date_trunc/time_bucket, and nothing depends on the session
+    timezone (a cast to session-tz TIMESTAMP would shift every window
+    boundary under a non-UTC driver session — by 30 minutes under
+    half-hour-offset zones, and across DST transitions everywhere)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_ts = dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
     nanos_layout = batch_ts == "bigint"
@@ -82,7 +87,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if nanos_layout:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", ntz_as_instant("ts"))
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +116,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select(
-        F.col("window.start").alias("hour_start"),
+        instant_as_ntz(F.col("window.start")).alias("hour_start"),
         "event_type",
         "n",
         "sum_value",
@@ -166,7 +171,7 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf = os.path.basename(os.path.normpath(sf_dir))
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        "event_id", ntz_as_instant("ts").alias("ts"), "value"
     )
     latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
     stream_dir = _replay_batches(
@@ -198,7 +203,7 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select(
-        F.col("window.start").alias("hour_start"), "n", "sum_value"
+        instant_as_ntz(F.col("window.start")).alias("hour_start"), "n", "sum_value"
     )
 
 
@@ -260,7 +265,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select(
-        F.col("window.start").alias("win_start"), "event_type", "n"
+        instant_as_ntz(F.col("window.start")).alias("win_start"), "event_type", "n"
     )
 
 
@@ -305,7 +310,7 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select(
-        F.col("session_window.start").alias("session_start"), "user_id", "n_events"
+        instant_as_ntz(F.col("session_window.start")).alias("session_start"), "user_id", "n_events"
     )
 
 
@@ -524,7 +529,13 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") == F.col("v_user_id"))
         & (F.col("view_ts") >= F.col("click_ts"))
         & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+    ).select(
+        "user_id",
+        "click_id",
+        "view_id",
+        instant_as_ntz("click_ts").alias("click_ts"),
+        instant_as_ntz("view_ts").alias("view_ts"),
+    )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
     q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
@@ -576,7 +587,7 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf = os.path.basename(os.path.normpath(sf_dir))
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        "event_id", "user_id", "event_type", ntz_as_instant("ts").alias("ts")
     )
     latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
     stream_dir = _replay_batches(
@@ -618,7 +629,13 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("click_ts"))
         & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
         "left_outer",
-    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+    ).select(
+        "user_id",
+        "click_id",
+        "view_id",
+        instant_as_ntz("click_ts").alias("click_ts"),
+        instant_as_ntz("view_ts").alias("view_ts"),
+    )
     name = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
     q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
@@ -677,7 +694,7 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf = os.path.basename(os.path.normpath(sf_dir))
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        "event_id", "user_id", "event_type", ntz_as_instant("ts").alias("ts")
     )
     latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
     stream_dir = _replay_batches(
@@ -722,8 +739,8 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("user_id", "v_user_id").alias("user_id"),
         "click_id",
         "view_id",
-        "click_ts",
-        "view_ts",
+        instant_as_ntz("click_ts").alias("click_ts"),
+        instant_as_ntz("view_ts").alias("view_ts"),
     )
     name = f"stream_fojoin_{uuid.uuid4().hex[:8]}"
     q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
@@ -805,7 +822,7 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf = os.path.basename(os.path.normpath(sf_dir))
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        "event_id", "event_type", ntz_as_instant("ts").alias("ts")
     )
     latest = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
     stream_dir = _replay_batches(
@@ -844,7 +861,7 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select(
-        F.col("window.start").alias("hour_start"),
+        instant_as_ntz(F.col("window.start")).alias("hour_start"),
         "event_type",
         "total_n",
         "max_slot_n",
@@ -903,7 +920,7 @@ def q_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     sunk = spark.table(name).select(
-        F.col("window.start").alias("hour_start"), "event_type", "n"
+        instant_as_ntz(F.col("window.start")).alias("hour_start"), "event_type", "n"
     )
     w = Window.partitionBy("event_type").orderBy("hour_start")
     return sunk.select(
