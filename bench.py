@@ -53,7 +53,7 @@ def main() -> None:
     # Long queries get median-of-3 so round-over-round deltas are signal,
     # not run variance; short ones stay single-run (their fixed Spark
     # job-submission overhead dominates either way).
-    slow_sec = float(os.environ.get("SPARK_GRAFT_MEDIAN_ABOVE_SEC", "3"))
+    slow_sec = float(os.environ.get("SPARK_GRAFT_MEDIAN_ABOVE_SEC", "1"))
     for spec in specs:
 
         def run_once():
