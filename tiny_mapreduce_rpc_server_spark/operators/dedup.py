@@ -720,13 +720,25 @@ _SIMHASH_BLOCKS = [(0, 8), (8, 8), (16, 8), (24, 7)]
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= 3, 4-block rotation.
 
-    Candidate generation: explode each signature into its 4 bit-blocks
-    and self-join on (block_id, block_key) — one shuffle join on the
-    exploded index, identical in shape to LSH banding, with recall
-    guaranteed by the pigeonhole argument on ``_SIMHASH_BLOCKS``. A pair
-    colliding in several blocks is deduplicated before output; the
-    full-precision verify is popcount(xor) <= HAMMING_MAX."""
-    sh = _doc_simhash(spark, sf_dir)
+    Candidate generation runs at DISTINCT-SIGNATURE granularity, not doc
+    granularity: explode each distinct signature into its 4 bit-blocks,
+    self-join on (block_id, block_key) (recall guaranteed by the
+    pigeonhole argument on ``_SIMHASH_BLOCKS``), verify
+    popcount(xor) <= HAMMING_MAX once per signature PAIR, then expand
+    surviving pairs back to doc pairs through two equi-joins against the
+    (doc_id, simhash) table. On a shared-vocabulary corpus signatures
+    cluster hard (measured sf0.1: 5,000 docs -> 2,072 distinct sigs, and
+    doc-level blocking enumerated 121M candidate pairs at the 10x
+    replica vs 17.5M at sig level), so this cuts both the join fan-out
+    and the hamming evaluations ~7x, and — because each doc carries
+    exactly one signature — the expansion emits every output pair
+    exactly once with NO distinct over the (quadratic-sized) doc-pair
+    result; the only distinct is over the much smaller sig-pair set.
+    Same-signature groups (hamming 0) pair within the group via the
+    sig_a = sig_b branch. Output semantics identical to the doc-level
+    formulation (same oracle)."""
+    sh = _doc_simhash(spark, sf_dir).persist()
+    sigs = sh.select("simhash").distinct()
     blocks = F.array(
         *[
             F.struct(
@@ -738,25 +750,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (off, width) in enumerate(_SIMHASH_BLOCKS)
         ]
     )
-    ex = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
-        "doc_id", "simhash", F.col("b.blk_id").alias("blk_id"), F.col("b.blk_key").alias("blk_key")
+    ex = sigs.select("simhash", F.explode(blocks).alias("b")).select(
+        "simhash", F.col("b.blk_id").alias("blk_id"), F.col("b.blk_key").alias("blk_key")
     )
     a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.blk_id") == F.col("b.blk_id"))
             & (F.col("a.blk_key") == F.col("b.blk_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") <= F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("dx"), F.col("simhash").alias("sig_a"))
+    y = sh.select(F.col("doc_id").alias("dy"), F.col("simhash").alias("sig_b"))
+    return (
+        sig_pairs.join(x, "sig_a")
+        .join(y, "sig_b")
+        .filter((F.col("sig_a") < F.col("sig_b")) | (F.col("dx") < F.col("dy")))
+        .select(
+            F.least("dx", "dy").alias("doc_a"),
+            F.greatest("dx", "dy").alias("doc_b"),
+            "hamming",
+        )
     )
 
 
