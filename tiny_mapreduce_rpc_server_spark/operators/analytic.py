@@ -605,12 +605,12 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = (
         pairs.join(
-            F.broadcast(freq.withColumnRenamed("n_ord", "n1")),
+            freq.withColumnRenamed("n_ord", "n1"),
             pairs.p1 == freq.l_partkey,
         )
         .drop("l_partkey")
         .join(
-            F.broadcast(freq.withColumnRenamed("n_ord", "n2")),
+            freq.withColumnRenamed("n_ord", "n2"),
             F.col("p2") == freq.l_partkey,
         )
         .drop("l_partkey")

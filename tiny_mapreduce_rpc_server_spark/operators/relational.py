@@ -218,9 +218,12 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: 3-way join + agg + top-10. customer is small relative to
-    lineitem at every SF — broadcast it; orders⋈lineitem shuffles on the
-    join key (AQE coalesces). Ties broken by l_orderkey for determinism."""
+    """TPC-H Q3: 3-way join + agg + top-10. customer carries no broadcast
+    HINT — it grows with SF, so the size-based planner must stay free to
+    shuffle it at warehouse scale; at test SF its parquet footprint is
+    far under the auto-broadcast threshold and the planner broadcasts it
+    unhinted. orders⋈lineitem shuffles on the join key (AQE coalesces).
+    Ties broken by l_orderkey for determinism."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -232,7 +235,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -266,7 +269,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)

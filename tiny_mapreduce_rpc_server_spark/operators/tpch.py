@@ -169,7 +169,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
@@ -220,9 +220,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _disc_price()
     nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
@@ -264,8 +264,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -380,7 +380,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(((F.lit(100.0) * dsum(promo)) / dsum(_disc_price())).alias("promo_revenue"))
     )
 
@@ -415,7 +415,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
     )
 
@@ -442,17 +442,19 @@ WHERE s_suppkey = supplier_no
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly revenue that would disappear without small orders: lineitems
     of Brand#7 parts with quantity under 20% of that part's average.
-    The correlated avg subquery is an aggregate on the (tiny, filtered)
-    part side, broadcast back — lineitem is scanned twice but shuffled
-    never."""
+    The correlated avg subquery becomes an aggregate keyed by partkey,
+    equi-joined back. No broadcast HINT on it: the per-part table grows
+    with SF (a forced broadcast would OOM the driver at warehouse
+    scale), while at test SF AQE's runtime re-plan broadcasts it anyway
+    once the aggregate's actual size is known."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7")
     li = load_table(spark, sf_dir, "lineitem")
-    li_part = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    li_part = li.join(part, li.l_partkey == part.p_partkey)
     avg_qty = li_part.groupBy(F.col("l_partkey").alias("ak")).agg(
         davg("l_quantity", "aq")
     )
     return (
-        li_part.join(F.broadcast(avg_qty), li_part.l_partkey == F.col("ak"))
+        li_part.join(avg_qty, li_part.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_weekly"))
     )
@@ -534,7 +536,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dsum(_disc_price(), "revenue"))
     )
@@ -604,7 +606,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     scoped = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     )
     per_part = scoped.groupBy("l_partkey").agg(dsum("l_extendedprice", "part_value"))
@@ -692,8 +694,8 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -805,7 +807,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lines.filter(F.col("is_late"))
         .join(waiting, F.col("l_orderkey") == waiting.ok, "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
