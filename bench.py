@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from tiny_mapreduce_rpc_server_spark import get_spark
+from tiny_mapreduce_rpc_server_spark import get_spark, release_caches
 from tiny_mapreduce_rpc_server_spark.registry import all_queries
 
 
@@ -59,6 +59,9 @@ def main() -> None:
         def run_once():
             # drop cached blocks from prior runs: a query that .cache()s
             # internally must not get warm-cache credit across repetitions
+            # (release_caches also drops the driver-side references the
+            # dedup module tracks, so nothing accumulates across a run)
+            release_caches()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)

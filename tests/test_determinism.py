@@ -25,6 +25,7 @@ import pytest
 
 from tests.conftest import SF_ORACLE
 from tests.oracle_utils import _rowset
+from tiny_mapreduce_rpc_server_spark import release_caches
 from tiny_mapreduce_rpc_server_spark.registry import all_queries
 
 # The queries whose output contains derived floats and whose plans
@@ -57,6 +58,7 @@ _COALESCE = "spark.sql.adaptive.coalescePartitions.enabled"
 
 
 def _rows(spark, name):
+    release_caches()
     spark.catalog.clearCache()
     df = all_queries()[name].fn(spark, SF_ORACLE)
     return _rowset(df.columns, [tuple(r) for r in df.collect()])

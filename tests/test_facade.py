@@ -286,3 +286,32 @@ def test_kvtext_writer_stages_invisible_and_ignores_orphans(spark, tmp_path):
         k, v = r.line.split(" ")
         got[k] = int(v)
     assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_kvtext_abort_sweep_is_job_scoped(tmp_path):
+    """abort() must delete only ITS OWN job's staged files: two jobs
+    appending to the same directory concurrently must not clobber each
+    other's in-flight staging when one aborts (driver-less unit test —
+    the writer is a plain object)."""
+    import os
+
+    from tiny_mapreduce_rpc_server_spark.sources.linefile import KVTextWriter
+
+    out = str(tmp_path / "kvout")
+    w1 = KVTextWriter({"path": out})
+    w2 = KVTextWriter({"path": out})
+    assert w1.job_id != w2.job_id
+    m1 = w1.write(iter([("a", 1)]))
+    m2 = w2.write(iter([("b", 2)]))
+    # job 1 aborts mid-flight (simulate a second task of job 1 that
+    # failed before producing a commit message: stage file, no message)
+    with open(
+        os.path.join(out, f".part-{w1.job_id}-orphan.tmp"), "w"
+    ) as fh:
+        fh.write("x 9\n")
+    w1.abort([m1])
+    # every job-1 staged file is gone; job 2's staging survives
+    left = sorted(os.listdir(out))
+    assert left == [os.path.basename(m2.path)], left
+    w2.commit([m2])
+    assert sorted(os.listdir(out))[0].startswith("part-")

@@ -60,6 +60,7 @@ NO_CARTESIAN_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_wide",
 ]
 
 
@@ -329,19 +330,22 @@ def test_dedup_simhash_block_join_no_cartesian(spark):
     shared-vocabulary corpus that collapses to few signatures never
     enumerates doc-level candidate pairs (measured 121M -> 17.5M at the
     10x replica). The doc expansion afterwards is plain equi-joins."""
-    p = plan(spark, _q(spark, "dedup_simhash"))
-    assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p, p
-    # the block-key generator consumes the distinct-sig aggregate: each
-    # self-join branch shows Generate (the block explode) fed by a
-    # HashAggregate pair (the partial/final signature distinct)
+    # the wide (63-bit / 16-bit-block) variant must keep the identical
+    # plan shape — that IS its docstring claim
     import re
 
-    gens = [int(m) for m in re.findall(r"\+- Generate \((\d+)\)", p)]
-    aggs = [int(m) for m in re.findall(r"\+- HashAggregate \((\d+)\)", p)]
-    assert len(gens) >= 2, p
-    for g in gens:
-        assert (g - 1) in aggs, (g, p)
+    for qname in ("dedup_simhash", "dedup_simhash_wide"):
+        p = plan(spark, _q(spark, qname))
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        # the block-key generator consumes the distinct-sig aggregate:
+        # each self-join branch shows Generate (the block explode) fed
+        # by a HashAggregate pair (the partial/final signature distinct)
+        gens = [int(m) for m in re.findall(r"\+- Generate \((\d+)\)", p)]
+        aggs = [int(m) for m in re.findall(r"\+- HashAggregate \((\d+)\)", p)]
+        assert len(gens) >= 2, (qname, p)
+        for g in gens:
+            assert (g - 1) in aggs, (qname, g, p)
 
 
 def test_bucketed_join_reads_buckets_no_fact_shuffle(spark):
@@ -595,14 +599,24 @@ def test_bpe_pair_stats_partial_aggregation(spark):
 
 def test_item_cooccurrence_joins(spark):
     """Basket self-join must be an equi-join on the order key (never a
-    nested loop); the per-part frequency table and the 1-row total must
-    both broadcast."""
+    nested loop); per-part order frequency must be attached as a WINDOW
+    count below the self-join — not joined against the pair table — so
+    the pair aggregate (the largest intermediate) is never re-shuffled:
+    above it only the 1-row total broadcast and the final top-k remain."""
     p = plan(spark, _q(spark, "item_cooccurrence"))
     assert "CartesianProduct" not in p, p
-    assert p.count("BroadcastHashJoin") >= 2, p
+    # frequency via window over the item table, not a join
+    assert "windowspecdefinition(l_partkey" in p, p
     # the only nested-loop allowed is the 1-row total cross join
     # (formatted plans name each node twice: tree line + detail header)
     assert p.count("BroadcastNestedLoopJoin") <= 2, p
+    # nothing re-shuffles the AGGREGATED pair table (round-5's plan
+    # joined it twice against freq): at test SF the self-join broadcasts
+    # and partitioning by a.l_partkey already satisfies the (p1, p2)
+    # grouping, so no exchange on the pair keys exists anywhere; at
+    # scale an SMJ self-join would add exactly one, below the aggregate
+    assert "hashpartitioning(p1" not in p, p
+    assert "TakeOrderedAndProject" in p, p
 
 
 def test_ols_trend_partial_aggregation(spark):

@@ -574,23 +574,42 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicts — the classic association-rule pass (and, in an LLM corpus,
     the same shape as co-citation / co-occurrence graph building).
 
-    Shape: distinct (order, part) → self equi-join ON the order key
-    (co-partitioned, quadratic only within a basket whose size is
-    bounded by order width), hash-agg the pairs, then two BROADCAST
-    joins against the tiny per-part order-frequency table. Lift stays an
-    integer ratio (pair_orders * n_orders) / (n_p1 * n_p2) until one
-    final double division, so it is bit-identical in any engine.
+    Shape: distinct (order, part) → per-part order frequency attached as
+    a WINDOW count over the item table (one shuffle by part key, no
+    join) → self equi-join ON the order key (co-partitioned, quadratic
+    only within a basket whose size is bounded by order width) → one
+    hash-agg that carries n1/n2 through with ``first()`` (n_ord is
+    functionally dependent on the part key). The pair table — by far the
+    largest intermediate, |pairs| >> |items| — is therefore aggregated
+    exactly once and NEVER re-shuffled; the round-5 plan joined it twice
+    against the frequency table, which at the sf1* replica cost 5.4 s
+    vs DuckDB's 1.0 s. Lift stays an integer ratio
+    (pair_orders * n_orders) / (n_p1 * n_p2) until one final double
+    division, so it is bit-identical in any engine.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # cache: the distinct item set feeds FOUR subplans (both self-join
-    # sides, the frequency table, and the 1-row total) — without it the
-    # scan + distinct aggregation runs up to 4x per execution
-    items = li.select("l_orderkey", "l_partkey").distinct().cache()
+    # the distinct item set feeds both self-join sides and the 1-row
+    # total; the identical windowed subplan on both join sides becomes a
+    # ReusedExchange, so no cache is needed (round-5's .cache() forced
+    # an InMemoryRelation that broke whole-stage codegen across the
+    # self-join and pinned ~n_items rows in executor memory for no win)
+    items = li.select("l_orderkey", "l_partkey").distinct()
     # 1-row total as a broadcast cross join — no driver-side action at
     # plan-build time
     tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
-    a, b = items.alias("a"), items.alias("b")
+    witem = items.withColumn(
+        "n_ord", F.count("*").over(Window.partitionBy("l_partkey"))
+    )
+    # shuffle_hash: both sides are identical and SF-growing, so neither
+    # can broadcast; the default SMJ would EXTERNAL-SORT both 6M+-row
+    # sides by order key, while a shuffled hash join builds one
+    # hash map per partition whose size is bounded by the shuffle
+    # partition size AQE targets (~64 MB of (long,long,long) rows)
+    # regardless of total SF — measured 3.6 s -> 2.6 s at the sf1*
+    # replica, and the per-partition memory bound is what survives
+    # 100 TB (basket keys are near-uniform; AQE skew splitting still
+    # applies to the shuffle feeding the join)
+    a, b = witem.alias("a"), witem.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(
             b,
@@ -600,24 +619,16 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
         )
-        .agg(F.count("*").alias("pair_orders"))
+        .agg(
+            F.count("*").alias("pair_orders"),
+            F.first(F.col("a.n_ord")).alias("n1"),
+            F.first(F.col("b.n_ord")).alias("n2"),
+        )
         .where(F.col("pair_orders") >= _COOCCUR_MIN_SUPPORT)
     )
-    enriched = (
-        pairs.join(
-            freq.withColumnRenamed("n_ord", "n1"),
-            pairs.p1 == freq.l_partkey,
-        )
-        .drop("l_partkey")
-        .join(
-            freq.withColumnRenamed("n_ord", "n2"),
-            F.col("p2") == freq.l_partkey,
-        )
-        .drop("l_partkey")
-        .crossJoin(F.broadcast(tot))
-    )
     return (
-        enriched.select(
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
             "p1",
             "p2",
             "pair_orders",

@@ -50,6 +50,33 @@ MAX_SHINGLE_DF = 50
 BROADCAST_PAIR_BOUND = 2_000_000
 
 
+# Every DataFrame this module persists/caches, so a long-lived session
+# can release them without nuking unrelated caches. clearCache() (which
+# bench.py / the scale tools / test teardowns already call between runs)
+# also drops the blocks; this list additionally drops the DRIVER-side
+# references so the tracking itself can't accumulate.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """cache() a DataFrame and register it for ``release_caches``."""
+    df = df.cache()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every table this module pinned (bounded-broadcast
+    candidate sets, shingle/signature tables). Call between queries in a
+    long-lived session; ``spark.catalog.clearCache()`` is the blunter
+    session-wide equivalent."""
+    while _TRACKED_PERSISTS:
+        try:
+            _TRACKED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def _bounded_broadcast(cand: DataFrame) -> DataFrame:
     """Broadcast a small derived table (candidate pairs, duplicate-id
     lists) only when it is PROVABLY small.
@@ -65,10 +92,18 @@ def _bounded_broadcast(cand: DataFrame) -> DataFrame:
     the join degrades to a shuffle — slower, but alive. The count
     reuses the persisted rows, so the upstream computation still runs
     exactly once.
+
+    CONTRACT NOTE (also in QuerySpec's docstring): building a query that
+    goes through this gate runs a real Spark job (the count) at
+    DataFrame-construction time — construction is NOT plan-only for the
+    dedup/graph/sampling queries that need the gate. The persisted
+    blocks live until ``release_caches()`` / ``clearCache()`` / session
+    teardown.
     """
     from pyspark import StorageLevel
 
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS.append(cand)
     n = cand.count()
     return F.broadcast(cand) if n <= BROADCAST_PAIR_BOUND else cand
 
@@ -214,7 +249,8 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builds — measured 16 s -> 6.5 s at sf0.1
     docs = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).cache()
+    )
+    docs = _pin(docs)
     strided = _substr_windows(docs, SUBSTR_STRIDE)
     dense = _substr_windows(docs, 1)
     # a strided window is duplicated if ANY OTHER doc's dense set
@@ -374,7 +410,7 @@ def _shingle_intersections(spark: SparkSession, sf_dir: str):
     (jaccard + containment): DF-capped inverted index on 8-byte shingle
     hashes, pair intersection counts, per-doc set sizes joined on. Returns
     (pairs-with-sizes DataFrame [doc_a, doc_b, i, na, nb], sizes DF)."""
-    ds = _doc_shingles(spark, sf_dir).cache()
+    ds = _pin(_doc_shingles(spark, sf_dir))
     sizes = ds.select("doc_id", F.size("shingles").alias("n"))
     ex = ds.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.xxhash64("s").alias("s")
@@ -493,7 +529,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect. The band shuffle carries only (bucket, doc_id) —
     never the shingle arrays — and signature computation is
     embarrassingly parallel; this is the shape that survives 100 TB."""
-    ds = _doc_shingles(spark, sf_dir).cache()
+    ds = _pin(_doc_shingles(spark, sf_dir))
     ex = _band_keys(ds)
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -585,7 +621,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per incoming doc that collides, with its best
     existing match (highest jaccard, ties to the lowest existing id).
     """
-    ds = _doc_shingles(spark, sf_dir).cache()
+    ds = _pin(_doc_shingles(spark, sf_dir))
     incoming_pred = (P.h1(F.col("doc_id").cast("string")) % 100) >= INCR_INCOMING_FROM
     bk = _band_keys(ds)
     inc_keys = bk.filter(incoming_pred)
@@ -657,31 +693,39 @@ SELECT doc_new, doc_old, jaccard FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 
-def _simhash_col(th) -> F.Column:
-    """31-bit simhash over a MATERIALIZED token-hash array column: bit j
-    set iff the sum of (+-1) votes from token-hash bit j is positive.
-    Pure array math. ``th`` must be a column reference, not the hashing
-    expression itself — the 31 per-bit folds each reference it, and an
-    inlined expression would be recomputed per fold (measured 7x slower)."""
+def _simhash_col(th, bits: int = SIMHASH_BITS) -> F.Column:
+    """``bits``-wide simhash over a MATERIALIZED token-hash array column:
+    bit j set iff the sum of (+-1) votes from token-hash bit j is
+    positive. Pure array math. ``th`` must be a column reference, not the
+    hashing expression itself — the per-bit folds each reference it, and
+    an inlined expression would be recomputed per fold (measured 7x
+    slower). ``bits`` is capped at 63 so the fingerprint stays in the
+    non-negative long range (the sign bit would break shift/compare
+    symmetry between Spark and the SQL oracle)."""
+    assert 0 < bits <= 63, bits
 
     def _vote_fn(j: int):
         # closure factory — see _perm_fn
         return lambda acc, x: acc + 2 * F.shiftright(x, j).bitwiseAND(F.lit(1)) - 1
 
     out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         vote = F.aggregate(th, F.lit(0).cast("long"), _vote_fn(j))
         out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
 
 
-def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_simhash(
+    spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """(doc_id, simhash) with the token-hash array materialized in its
     own projection (same CollapseProject argument as _doc_shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     th = F.transform(F.array_distinct(_toks(F.col("text"))), lambda t: P.h2(t))
     hashed = spread(docs).select("doc_id", th.alias("th"))
-    return hashed.select("doc_id", _simhash_col(F.col("th")).alias("simhash"))
+    return hashed.select(
+        "doc_id", _simhash_col(F.col("th"), bits).alias("simhash")
+    )
 
 
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,9 +734,9 @@ def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_simhash(spark, sf_dir)
 
 
-def _sql_simhash(tok_expr: str) -> str:
+def _sql_simhash(tok_expr: str, bits: int = SIMHASH_BITS) -> str:
     terms = []
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         terms.append(
             f"(CASE WHEN list_sum(list_transform(th, x -> 2*((x >> {j}) & 1) - 1)) > 0 "
             f"THEN {1 << j}::BIGINT ELSE 0 END)"
@@ -716,6 +760,16 @@ ORACLE_TEXT_SIMHASH = _sql_simhash(_T)
 # plan shape below is unchanged, only the hash width grows.
 _SIMHASH_BLOCKS = [(0, 8), (8, 8), (16, 8), (24, 7)]
 
+# The executable 100 TB recipe: 63-bit fingerprint (the full
+# non-negative long range — bit 63 stays clear so shifts, compares and
+# bit_count agree between Spark longs and the oracle's BIGINT), four
+# ~16-bit blocks => up to 65k keys per block, so each block-equality
+# bucket at a given corpus size is ~256x smaller than with 8-bit keys
+# and the candidate join fans out proportionally less. Same pigeonhole
+# recall argument (4 blocks, hamming <= 3).
+SIMHASH_WIDE_BITS = 63
+_SIMHASH_WIDE_BLOCKS = [(0, 16), (16, 16), (32, 16), (48, 15)]
+
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= 3, 4-block rotation.
@@ -737,7 +791,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same-signature groups (hamming 0) pair within the group via the
     sig_a = sig_b branch. Output semantics identical to the doc-level
     formulation (same oracle)."""
-    sh = _doc_simhash(spark, sf_dir).persist()
+    return _simhash_pairs(_doc_simhash(spark, sf_dir), _SIMHASH_BLOCKS)
+
+
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale variant of ``dedup_simhash``: 63-bit fingerprint,
+    ~16-bit blocks (``_SIMHASH_WIDE_BLOCKS``). The plan shape is
+    IDENTICAL to the 31-bit query — only the hash width and block keys
+    grow — which is exactly the claim the 31-bit docstring makes about
+    the 100 TB recipe; this entry makes that claim executable and
+    oracle-checked. Wider blocks cut candidate fan-out (65k keys/block
+    vs 256), at the cost of computing 63 bit-vote folds per doc instead
+    of 31 — a per-row compute/shuffle trade that favors the wide form as
+    the corpus grows."""
+    return _simhash_pairs(
+        _doc_simhash(spark, sf_dir, SIMHASH_WIDE_BITS), _SIMHASH_WIDE_BLOCKS
+    )
+
+
+def _simhash_pairs(sh: DataFrame, block_spec) -> DataFrame:
+    """Candidate generation + hamming verify at distinct-signature
+    granularity (see ``q_dedup_simhash``), for any (offset, width)
+    block partition of the fingerprint."""
+    sh = _pin(sh)
     sigs = sh.select("simhash").distinct()
     blocks = F.array(
         *[
@@ -747,7 +823,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("blk_key"),
             )
-            for i, (off, width) in enumerate(_SIMHASH_BLOCKS)
+            for i, (off, width) in enumerate(block_spec)
         ]
     )
     ex = sigs.select("simhash", F.explode(blocks).alias("b")).select(
@@ -784,24 +860,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_simhash_blocks() -> str:
+def _sql_simhash_blocks(block_spec=_SIMHASH_BLOCKS) -> str:
     parts = [
         f"SELECT doc_id, simhash, {i} AS blk_id, "
         f"(simhash >> {off}) & {(1 << width) - 1} AS blk_key FROM sh"
-        for i, (off, width) in enumerate(_SIMHASH_BLOCKS)
+        for i, (off, width) in enumerate(block_spec)
     ]
     return " UNION ALL ".join(parts)
 
 
-ORACLE_DEDUP_SIMHASH = f"""
-WITH sh AS ({_sql_simhash(_T)}),
-ex AS ({_sql_simhash_blocks()})
+def _sql_dedup_simhash(bits: int, block_spec) -> str:
+    return f"""
+WITH sh AS ({_sql_simhash(_T, bits)}),
+ex AS ({_sql_simhash_blocks(block_spec)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM ex a JOIN ex b
   ON a.blk_id = b.blk_id AND a.blk_key = b.blk_key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
+
+
+ORACLE_DEDUP_SIMHASH = _sql_dedup_simhash(SIMHASH_BITS, _SIMHASH_BLOCKS)
+ORACLE_DEDUP_SIMHASH_WIDE = _sql_dedup_simhash(
+    SIMHASH_WIDE_BITS, _SIMHASH_WIDE_BLOCKS
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1040,7 +1123,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # cache: the shingle computation feeds both the benchmark-set build
     # and the training-side probe — without it the corpus tokenizes twice
-    ds = _doc_shingles(spark, sf_dir).join(docs, "doc_id").cache()
+    ds = _pin(_doc_shingles(spark, sf_dir).join(docs, "doc_id"))
     # probe on xxhash64(shingle): 8-byte broadcast keys (same collision
     # argument as q_dedup_ngram_jaccard)
     bench = (
@@ -1275,6 +1358,7 @@ DEDUP_QUERIES: list[QuerySpec] = [
     QuerySpec("dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL, ("ext", "dedup", "incremental")),
     QuerySpec("text_simhash", q_text_simhash, ORACLE_TEXT_SIMHASH, ("ext", "dedup")),
     QuerySpec("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH, ("ext", "dedup")),
+    QuerySpec("dedup_simhash_wide", q_dedup_simhash_wide, ORACLE_DEDUP_SIMHASH_WIDE, ("ext", "dedup")),
     QuerySpec("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("ext", "dedup", "embedding"), bench=True),
     QuerySpec(
         "dedup_embedding_bucketed",

@@ -39,6 +39,7 @@ from tiny_mapreduce_rpc_server_spark.operators.dedup import (
     BROADCAST_PAIR_BOUND,
     ORACLE_DEDUP_NGRAM_JACCARD,
     _bounded_broadcast,
+    _pin,
     q_dedup_ngram_jaccard,
 )
 from tiny_mapreduce_rpc_server_spark.sources import load_table
@@ -57,14 +58,18 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def propagate_components(pairs: DataFrame) -> DataFrame:
     """Connected components over an undirected pair list
     (doc_a, doc_b) -> (doc_id, component=min id in component)."""
-    # materialize once — each iteration reuses the edge list, and the
-    # pair generation must not re-execute per round
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()
+    # materialize the DIRECTED pair list once, BEFORE symmetrizing: a
+    # union of two projections over the raw `pairs` plan would execute
+    # candidate generation (the expensive LSH / inverted-index join)
+    # once per branch, and a localCheckpoint above the union then pays
+    # 2x; checkpointing the base first makes the reverse direction a
+    # projection over already-materialized partitions. Each iteration
+    # reuses this edge list, and pair generation never re-executes.
+    base = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -80,25 +85,32 @@ def propagate_components(pairs: DataFrame) -> DataFrame:
             .agg(F.min("label").alias("nbr_min"))
         )
         prop_label = F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
-        prop = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                prop_label.alias("label"),
-                F.col("label").alias("old_label"),
-            )
-            .localCheckpoint()
+        prop = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            prop_label.alias("label"),
+            F.col("label").alias("old_label"),
         )
         # phase 2 — pointer jumping (path doubling): label(v) <-
         # label(label(v)). Chains contract exponentially, so convergence
         # is O(log diameter) rounds instead of O(diameter) — the same
         # guarantee class as large-star/small-star (Kiveris et al.),
         # with one extra self-join per round. Label values are node ids,
-        # so the lookup side is the assignment itself.
+        # so the lookup side is the assignment itself. `prop` is NOT
+        # checkpointed: its two consumers re-evaluate one small
+        # join+agg over the materialized edge/label tables inside the
+        # SAME job, which is cheaper than an extra materialization
+        # job per round — the label table is bounded by the number of
+        # docs in >=1 candidate pair, orders of magnitude below corpus
+        # size even on dup-heavy crawls.
         parent = prop.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
         jump_label = F.least(F.col("label"), F.coalesce("p_label", F.col("label")))
+        # ONE Spark job per round: the lazy localCheckpoint materializes
+        # during the convergence count itself (an eager checkpoint +
+        # separate count was 3 driver jobs per round of pure scheduler
+        # overhead — the dominant cost of the CC family at sf1*, where
+        # the label table is ~5k rows and every job is overhead-bound)
         stepped = (
             prop.join(parent, prop.label == parent.p_id, "left")
             .select(
@@ -106,7 +118,7 @@ def propagate_components(pairs: DataFrame) -> DataFrame:
                 jump_label.alias("label"),
                 (jump_label < F.col("old_label")).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter("changed").count()
         labels = stepped.drop("changed")
@@ -399,23 +411,30 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        .cache()
     )
+    e = _pin(e)
     # adjacency-intersection instead of the naive wedge join: the wedge
     # plan materializes sum_b in(b)*out(b) rows (~70M here) through a
     # sort-merge join; intersecting per-edge neighbor lists touches each
     # edge once with O(deg) work and needs no wedge shuffle at all.
     # adj(u) holds only HIGHER neighbors, so triangle {a<b<c} is found
     # exactly once, at edge (a,b), as c in adj(a) ∩ adj(b).
-    adj = e.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb")).cache()
+    adj = _pin(e.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb")))
     adj_u = adj.withColumnRenamed("u", "x").withColumnRenamed("nb", "nb_u")
     adj_v = adj.withColumnRenamed("u", "y").withColumnRenamed("nb", "nb_v")
     empty = F.array().cast("array<bigint>")
     # the adjacency payload holds exactly |E| neighbor entries, so gate
     # the broadcast on the edge count (e is cached — this materializes
     # it once for both consumers); above the bound the probes degrade to
-    # shuffled equi-joins instead of OOMing the driver
-    if e.count() <= BROADCAST_PAIR_BOUND:
+    # shuffled equi-joins instead of OOMing the driver. The bound is
+    # BROADCAST_PAIR_BOUND/4, NOT the raw pair bound: that constant is
+    # calibrated for ~16 bytes/row of bare (long, long) pairs, while a
+    # collected neighbor-array row carries UnsafeArrayData headers, the
+    # per-row key, and java object overhead on top of each 8-byte entry
+    # — conservatively budgeted at up to 4x the bare-pair bytes — so the
+    # quartered bound keeps the worst-case adjacency broadcast inside
+    # the same ~32 MB budget
+    if e.count() <= BROADCAST_PAIR_BOUND // 4:
         adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
     ea = (
         e.join(adj_u, F.col("u") == F.col("x"))

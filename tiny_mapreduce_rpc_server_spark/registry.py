@@ -68,74 +68,80 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
 # listed keeps its group order after the priority block and stays
 # covered by the identical local gate (tests/test_oracle_relational.py).
 _PRIORITY = [
-    # --- round-5 window: the next 50 of the 92 queries never yet covered
-    # by a driver CORRECTNESS round (registry minus the union of
-    # CORRECTNESS_r01..r04 keys; tools/rotation_helper.py computes it).
-    # Every name is oracle-backed — the 3 justified rows-only entries
-    # (approx_distinct_users, dedup_minhash_ml, ann_ml_brp) are kept OUT
-    # so no slot burns on a `no_oracle` row. ---
-    # user-facing pipeline composites (the end-to-end manifest a real
-    # training-data pipeline ships)
-    "corpus_manifest",
+    # --- round-6 window: the FINAL 42 queries never yet covered by a
+    # driver CORRECTNESS round (registry minus the union of
+    # CORRECTNESS_r01..r05 keys; tools/rotation_helper.py computes it),
+    # plus 8 high-value already-verified representatives to fill the
+    # 50-slot window. After this round every registered oracle-backed
+    # query holds a driver row (237/237 cumulative), and the window can
+    # freeze on a stable representative set. The 3 justified rows-only
+    # entries (approx_distinct_users, dedup_minhash_ml, ann_ml_brp) stay
+    # OUT so no slot burns on a `no_oracle` row. ---
+    # semi-structured / behavioral event analytics
+    "json_tolerant_parse",
+    "event_gaps",
+    "engagement_decay",
+    "rarity_bucket_mix",
+    "session_features",
+    "user_event_sequences",
+    "item_cooccurrence",
+    "funnel_time_to_convert",
+    "event_transitions",
+    "event_motifs",
+    "rfm_segmentation",
+    "seasonality_profile",
+    "pareto_report",
+    # entity resolution remainder
+    "er_entity_clusters",
+    "er_merge_impact",
+    # embedding / ANN remainder
+    "source_semantic_similarity",
+    "embedding_matryoshka",
+    "hard_negative_mining",
+    "embedding_quantize",
+    "embedding_spectrum",
+    "ann_eval_recall",
+    # text-analysis remainder
+    "text_normalize",
+    "quality_percentile_filter",
+    "text_char_entropy",
+    "corpus_report",
+    "text_vocab_coverage",
+    "text_novelty",
+    "vocab_arrival_curve",
+    "doc_chunking",
+    # multimodal remainder (perceptual dedup, audio)
+    "multimodal_image_dedup",
+    "multimodal_audio",
+    "multimodal_phash_dedup",
+    "multimodal_audio_fingerprint",
+    # sampling / ML / graph remainder
+    "negative_sampling",
+    "roc_auc",
+    "ml_nearest_centroid",
+    "graph_degree_stats",
+    "graph_triangles",
+    "graph_link_prediction",
+    # UDF-surface remainder
+    "arrow_python_udf",
+    "variant_funcs",
+    "applyinpandas_runs",
+    # --- 8 high-value repeats (already driver-green in r1-r5), chosen to
+    # span every plan class: map/agg (wordcount), pushed-filter partial
+    # agg (q1), banded-signature dedup join (minhash_lsh), end-to-end
+    # composite (training_manifest), watermarked streaming (late_data),
+    # range-partitioned external sort (total_order_sort), row algebra
+    # (merge_into_upsert), broadcast n-gram scan (contamination_check) ---
+    "wordcount",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
     "training_manifest",
-    "pipeline_yield_report",
-    "temporal_split",
-    # lakehouse row algebra / temporal joins
-    "merge_into_upsert",
-    "snapshot_diff",
-    "point_in_time_join",
-    "asof_join_forward",
-    "attribution_asof_tolerance",
-    "interval_overlap_join",
-    "time_weighted_avg",
-    # reference-parity capstones (W1-W5/R1-R5 sorted product, O2 writer,
-    # N3 registry) + physical-layout audits
+    "streaming_late_data",
     "total_order_sort",
-    "kv_textsink_roundtrip",
-    "rpc_registry_call",
-    "file_layout_report",
-    "layout_zorder",
-    "schema_evolution_roundtrip",
-    "csv_malformed_handling",
-    # the remaining streaming set
-    "streaming_quarantine",
-    "streaming_trending",
-    "streaming_chained_windows",
-    "streaming_outer_join",
-    "streaming_full_outer_join",
-    # BPE tokenizer family
-    "bpe_pair_stats",
-    "bpe_train_merges",
-    "bpe_encode",
-    # dedup / leakage / savings
-    "split_leakage_check",
-    "dedup_eval_minhash",
-    "dedup_substring",
-    "dedup_substring_anchored",
-    "dedup_incremental",
-    "dedup_savings_report",
-    "source_overlap_matrix",
-    # data-quality / privacy
-    "k_anonymity_audit",
-    "dq_freshness_check",
-    "dq_constraint_check",
-    "pseudonymize_keys",
-    "aes_column_roundtrip",
-    # sketches / robust stats / drift
-    "heavy_hitters_cms",
-    "equidepth_histogram",
-    "ingest_anomaly",
-    "ols_trend",
-    "theil_sen_trend",
-    "winsorized_stats",
-    "outlier_mad",
-    "drift_chisq",
-    # incremental view maintenance
-    "mv_incremental_agg",
-    "mv_incremental_join",
-    # skew handling
-    "skew_join_salted",
-    "join_skew_diagnosis",
+    "merge_into_upsert",
+    # new this round (63-bit simhash scale variant) — gets its driver
+    # row immediately instead of waiting out the r7+ frozen window
+    "dedup_simhash_wide",
 ]
 
 # The window size is a hard coupling to the driver gate: adding or removing

@@ -122,13 +122,20 @@ class KVTextWriter(DataSourceWriter):
     by BOTH rules (leading '.', trailing '.tmp'), so a failed or losing
     speculative attempt — whose staged file the Python DataSourceWriter
     API gives us no per-task abort hook to delete — can never be read
-    back as data; ``abort()`` additionally sweeps any remaining ``*.tmp``
-    on whole-job failure."""
+    back as data; ``abort()`` additionally sweeps remaining ``*.tmp``
+    staged by THIS job on whole-job failure. The sweep is scoped by a
+    per-job id embedded in every staged name (the writer is built once
+    on the driver, so all its task copies share the id): two jobs
+    appending to the same directory concurrently can each abort without
+    deleting the other's in-flight staged files."""
 
     def __init__(self, options: dict):
+        import uuid as _uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("linefile sink requires option 'path'")
+        self.job_id = _uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _KVCommit:
         import uuid as _uuid
@@ -136,7 +143,9 @@ class KVTextWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         # dot-prefixed staging: excluded by the reader's '.'-prefix rule
         # even before commit(), so orphaned attempts are never visible
-        tmp = os.path.join(self.path, f".part-{_uuid.uuid4().hex}.tmp")
+        tmp = os.path.join(
+            self.path, f".part-{self.job_id}-{_uuid.uuid4().hex}.tmp"
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
@@ -146,7 +155,7 @@ class KVTextWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         for m in messages:
-            base = os.path.basename(m.path)  # ".part-<uuid>.tmp"
+            base = os.path.basename(m.path)  # ".part-<jobid>-<uuid>.tmp"
             final = base.lstrip(".")[: -len(".tmp")] + ".txt"
             os.replace(m.path, os.path.join(os.path.dirname(m.path), final))
 
@@ -154,10 +163,13 @@ class KVTextWriter(DataSourceWriter):
         for m in messages:
             if os.path.exists(m.path):
                 os.remove(m.path)
-        # sweep staged files from failed attempts that produced no message
+        # sweep staged files from failed attempts that produced no
+        # message — ONLY this job's (matched by the embedded job id), so
+        # a concurrent job appending to the same path keeps its staging
         if os.path.isdir(self.path):
+            mine = f".part-{self.job_id}-"
             for f in os.listdir(self.path):
-                if f.endswith(".tmp"):
+                if f.startswith(mine) and f.endswith(".tmp"):
                     os.remove(os.path.join(self.path, f))
 
 

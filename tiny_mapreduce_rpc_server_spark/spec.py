@@ -18,6 +18,15 @@ class QuerySpec:
     (driver then records a weaker rows-only check). Column names/aliases
     MUST match between the two — the comparator sorts columns by name
     before hashing.
+
+    Eager-materialization contract: most builders are plan-only (no
+    Spark job until an action), but queries whose candidate sets go
+    through ``operators.dedup._bounded_broadcast`` (dedup / graph /
+    sampling composites) run a real count job and persist blocks at
+    ``fn(...)`` call time — the size gate cannot be decided lazily.
+    Long-lived sessions should call
+    ``tiny_mapreduce_rpc_server_spark.release_caches()`` (or
+    ``spark.catalog.clearCache()``) between queries.
     """
 
     name: str
