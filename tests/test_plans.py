@@ -873,3 +873,30 @@ def test_gated_broadcasts_still_broadcast_at_test_sf(spark, name):
     p = plan(spark, _q(spark, name))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_boilerplate_removal_text_never_hash_shuffled(spark):
+    """boilerplate_removal's contract: corpus text moves only in the
+    conditional spread() round-robin (a structural no-op at real scale —
+    sources/__init__.py:35-50); every hash-partitioned exchange carries
+    ids/hashes/seg_id arrays, never the text or its token array. The
+    rewrite itself is row-local (no Generate on the output branch's doc
+    side after the hit-array join)."""
+    import re as _re
+
+    p = plan(spark, _q(spark, "boilerplate_removal"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # node details: "(k) Exchange\nInput [n]: [...]\nArguments: ..."
+    n_hash = 0
+    for m in _re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: (\S+)", p
+    ):
+        cols, args = m.group(1), m.group(2)
+        if args.startswith("hashpartitioning"):
+            n_hash += 1
+            assert "text#" not in cols, (cols, p)
+            assert _re.search(r"(^|\s)t#\d+", cols) is None, (cols, p)
+    # boiler-key partial/final agg + per-doc hit rollup must both be there
+    # (vacuous-pass guard: the regex must actually see the exchanges)
+    assert n_hash >= 2, p

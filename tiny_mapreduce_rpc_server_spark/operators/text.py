@@ -1156,3 +1156,152 @@ TEXT_QUERIES.append(
         ("ext", "text", "vocabulary", "curve"),
     )
 )
+
+
+# Boilerplate segment = BOILER_SEG_WORDS consecutive tokens (the unit a
+# line would be in a corpus with line structure; the synthetic docs are
+# flat word streams, so the unit is positional like doc_chunking's).
+# A segment is boilerplate within a source when it appears in >=
+# BOILER_MIN_DOCS distinct documents of that source (the CCNet /
+# RefinedWeb rule: dedup the repeated nav/footer fragments a crawler
+# re-captures across a site's pages, keep the unique prose).
+BOILER_SEG_WORDS = 3
+BOILER_MIN_DOCS = 2
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet-style): strip the text
+    segments that repeat across >= BOILER_MIN_DOCS documents of the same
+    source, emit each doc's rewritten text plus removal accounting.
+
+    Scale shape — the corpus text is NEVER shuffled:
+    1. segment key stream: explode each doc into (doc_id, seg_id,
+       xxhash64(source, seg_text)) — 8-byte keys + ids only, the
+       segment text stays row-local and is re-derived later;
+    2. boilerplate keys: groupBy (source, seg_key) countDistinct(doc_id)
+       >= threshold — partial agg map-side, shuffle carries hashes;
+    3. per-doc hit list: semi-join the key stream to the boilerplate
+       keys (equi-join on the hash), collect each doc's boilerplate
+       seg_ids into one array row — small, proportional to the
+       boilerplate actually found, not the corpus;
+    4. rewrite row-locally: left-join the hit arrays back to documents
+       on doc_id (AQE broadcasts the hit side when it is small; no
+       forced hint — it grows with duplication, not SF) and rebuild the
+       clean text from the token array by skipping flagged segments.
+    The only full-width data movement is the parquet scan itself; at
+    100 TB the shuffles carry ~16 bytes per segment and the join output
+    is bounded by the true boilerplate volume.
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator). Oracle joins on the segment text itself where the engine
+    joins on xxhash64 — same accepted-collision contract as
+    dedup_ngram_jaccard.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id", "source", P.tokens(F.col("text")).alias("t")
+    ).select("doc_id", "source", "t", F.size("t").alias("n"))
+    sized = sized.where(F.col("n") > 0)
+
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(BOILER_SEG_WORDS))
+    seg_text = F.array_join(
+        F.slice(F.col("t"), F.col("start") + 1, F.lit(BOILER_SEG_WORDS)), " "
+    )
+    # (1) key stream: hashes + ids only, no text leaves the row
+    seg = sized.select(
+        "doc_id", "source", "t", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("start") / BOILER_SEG_WORDS).cast("int").alias("seg_id"),
+        F.xxhash64("source", seg_text).alias("seg_key"),
+    )
+    # (2) boilerplate keys: appears in >= threshold distinct docs of a source
+    boiler = (
+        seg.groupBy("source", "seg_key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("source", "seg_key")
+    )
+    # (3) per-doc boilerplate seg_id array (small: only actual hits)
+    hits = (
+        seg.join(boiler, ["source", "seg_key"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("seg_id")).alias("boiler_ids"))
+    )
+    # (4) row-local rewrite: skip flagged segments, rebuild the text
+    flagged = sized.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        "n",
+        F.coalesce(F.col("boiler_ids"), F.array().cast("array<int>")).alias(
+            "boiler_ids"
+        ),
+    )
+    kept = F.filter(
+        starts,
+        lambda s: ~F.array_contains(
+            F.col("boiler_ids"), (s / BOILER_SEG_WORDS).cast("int")
+        ),
+    )
+    clean = F.array_join(
+        F.flatten(
+            F.transform(
+                kept,
+                lambda s: F.slice(F.col("t"), s + 1, F.lit(BOILER_SEG_WORDS)),
+            )
+        ),
+        " ",
+    )
+    n_segments = F.size(starts).cast("bigint")
+    n_boiler = F.size("boiler_ids").cast("bigint")
+    return flagged.select(
+        "doc_id",
+        n_segments.alias("n_segments"),
+        n_boiler.alias("n_boiler"),
+        F.expr(
+            f"CAST(100 * size(boiler_ids) DIV size(sequence(0, n - 1, {BOILER_SEG_WORDS})) AS BIGINT)"
+        ).alias("boiler_pct"),
+        clean.alias("clean_text"),
+    )
+
+
+ORACLE_BOILERPLATE_REMOVAL = f"""
+WITH sized AS (
+  SELECT doc_id, source, t, len(t) AS n
+  FROM (SELECT doc_id, source, {P.sql_tokens("text")} AS t FROM documents)
+  WHERE len(t) > 0),
+seg AS (
+  SELECT doc_id, source, (start // {BOILER_SEG_WORDS})::INT AS seg_id,
+         array_to_string(
+           list_slice(t, start + 1, start + {BOILER_SEG_WORDS}), ' ') AS seg_text
+  FROM sized, UNNEST(range(0, n, {BOILER_SEG_WORDS})) AS u(start)),
+boiler AS (
+  SELECT source, seg_text
+  FROM seg GROUP BY source, seg_text
+  HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+flagged AS (
+  SELECT s.doc_id, s.seg_id, s.seg_text,
+         (b.seg_text IS NOT NULL) AS is_boiler
+  FROM seg s
+  LEFT JOIN boiler b ON s.source = b.source AND s.seg_text = b.seg_text)
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       ((100 * sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)) // count(*))::BIGINT
+         AS boiler_pct,
+       coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg_text END,
+                           ' ' ORDER BY seg_id), '') AS clean_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+TEXT_QUERIES.append(
+    QuerySpec(
+        "boilerplate_removal",
+        q_boilerplate_removal,
+        ORACLE_BOILERPLATE_REMOVAL,
+        ("ext", "text", "cleaning", "dedup"),
+        bench=True,
+    )
+)

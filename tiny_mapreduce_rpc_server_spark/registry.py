@@ -138,10 +138,11 @@ _PRIORITY = [
     "training_manifest",
     "streaming_late_data",
     "total_order_sort",
-    "merge_into_upsert",
-    # new this round (63-bit simhash scale variant) — gets its driver
-    # row immediately instead of waiting out the r7+ frozen window
+    # new this round — each gets its driver row immediately instead of
+    # waiting out the r7+ frozen window (took the merge_into_upsert
+    # repeat slot; that query is already driver-green in r5)
     "dedup_simhash_wide",
+    "boilerplate_removal",
 ]
 
 # The window size is a hard coupling to the driver gate: adding or removing
