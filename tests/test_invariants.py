@@ -495,3 +495,49 @@ def test_ntz_instant_bridge_is_timezone_free(spark):
             assert row["neg_floor_s"] == -1, (tz, row)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_boilerplate_removal_semantics_crafted_corpus(spark, monkeypatch):
+    """Crafted-corpus semantics for boilerplate_removal:
+    - a segment repeating in two docs of the SAME source is stripped
+      from both;
+    - the SAME segment appearing in a different source's single doc is
+      NOT stripped there (the rule is per-source);
+    - non-boilerplate text survives verbatim and in order;
+    - a doc made entirely of boilerplate rewrites to the empty string.
+    """
+    from tiny_mapreduce_rpc_server_spark.operators import text as text_ops
+
+    boiler = "click here now"  # one exact 3-word segment
+    rows = [
+        # src A: the boiler segment leads two docs -> flagged in both
+        (1, f"{boiler} alpha beta gamma", "en", "A", 0),
+        (2, f"{boiler} delta epsilon zeta", "en", "A", 0),
+        # src A: unique doc, shares no segment -> untouched
+        (3, "eta theta iota kappa lambda mu", "en", "A", 0),
+        # src B: same segment but only ONE doc in this source -> kept
+        (4, f"{boiler} nu xi omicron", "en", "B", 0),
+        # src A: all-boilerplate doc -> empty rewrite
+        (5, boiler, "en", "A", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(text_ops, "load_table", lambda _s, _d, _t: docs)
+    monkeypatch.setattr(text_ops, "spread", lambda df: df)
+
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.q_boilerplate_removal(spark, "unused").collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert (out[1]["n_segments"], out[1]["n_boiler"]) == (2, 1)
+    assert out[3]["clean_text"] == "eta theta iota kappa lambda mu"
+    assert out[3]["n_boiler"] == 0
+    # per-source scoping: source B's lone doc keeps the segment
+    assert out[4]["clean_text"].startswith(boiler)
+    assert out[4]["n_boiler"] == 0
+    # doc 5 is entirely boilerplate (doc 1/2/5 share the segment in A)
+    assert out[5]["clean_text"] == ""
+    assert out[5]["boiler_pct"] == 100
