@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in the ``tiny_mapreduce_rpc_server_spark``
 package; this module just adapts its query registry to the contract.
 
-Exactly 3 of the 239 registered queries are deliberately rows-only
+Exactly 3 of the 240 registered queries are deliberately rows-only
 (absent from ``oracle_sql()``), each with a deterministic bounds test
 instead (tests/test_invariants.py):
 
@@ -23,9 +23,10 @@ They are intentionally kept OUT of the driver's first-50 correctness
 window so every slot records a hard oracle comparison.
 
 FREEZE-WINDOW DESIGN (applies from round 7): round 6's window rotates
-the final 42 never-driver-checked queries plus the two queries NEW in
-round 6 (dedup_simhash_wide, boilerplate_removal), completing
-driver-verified coverage of all 236 oracle-backed queries. From round 7 on,
+the final 42 never-driver-checked queries plus the three queries NEW in
+round 6 (dedup_simhash_wide, boilerplate_removal, dedup_semantic),
+completing driver-verified coverage of all 237 oracle-backed queries.
+From round 7 on,
 ``registry._PRIORITY`` freezes on a STABLE representative 50 so the
 driver re-verifies a fixed contract instead of rotating. Selection
 criteria: every operator family holds >= 1 slot; every physical plan

@@ -900,3 +900,29 @@ def test_boilerplate_removal_text_never_hash_shuffled(spark):
     # boiler-key partial/final agg + per-doc hit rollup must both be there
     # (vacuous-pass guard: the regex must actually see the exchanges)
     assert n_hash >= 2, p
+
+
+def test_dedup_semantic_pair_join_is_equi_on_cluster(spark):
+    """SemDeDup's quadratic stage must be BOUNDED BY CLUSTER: the
+    within-cluster pairing is an equi-join on the cluster id (never a
+    corpus cartesian), and the only nested-loop joins in the plan are
+    the K-row centroid broadcasts of the assign steps (the kmeans_lloyd
+    contract). The assignment subtree is cached so the two Lloyd
+    iterations run once, not once per consumer branch."""
+    import re as _re
+
+    p = plan(spark, _q(spark, "dedup_semantic"))
+    assert "CartesianProduct" not in p, p
+    # the pair stage + membership flag join are equi-joins (any of the
+    # three hash/merge strategies AQE may pick)
+    assert _re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p
+    # the pinned assignment feeds all three consumers: the QUERY plan's
+    # join branches read InMemoryTableScan, so the Lloyd subtree (and
+    # its K-row BroadcastNestedLoopJoin assign steps) appears only
+    # inside the single cached relation, not once per consumer
+    assert p.count("InMemoryTableScan") >= 3, p
+    tree = p.split("\n\n", 1)[0]  # the operator tree, before node details
+    consumer_tree = tree.split("InMemoryRelation", 1)[0]
+    assert "BroadcastNestedLoopJoin" not in consumer_tree.split(
+        "InMemoryTableScan", 1
+    )[0], p

@@ -551,3 +551,144 @@ ML_QUERIES = [
         ("ext", "ml", "clustering"),
     ),
 ]
+
+
+# SemDeDup duplicate threshold. COSINE_DUP (operators/dedup.py) marks
+# global near-dup PAIRS; SemDeDup prunes WITHIN k-means clusters, so the
+# same threshold keeps the two operators comparable on this corpus.
+SEMANTIC_DUP = 0.4
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and pruning
+    near-identical pairs INSIDE each cluster only — the scale trick that
+    makes embedding dedup tractable: the quadratic term is bounded by
+    the cluster size, never the corpus.
+
+    Keep rule (deterministic): within a cluster, a vector is DROPPED if
+    any lower-id vector in the same cluster has cosine >= SEMANTIC_DUP
+    with it (greedy keep-first-by-id — the paper keeps one exemplar per
+    duplicate group; lowest-id is the reproducible choice). Output: one
+    row per cluster with member/kept/dropped accounting — the
+    capacity-planning view of semantic pruning.
+
+    100 TB shape: the two Lloyd iterations are corpus scans against K
+    broadcast centroid rows (same contract as q_kmeans_lloyd); the
+    pairing stage is an equi-join on cluster id, quadratic only within
+    a cluster. At real scale K grows with the corpus (the paper uses
+    50k clusters for LAION) so cluster sizes — and the per-key join
+    fan-out — stay bounded; K is fixed at the oracle-tractable 8 here
+    and the assign/update steps are K-independent scans. Cosine is the
+    ordered-fold `functions.cosine`, bit-identical to the oracle's
+    sequential list_dot_product, so the exact-threshold filter agrees
+    across engines.
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent0 = emb.filter(F.col("vec_id").isin(INIT_IDS)).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    a2 = _assign(emb, _update(_assign(emb, cent0)))
+    # the assignment feeds three consumers (both pairing sides + the
+    # membership rollup); pin it so the two Lloyd iterations run once,
+    # not three times (released via release_caches(), same contract as
+    # the dedup candidate sets)
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
+
+    a2 = _pin(a2)
+
+    a = a2.select("cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"))
+    b = a2.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("eb"),
+    )
+    from tiny_mapreduce_rpc_server_spark.functions import cosine
+
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_a") < F.col("vec_b")),
+    ).select("cluster", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+    dropped = (
+        pairs.filter(F.col("cos_sim") >= SEMANTIC_DUP)
+        .select("cluster", F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = a2.select("cluster", "vec_id").join(
+        dropped.withColumn("is_dropped", F.lit(1)), ["cluster", "vec_id"], "left"
+    )
+    return flagged.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+        (F.count("*") - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))).alias(
+            "n_kept"
+        ),
+    )
+
+
+# reuses the kmeans CTE chain, but a2 carries v so the within-cluster
+# pairing can compute cosine
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id IN ({_IDS_SQL})),
+d1 AS (
+  SELECT e.vec_id, e.v, c0.cluster,
+         list_dot_product(
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i]),
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i])
+         ) AS dist
+  FROM e, c0),
+a1 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1) WHERE rn = 1),
+ex AS (SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM a1),
+c1l AS (
+  SELECT cluster, pos,
+         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(x) AS cval
+  FROM ex GROUP BY cluster, pos),
+c1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM c1l GROUP BY cluster),
+d2 AS (
+  SELECT e.vec_id, e.v, c1.cluster,
+         list_dot_product(
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i]),
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i])
+         ) AS dist
+  FROM e, c1),
+a2 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2) WHERE rn = 1),
+drp AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM a2 a JOIN a2 b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {SEMANTIC_DUP})
+SELECT m.cluster,
+       count(*)::BIGINT AS n_members,
+       count(drp.vec_id)::BIGINT AS n_dropped,
+       (count(*) - count(drp.vec_id))::BIGINT AS n_kept
+FROM a2 m
+LEFT JOIN drp ON m.cluster = drp.cluster AND m.vec_id = drp.vec_id
+GROUP BY m.cluster
+"""
+
+ML_QUERIES.append(
+    QuerySpec(
+        "dedup_semantic",
+        q_dedup_semantic,
+        ORACLE_DEDUP_SEMANTIC,
+        ("ext", "ml", "dedup", "embedding", "clustering"),
+    )
+)

@@ -135,14 +135,14 @@ _PRIORITY = [
     "wordcount",
     "q1_pricing_summary",
     "dedup_minhash_lsh",
-    "training_manifest",
     "streaming_late_data",
     "total_order_sort",
     # new this round — each gets its driver row immediately instead of
-    # waiting out the r7+ frozen window (took the merge_into_upsert
-    # repeat slot; that query is already driver-green in r5)
+    # waiting out the r7+ frozen window (they took the merge_into_upsert
+    # and training_manifest repeat slots; both already driver-green r5)
     "dedup_simhash_wide",
     "boilerplate_removal",
+    "dedup_semantic",
 ]
 
 # The window size is a hard coupling to the driver gate: adding or removing
