@@ -902,27 +902,28 @@ def test_boilerplate_removal_text_never_hash_shuffled(spark):
     assert n_hash >= 2, p
 
 
-def test_dedup_semantic_pair_join_is_equi_on_cluster(spark):
-    """SemDeDup's quadratic stage must be BOUNDED BY CLUSTER: the
-    within-cluster pairing is an equi-join on the cluster id (never a
-    corpus cartesian), and the only nested-loop joins in the plan are
-    the K-row centroid broadcasts of the assign steps (the kmeans_lloyd
-    contract). The assignment subtree is cached so the two Lloyd
+def test_dedup_semantic_two_phase_cluster_bounded(spark):
+    """SemDeDup's quadratic stage must be BOUNDED BY CLUSTER and run
+    two-phase: a per-cluster Arrow-batched candidate matmul
+    (FlatMapGroupsInPandas over the cluster key), then the exact
+    ordered-fold cosine ONLY on the candidate pairs via equi-joins —
+    never an interpreted fold over the full pair set, never a corpus
+    cartesian. The assignment subtree is cached so the two Lloyd
     iterations run once, not once per consumer branch."""
     import re as _re
 
     p = plan(spark, _q(spark, "dedup_semantic"))
     assert "CartesianProduct" not in p, p
-    # the pair stage + membership flag join are equi-joins (any of the
-    # three hash/merge strategies AQE may pick)
+    # phase 1: per-cluster candidate generation, Arrow-batched
+    assert "FlatMapGroupsInPandas" in p, p
+    # phase 2: exact re-score joins are equi-joins on the ids
     assert _re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p
-    # the pinned assignment feeds all three consumers: the QUERY plan's
-    # join branches read InMemoryTableScan, so the Lloyd subtree (and
-    # its K-row BroadcastNestedLoopJoin assign steps) appears only
-    # inside the single cached relation, not once per consumer
-    assert p.count("InMemoryTableScan") >= 3, p
+    # the pinned assignment feeds candidate generation, both re-score
+    # sides, and the membership rollup: the Lloyd subtree (and its
+    # K-row BroadcastNestedLoopJoin assign steps) appears only inside
+    # the single cached relation, not once per consumer
+    assert p.count("InMemoryTableScan") >= 4, p
     tree = p.split("\n\n", 1)[0]  # the operator tree, before node details
-    consumer_tree = tree.split("InMemoryRelation", 1)[0]
-    assert "BroadcastNestedLoopJoin" not in consumer_tree.split(
+    assert "BroadcastNestedLoopJoin" not in tree.split(
         "InMemoryTableScan", 1
-    )[0], p
+    )[0].split("InMemoryRelation", 1)[0], p
