@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in the ``tiny_mapreduce_rpc_server_spark``
 package; this module just adapts its query registry to the contract.
 
-Exactly 3 of the 240 registered queries are deliberately rows-only
+Exactly 3 of the 242 registered queries are deliberately rows-only
 (absent from ``oracle_sql()``), each with a deterministic bounds test
 instead (tests/test_invariants.py):
 
@@ -22,14 +22,17 @@ instead (tests/test_invariants.py):
 They are intentionally kept OUT of the driver's first-50 correctness
 window so every slot records a hard oracle comparison.
 
-FREEZE-WINDOW DESIGN (applies from round 7): round 6's window rotates
-the final 42 never-driver-checked queries plus the three queries NEW in
-round 6 (dedup_simhash_wide, boilerplate_removal, dedup_semantic),
-completing driver-verified coverage of all 237 oracle-backed queries.
-From round 7 on,
+FREEZE-WINDOW DESIGN (APPLIED in round 7): rounds 1-6 rotated every
+registered oracle-backed query through the driver window (cumulative
+240/240 driver-checked, 237/237 oracle-green at the r6 close). From
+round 7 on,
 ``registry._PRIORITY`` freezes on a STABLE representative 50 so the
-driver re-verifies a fixed contract instead of rotating. Selection
-criteria: every operator family holds >= 1 slot; every physical plan
+driver re-verifies a fixed contract instead of rotating. Queries NEW in
+round N swap into their family representative's slot for one round,
+then swap back out (round 7: ``dedup_semantic_scaled`` and
+``dedup_url_canonical`` temporarily hold the ``dedup_savings_report``
+and ``dedup_simhash`` slots — both displaced queries are driver-green
+r5/r6 and return in round 8). Selection criteria: every operator family holds >= 1 slot; every physical plan
 class is exercised (broadcast join, shuffle join, window, partial agg,
 banded-signature equi-join, iterative localCheckpoint loop, Arrow
 mapInPandas, Structured Streaming with watermark, DataSource V2
@@ -85,8 +88,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ [EXT])."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2 (+ [EXT]).
+
+    Each callable releases the package's pinned caches (``_pin`` /
+    ``_bounded_broadcast`` registrations) before building its plan, so a
+    driver session that iterates many queries holds at most one query's
+    caches at a time instead of accumulating all of them until teardown.
+    Safe by construction: the driver executes each query before building
+    the next, and unpersist on an already-collected plan is a no-op
+    (a still-pending plan would just recompute).
+    """
+    from tiny_mapreduce_rpc_server_spark import release_caches
+
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -927,3 +927,49 @@ def test_dedup_semantic_two_phase_cluster_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in tree.split(
         "InMemoryTableScan", 1
     )[0].split("InMemoryRelation", 1)[0], p
+
+
+def test_dedup_semantic_scaled_assignment_not_row_exploded(spark):
+    """The scalable-K SemDeDup variant must NOT assign via the N x K
+    broadcast-join + window shape (fine for K=8, fatal for K=50k): the
+    assignment is a MapInPandas scan against the broadcast centroid
+    matrix, the pairing is per-cluster FlatMapGroupsInPandas over ~N/64
+    groups, and the exact re-scores are equi-joins. No cartesian, no
+    BroadcastNestedLoopJoin anywhere, and the pinned assignment feeds
+    its four consumers from cache."""
+    import re as _re
+
+    p = plan(spark, _q(spark, "dedup_semantic_scaled"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "MapInPandas" in p, p
+    assert "FlatMapGroupsInPandas" in p, p
+    assert _re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p
+    # assigned feeds pairing + two exact re-score sides + the rollup
+    assert p.count("InMemoryTableScan") >= 4, p
+
+
+def test_dedup_url_canonical_pure_jvm_partial_agg(spark):
+    """URL canonicalization must stay entirely JVM-side (whole-stage
+    codegen string expressions — no Python evaluation of any flavor) and
+    roll up via partial aggregation on (domain, canonical) so a hot
+    domain never funnels raw URLs through one reducer."""
+    import re as _re
+
+    p = plan(spark, _q(spark, "dedup_url_canonical"))
+    for py_node in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert py_node not in p, (py_node, p)
+    assert "partial_" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # exactly the two rollup exchanges — (domain, canonical) then
+    # (domain) — and nothing else moves data (canonicalization itself is
+    # shuffle-free row-local string work)
+    tree = p.split("\n\n", 1)[0]
+    n_exchange = len(_re.findall(r"\bExchange\b", tree))
+    assert n_exchange == 2, (n_exchange, p)

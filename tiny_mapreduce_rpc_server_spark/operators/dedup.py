@@ -965,6 +965,11 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
 
     def _candidates(batches):
         b_ids, b_mat, b_inv = bc.value
+        # zero-norm rows: cosine is NaN, which the exact Spark filter and
+        # the oracle BOTH keep (NaN >= t is TRUE in SQL NaN ordering) but
+        # numpy drops (False) — force-emit those pairs so the exact phase
+        # decides, keeping both engines' NaN semantics identical
+        b_zero = ~np.isfinite(b_inv)
         n_build = b_mat.shape[0]
         for pb in batches:
             a_ids = pb["vec_id"].to_numpy(dtype="int64")
@@ -976,6 +981,7 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
                 continue
             with np.errstate(invalid="ignore", divide="ignore"):
                 a_inv = 1.0 / np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_zero = ~np.isfinite(a_inv)
             # worst-case per-step scores block: len(a_ids) * step * 8 bytes
             step = max(1, block_bytes // (8 * len(a_ids)))
             out_a, out_b = [], []
@@ -987,9 +993,11 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
                         * a_inv[:, None]
                         * b_inv[None, lo:hi]
                     )
-                    hit = (scores >= margin) & (
-                        a_ids[:, None] < b_ids[None, lo:hi]
-                    )
+                    hit = (
+                        (scores >= margin)
+                        | a_zero[:, None]
+                        | b_zero[None, lo:hi]
+                    ) & (a_ids[:, None] < b_ids[None, lo:hi])
                 ai, bi = np.nonzero(hit)
                 out_a.append(a_ids[ai])
                 out_b.append(b_ids[lo:hi][bi])
@@ -1368,3 +1376,232 @@ DEDUP_QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("dedup_minhash_ml", q_dedup_minhash_ml, None, ("ext", "dedup", "ml")),
 ]
+
+
+# --- URL canonicalization dedup ([EXT]) -------------------------------
+
+# Tracking parameters stripped by the canonicalizer (the CommonCrawl /
+# scrape-pipeline convention: analytics junk that never changes content).
+_URL_TRACKING_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
+# Demo public-suffix list entry with a multi-label suffix, so the
+# registrable-domain extraction exercises the co.uk-style rule. A real
+# deployment swaps in the full Mozilla PSL as a broadcast lookup; the
+# extraction expression is the same shape.
+_URL_REGISTRABLE_RE = r"([^.]+\.co\.uk|[^.]+\.[^.]+)$"
+
+
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + duplicate accounting — the scrape-lineage
+    dedup every crawl pipeline runs BEFORE fetching/processing content
+    (company to ``source_overlap_matrix``'s content-level view).
+
+    The documents table carries no URL column, so each doc derives a
+    deterministic *messy* URL from (doc_id, source, lang) — uppercase
+    schemes/hosts, default :443 ports, www prefixes, shuffled query
+    params, tracking junk (utm_*/ref/fbclid), fragments — and the
+    operator's substance is the canonicalizer:
+
+      1. strip fragment
+      2. lowercase scheme + host
+      3. strip default port (443 for https, 80 for http), keep others
+      4. strip a leading ``www.``
+      5. drop tracking params, SORT the survivors, reassemble
+      6. extract the registrable domain (public-suffix rule: one extra
+         label before a multi-label suffix like ``co.uk``)
+
+    Output: per registrable domain — n_urls, n_canonical (distinct after
+    canonicalization), n_dupes, and the lexicographically-first canonical
+    URL (pins the exact canonical strings in the value-hash).
+
+    100 TB shape: every canonicalization step is a built-in string
+    expression (split_part/lower/regexp/array_sort) — whole-stage
+    codegen, zero Python, zero shuffle until the final rollup, which
+    pre-aggregates on (domain, canonical) so a hot domain never funnels
+    raw URLs through one reducer; the shuffle carries only the distinct
+    canonical set (== the dedup output itself).
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    d = F.col("doc_id")
+    messy = docs.withColumn(
+        "url",
+        F.concat(
+            F.when(d % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            # host: per-source site, sometimes uppercased / www-prefixed /
+            # on a real subdomain (blog. survives canonicalization; the
+            # registrable-domain rollup still folds it into the site)
+            F.when(
+                d % 7 == 0,
+                F.upper(
+                    F.concat(
+                        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+                        F.when(d % 13 == 0, F.lit("blog.")).otherwise(F.lit("")),
+                        F.col("source"),
+                        F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+                    )
+                ),
+            ).otherwise(
+                F.concat(
+                    F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+                    F.when(d % 13 == 0, F.lit("blog.")).otherwise(F.lit("")),
+                    F.col("source"),
+                    F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+                )
+            ),
+            F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/article/"),
+            (d % 4).cast("string"),
+            # query string: the kept param is page=(doc_id%4); order and
+            # tracking junk vary so canonicalization has real work
+            F.when(d % 4 == 1, F.concat(F.lit("?utm_source=feed&page="), (d % 4).cast("string")))
+            .when(d % 4 == 2, F.concat(F.lit("?sort=asc&page="), (d % 4).cast("string"), F.lit("&utm_campaign=c")))
+            .when(d % 4 == 3, F.concat(F.lit("?ref="), d.cast("string"), F.lit("&page="), (d % 4).cast("string"), F.lit("&fbclid=x")))
+            .otherwise(F.concat(F.lit("?page="), (d % 4).cast("string"))),
+            F.when(d % 3 == 1, F.concat(F.lit("#sec-"), (d % 6).cast("string"))).otherwise(F.lit("")),
+        ),
+    )
+    u1 = F.split_part(F.col("url"), F.lit("#"), F.lit(1))
+    parts = (
+        messy.select("doc_id", u1.alias("u1"))
+        .withColumn("scheme", F.lower(F.split_part(F.col("u1"), F.lit("://"), F.lit(1))))
+        .withColumn("rest", F.split_part(F.col("u1"), F.lit("://"), F.lit(2)))
+        .withColumn("authority", F.split_part(F.col("rest"), F.lit("/"), F.lit(1)))
+        .withColumn("pathq", F.expr("substring(rest, length(authority) + 1)"))
+        .withColumn("host", F.lower(F.split_part(F.col("authority"), F.lit(":"), F.lit(1))))
+        .withColumn("port", F.split_part(F.col("authority"), F.lit(":"), F.lit(2)))
+        .withColumn("host_n", F.regexp_replace(F.col("host"), r"^www\.", ""))
+        .withColumn("path", F.split_part(F.col("pathq"), F.lit("?"), F.lit(1)))
+        .withColumn("qs", F.split_part(F.col("pathq"), F.lit("?"), F.lit(2)))
+        .withColumn(
+            "kept",
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(F.col("qs"), "&"),
+                        lambda x: ~x.rlike(_URL_TRACKING_RE),
+                    )
+                ),
+                "&",
+            ),
+        )
+        .withColumn(
+            "portpart",
+            F.when(
+                (F.col("port") == "")
+                | ((F.col("scheme") == "https") & (F.col("port") == "443"))
+                | ((F.col("scheme") == "http") & (F.col("port") == "80")),
+                F.lit(""),
+            ).otherwise(F.concat(F.lit(":"), F.col("port"))),
+        )
+    )
+    urls = parts.select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host_n"),
+            F.col("portpart"),
+            F.col("path"),
+            F.when(F.col("kept") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("kept"))
+            ),
+        ).alias("canonical_url"),
+        F.regexp_extract(F.col("host_n"), _URL_REGISTRABLE_RE, 1).alias(
+            "registrable_domain"
+        ),
+    )
+    per_canonical = urls.groupBy("registrable_domain", "canonical_url").agg(
+        F.count("*").alias("n")
+    )
+    return per_canonical.groupBy("registrable_domain").agg(
+        F.sum("n").alias("n_urls"),
+        F.count("*").alias("n_canonical"),
+        (F.sum("n") - F.count("*")).alias("n_dupes"),
+        F.min("canonical_url").alias("sample_canonical"),
+    )
+
+
+ORACLE_DEDUP_URL_CANONICAL = r"""
+WITH messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 7 = 0
+             THEN upper((CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                        || (CASE WHEN doc_id % 13 = 0 THEN 'blog.' ELSE '' END)
+                        || source
+                        || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END))
+             ELSE (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                  || (CASE WHEN doc_id % 13 = 0 THEN 'blog.' ELSE '' END)
+                  || source
+                  || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+             END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+         || '/article/' || CAST(doc_id % 4 AS VARCHAR)
+         || (CASE
+             WHEN doc_id % 4 = 1 THEN '?utm_source=feed&page=' || CAST(doc_id % 4 AS VARCHAR)
+             WHEN doc_id % 4 = 2 THEN '?sort=asc&page=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=c'
+             WHEN doc_id % 4 = 3 THEN '?ref=' || CAST(doc_id AS VARCHAR) || '&page=' || CAST(doc_id % 4 AS VARCHAR) || '&fbclid=x'
+             ELSE '?page=' || CAST(doc_id % 4 AS VARCHAR)
+             END)
+         || (CASE WHEN doc_id % 3 = 1 THEN '#sec-' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END)
+         AS url
+  FROM documents),
+p0 AS (SELECT doc_id, split_part(url, '#', 1) AS u1 FROM messy),
+p1 AS (
+  SELECT doc_id, u1,
+         lower(split_part(u1, '://', 1)) AS scheme,
+         split_part(u1, '://', 2) AS rest
+  FROM p0),
+p2 AS (
+  SELECT *, split_part(rest, '/', 1) AS authority,
+         substring(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM p1),
+p3 AS (
+  SELECT *,
+         lower(split_part(authority, ':', 1)) AS host,
+         split_part(authority, ':', 2) AS port,
+         split_part(pathq, '?', 1) AS path,
+         split_part(pathq, '?', 2) AS qs
+  FROM p2),
+p4 AS (
+  SELECT *,
+         regexp_replace(host, '^www\.', '') AS host_n,
+         array_to_string(
+           list_sort(list_filter(str_split(qs, '&'),
+                     x -> NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+           '&') AS kept,
+         (CASE WHEN port = ''
+                 OR (scheme = 'https' AND port = '443')
+                 OR (scheme = 'http' AND port = '80')
+               THEN '' ELSE ':' || port END) AS portpart
+  FROM p3),
+urls AS (
+  SELECT doc_id,
+         scheme || '://' || host_n || portpart || path
+           || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url,
+         regexp_extract(host_n, '([^.]+\.co\.uk|[^.]+\.[^.]+)$', 1) AS registrable_domain
+  FROM p4),
+per_canonical AS (
+  SELECT registrable_domain, canonical_url, count(*) AS n
+  FROM urls GROUP BY registrable_domain, canonical_url)
+SELECT registrable_domain,
+       sum(n)::BIGINT AS n_urls,
+       count(*)::BIGINT AS n_canonical,
+       (sum(n) - count(*))::BIGINT AS n_dupes,
+       min(canonical_url) AS sample_canonical
+FROM per_canonical
+GROUP BY registrable_domain
+"""
+
+DEDUP_QUERIES.append(
+    QuerySpec(
+        "dedup_url_canonical",
+        q_dedup_url_canonical,
+        ORACLE_DEDUP_URL_CANONICAL,
+        ("ext", "dedup", "url"),
+    )
+)

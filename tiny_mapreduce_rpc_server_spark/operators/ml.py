@@ -559,6 +559,92 @@ ML_QUERIES = [
 SEMANTIC_DUP = 0.4
 
 
+def _cluster_pair_candidates(margin: float):
+    """applyInPandas kernel factory: within-cluster candidate pairs via a
+    blocked float64 BLAS matmul, shared by ``dedup_semantic`` (fixed K)
+    and ``dedup_semantic_scaled`` (K ~ N / SEED_STRIDE).
+
+    Margin contract: ``margin = SEMANTIC_DUP - 1e-9`` assumes BLAS-vs-
+    ordered-fold cosine disagreement stays under 1e-9. The float64 dot
+    error is bounded by ~d*eps*|a||b| (all same-sign products after
+    normalization, no cancellation), so the cosine error is <= ~3*d*eps
+    ~= 4e-14 at d=64 and the 1e-9 margin holds for d up to ~1e6; for
+    wider embeddings widen the margin proportionally to d.
+
+    Zero-norm rows (cosine NaN): both the exact Spark filter and the
+    DuckDB oracle evaluate ``NaN >= t`` as TRUE (NaN sorts greatest), but
+    numpy evaluates it FALSE — so the BLAS phase force-emits every pair
+    touching a zero-norm row and lets the exact phase decide, keeping
+    the two engines' NaN semantics identical end to end.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _candidates(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        mat = np.array([np.asarray(x, dtype="float64") for x in pdf["v"]])
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"cluster": np.empty(0, "int64"),
+                 "vec_a": np.empty(0, "int64"),
+                 "vec_b": np.empty(0, "int64")}
+            )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            inv = 1.0 / np.sqrt((mat * mat).sum(axis=1))
+        zero = ~np.isfinite(inv)
+        # block the (step x n) score matrix to 256 MB so a huge cluster
+        # can't blow the worker (same budget as dedup_embedding)
+        step = max(1, (1 << 28) // (8 * len(ids)))
+        out_a, out_b = [], []
+        for lo in range(0, len(ids), step):
+            hi = min(lo + step, len(ids))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = (mat[lo:hi] @ mat.T) * inv[lo:hi, None] * inv[None, :]
+                hit = ((s >= margin) | zero[lo:hi, None] | zero[None, :]) & (
+                    ids[lo:hi, None] < ids[None, :]
+                )
+            ai, bi = np.nonzero(hit)
+            out_a.append(ids[lo:hi][ai])
+            out_b.append(ids[bi])
+        va = np.concatenate(out_a) if out_a else np.empty(0, "int64")
+        vb = np.concatenate(out_b) if out_b else np.empty(0, "int64")
+        return pd.DataFrame(
+            {"cluster": np.full(len(va), key[0], dtype="int64"),
+             "vec_a": va, "vec_b": vb}
+        )
+
+    return _candidates
+
+
+def _semantic_rollup(assigned: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact re-score of candidate pairs + per-cluster keep/drop
+    accounting, shared by both SemDeDup variants. ``assigned`` must carry
+    (vec_id, v, cluster); the exact ordered-fold cosine is bit-identical
+    to the oracle's sequential list_dot_product."""
+    from tiny_mapreduce_rpc_server_spark.functions import cosine
+
+    ea = assigned.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"))
+    eb = assigned.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("eb"))
+    dropped = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("cluster", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEMANTIC_DUP)
+        .select("cluster", F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = assigned.select("cluster", "vec_id").join(
+        dropped.withColumn("is_dropped", F.lit(1)), ["cluster", "vec_id"], "left"
+    )
+    return flagged.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+        (F.count("*") - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))).alias(
+            "n_kept"
+        ),
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings with k-means and pruning
@@ -591,9 +677,6 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
     operator).
     """
-    import numpy as np
-    import pandas as pd
-
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -608,66 +691,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
 
     a2 = _pin(a2)
-
-    margin = SEMANTIC_DUP - 1e-9
-
-    def _candidates(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(dtype="int64")
-        mat = np.array([np.asarray(x, dtype="float64") for x in pdf["v"]])
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"cluster": np.empty(0, "int64"),
-                 "vec_a": np.empty(0, "int64"),
-                 "vec_b": np.empty(0, "int64")}
-            )
-        with np.errstate(invalid="ignore", divide="ignore"):
-            inv = 1.0 / np.sqrt((mat * mat).sum(axis=1))
-        # block the (step x n) score matrix to 256 MB so a huge cluster
-        # can't blow the worker (same budget as dedup_embedding)
-        step = max(1, (1 << 28) // (8 * len(ids)))
-        out_a, out_b = [], []
-        for lo in range(0, len(ids), step):
-            hi = min(lo + step, len(ids))
-            with np.errstate(invalid="ignore", divide="ignore"):
-                s = (mat[lo:hi] @ mat.T) * inv[lo:hi, None] * inv[None, :]
-                hit = (s >= margin) & (ids[lo:hi, None] < ids[None, :])
-            ai, bi = np.nonzero(hit)
-            out_a.append(ids[lo:hi][ai])
-            out_b.append(ids[bi])
-        va = np.concatenate(out_a) if out_a else np.empty(0, "int64")
-        vb = np.concatenate(out_b) if out_b else np.empty(0, "int64")
-        return pd.DataFrame(
-            {"cluster": np.full(len(va), key[0], dtype="int64"),
-             "vec_a": va, "vec_b": vb}
-        )
-
     cand = a2.groupBy("cluster").applyInPandas(
-        _candidates, "cluster long, vec_a long, vec_b long"
+        _cluster_pair_candidates(SEMANTIC_DUP - 1e-9),
+        "cluster long, vec_a long, vec_b long",
     )
-
-    from tiny_mapreduce_rpc_server_spark.functions import cosine
-
-    ea = a2.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"))
-    eb = a2.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("eb"))
-    dropped = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("cluster", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= SEMANTIC_DUP)
-        .select("cluster", F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
-    flagged = a2.select("cluster", "vec_id").join(
-        dropped.withColumn("is_dropped", F.lit(1)), ["cluster", "vec_id"], "left"
-    )
-    return flagged.groupBy("cluster").agg(
-        F.count("*").alias("n_members"),
-        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
-        (F.count("*") - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))).alias(
-            "n_kept"
-        ),
-    )
-
+    return _semantic_rollup(a2, cand)
 
 # reuses the kmeans CTE chain, but a2 carries v so the within-cluster
 # pairing can compute cosine
@@ -728,5 +756,174 @@ ML_QUERIES.append(
         q_dedup_semantic,
         ORACLE_DEDUP_SEMANTIC,
         ("ext", "ml", "dedup", "embedding", "clustering"),
+    )
+)
+
+
+# Scalable-K SemDeDup: target within-cluster size. Seeds are the corpus
+# rows with vec_id % SEED_STRIDE == SEED_RESIDUE, so the cluster count
+# K ~= N / SEED_STRIDE GROWS WITH THE CORPUS with no driver-side count
+# and no parameter to re-tune per scale — the paper's regime (K
+# proportional to N, cluster size bounded by ~SEED_STRIDE on average).
+SEED_STRIDE = 64
+SEED_RESIDUE = 7
+
+
+def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the paper's scaling regime (Abbas et al. 2023,
+    arXiv:2303.09540 §3: K grows with the corpus so cluster sizes stay
+    bounded — 50k clusters for LAION-440M). ``dedup_semantic`` pins K=8
+    for its static-CTE oracle, which caps the pairing stage at 8
+    concurrent tasks and lets within-cluster pair volume grow
+    quadratically with the corpus; THIS variant lifts that ceiling:
+
+    - **Seeding**: centroids are the corpus rows with
+      ``vec_id % SEED_STRIDE == SEED_RESIDUE`` — K ~= N/64 emerges from
+      the data (8 clusters at sf0.01 -> 31 at sf0.1 -> ~N/64 at any
+      scale), fully deterministic and SQL-expressible, so the oracle
+      parameterizes with the corpus instead of hard-coding K.
+    - **Assignment** (one Voronoi step, k-means with zero update
+      iterations): ``mapInPandas`` scores each Arrow batch against the
+      broadcast centroid matrix with BLAS (|x|^2 + |c|^2 - 2 x.c), then
+      re-scores only the within-tolerance argmin *candidates* with the
+      exact sequential fold (bit-identical to the oracle's
+      list_dot_product over the difference list), tie to lowest cluster
+      id. Parallelism = input partitions, NOT K; no N x K row explosion
+      (the broadcast-join + window _assign shape materializes N*K rows,
+      fine for K=8, fatal for K=50k).
+    - **Pairing**: the shared ``_cluster_pair_candidates`` two-phase
+      kernel, now over ~N/64 groups — pairing parallelism scales with
+      the corpus and per-group pair volume is ~SEED_STRIDE^2 bounded on
+      average instead of (N/8)^2.
+
+    Memory contract: the broadcast centroid matrix is (N/64) x d
+    float64. At the paper's LAION regime (50k x 768) that is ~300 MB —
+    the documented ceiling for single-level assignment; past it, use a
+    two-level coarse-quantizer assignment (the ``ann_ivf`` structure)
+    with this same exact re-score discipline.
+
+    Exactness contract: the BLAS distance expansion's absolute error is
+    <= ~d*eps*(|x|+|c|)^2 (cancellation included); candidates within
+    2x that tolerance of the BLAS argmin are exact-folded, so the chosen
+    cluster is always the oracle's argmin, ulp-for-ulp.
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") % SEED_STRIDE == SEED_RESIDUE)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
+        .toPandas()
+        .sort_values("cluster")
+    )
+    c_ids = cents["cluster"].to_numpy(dtype="int64")
+    c_mat = (
+        np.array([np.asarray(x, dtype="float64") for x in cents["cv"]])
+        if len(c_ids)
+        else np.empty((0, 1), dtype="float64")
+    )
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def _assign_exact(batches):
+        ids_c, cm = bc.value
+        c_norm2 = (cm * cm).sum(axis=1)
+        c_max = float(np.sqrt(c_norm2.max())) if len(ids_c) else 0.0
+        d = cm.shape[1]
+        for pb in batches:
+            vids = pb["vec_id"].to_numpy(dtype="int64")
+            if len(vids) == 0 or len(ids_c) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": np.empty(0, "int64"),
+                     "cluster": np.empty(0, "int64"),
+                     "v": np.empty(0, "object")}
+                )
+                continue
+            mat = np.array([np.asarray(x, dtype="float64") for x in pb["v"]])
+            x_norm2 = (mat * mat).sum(axis=1)
+            # BLAS phase: full (batch x K) distance matrix in 3 ops
+            dist = x_norm2[:, None] + c_norm2[None, :] - 2.0 * (mat @ cm.T)
+            d_min = dist.min(axis=1)
+            # 2x the worst-case |BLAS - exact| bound: candidates within
+            # it of the BLAS min always include the exact argmin
+            tol = 8.0 * d * 2.3e-16 * (np.sqrt(x_norm2) + c_max) ** 2
+            chosen = np.empty(len(vids), dtype="int64")
+            for r in range(len(vids)):
+                cand_j = np.nonzero(dist[r] <= d_min[r] + tol[r])[0]
+                best_c, best_d = -1, None
+                for j in cand_j:  # ids_c ascending => ties keep lowest id
+                    diff = mat[r] - cm[j]
+                    s = 0.0
+                    for x in diff:  # sequential fold == oracle's fold
+                        s += x * x
+                    if best_d is None or s < best_d:
+                        best_d, best_c = s, int(ids_c[j])
+                chosen[r] = best_c
+            yield pd.DataFrame(
+                {"vec_id": vids, "cluster": chosen, "v": list(pb["v"])}
+            )
+
+    assigned = emb.mapInPandas(
+        _assign_exact, "vec_id long, cluster long, v array<double>"
+    )
+    # feeds pairing + two exact re-score joins + the membership rollup
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
+
+    assigned = _pin(assigned)
+    cand = assigned.groupBy("cluster").applyInPandas(
+        _cluster_pair_candidates(SEMANTIC_DUP - 1e-9),
+        "cluster long, vec_a long, vec_b long",
+    )
+    return _semantic_rollup(assigned, cand)
+
+
+# Same accounting CTE as ORACLE_DEDUP_SEMANTIC, but the centroid set is
+# the modulo-stride seed rule (K parameterizes with the corpus) and the
+# assignment is the single Voronoi step.
+ORACLE_DEDUP_SEMANTIC_SCALED = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
+       WHERE vec_id % {SEED_STRIDE} = {SEED_RESIDUE}),
+d1 AS (
+  SELECT e.vec_id, e.v, c0.cluster,
+         list_dot_product(
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i]),
+           list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cv[i])
+         ) AS dist
+  FROM e, c0),
+a1 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1) WHERE rn = 1),
+drp AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM a1 a JOIN a1 b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {SEMANTIC_DUP}
+)
+SELECT m.cluster,
+       count(*)::BIGINT AS n_members,
+       count(drp.vec_id)::BIGINT AS n_dropped,
+       (count(*) - count(drp.vec_id))::BIGINT AS n_kept
+FROM a1 m
+LEFT JOIN drp ON m.cluster = drp.cluster AND m.vec_id = drp.vec_id
+GROUP BY m.cluster
+"""
+
+ML_QUERIES.append(
+    QuerySpec(
+        "dedup_semantic_scaled",
+        q_dedup_semantic_scaled,
+        ORACLE_DEDUP_SEMANTIC_SCALED,
+        ("ext", "ml", "dedup", "embedding", "clustering", "scale"),
     )
 )

@@ -1216,6 +1216,16 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start") / BOILER_SEG_WORDS).cast("int").alias("seg_id"),
         F.xxhash64("source", seg_text).alias("seg_key"),
     )
+    # The key stream feeds TWO consumers (the boilerplate agg and the
+    # hits semi-join) and the tokenize subtree feeds a third (the final
+    # rewrite). Pin the key stream — 16 bytes/row of ids + hashes, NOT
+    # the corpus text — so scan+tokenize runs twice (seg materialization
+    # + rewrite) instead of three times; pinning `sized` instead would
+    # cache corpus-sized token arrays, a 100 TB hazard. Released via
+    # release_caches().
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
+
+    seg = _pin(seg)
     # (2) boilerplate keys: appears in >= threshold distinct docs of a source
     boiler = (
         seg.groupBy("source", "seg_key")

@@ -68,81 +68,93 @@ _ALL_GROUPS: list[list[QuerySpec]] = [
 # listed keeps its group order after the priority block and stays
 # covered by the identical local gate (tests/test_oracle_relational.py).
 _PRIORITY = [
-    # --- round-6 window: the FINAL 42 queries never yet covered by a
-    # driver CORRECTNESS round (registry minus the union of
-    # CORRECTNESS_r01..r05 keys; tools/rotation_helper.py computes it),
-    # plus 8 high-value already-verified representatives to fill the
-    # 50-slot window. After this round every registered oracle-backed
-    # query holds a driver row (237/237 cumulative), and the window can
-    # freeze on a stable representative set. The 3 justified rows-only
-    # entries (approx_distinct_users, dedup_minhash_ml, ann_ml_brp) stay
-    # OUT so no slot burns on a `no_oracle` row. ---
-    # semi-structured / behavioral event analytics
-    "json_tolerant_parse",
-    "event_gaps",
-    "engagement_decay",
-    "rarity_bucket_mix",
-    "session_features",
-    "user_event_sequences",
-    "item_cooccurrence",
-    "funnel_time_to_convert",
-    "event_transitions",
-    "event_motifs",
-    "rfm_segmentation",
-    "seasonality_profile",
-    "pareto_report",
-    # entity resolution remainder
-    "er_entity_clusters",
-    "er_merge_impact",
-    # embedding / ANN remainder
-    "source_semantic_similarity",
-    "embedding_matryoshka",
-    "hard_negative_mining",
-    "embedding_quantize",
-    "embedding_spectrum",
-    "ann_eval_recall",
-    # text-analysis remainder
-    "text_normalize",
-    "quality_percentile_filter",
-    "text_char_entropy",
-    "corpus_report",
-    "text_vocab_coverage",
-    "text_novelty",
-    "vocab_arrival_curve",
-    "doc_chunking",
-    # multimodal remainder (perceptual dedup, audio)
-    "multimodal_image_dedup",
-    "multimodal_audio",
-    "multimodal_phash_dedup",
-    "multimodal_audio_fingerprint",
-    # sampling / ML / graph remainder
-    "negative_sampling",
-    "roc_auc",
-    "ml_nearest_centroid",
-    "graph_degree_stats",
-    "graph_triangles",
-    "graph_link_prediction",
-    # UDF-surface remainder
-    "arrow_python_udf",
-    "variant_funcs",
-    "applyinpandas_runs",
-    # --- 8 high-value repeats (already driver-green in r1-r5), chosen to
-    # span every plan class: map/agg (wordcount), pushed-filter partial
-    # agg (q1), banded-signature dedup join (minhash_lsh), end-to-end
-    # composite (training_manifest), watermarked streaming (late_data),
-    # range-partitioned external sort (total_order_sort), row algebra
-    # (merge_into_upsert), broadcast n-gram scan (contamination_check) ---
+    # --- FROZEN representative window (round 7+). Rounds 1-6 rotated
+    # every registered oracle-backed query through the driver's 50-slot
+    # check (cumulative 240/240 driver-verified, 237/237 oracle-green at
+    # r6 close). From round 7 the window FREEZES on this stable set so
+    # the driver re-verifies a fixed contract each round instead of a
+    # rotation artifact. Selection (spec'd name-by-name in
+    # ``__spark_entry__.py``'s docstring): every operator family holds
+    # >= 1 slot; every physical plan class is exercised (broadcast join,
+    # shuffle join, window, partial agg, banded-signature equi-join,
+    # iterative localCheckpoint loop, Arrow mapInPandas, Structured
+    # Streaming with watermark, DataSource V2 read/write, UDAF/UDTF
+    # surface); the scale-showdown headliners stay in. The 3 justified
+    # rows-only entries (approx_distinct_users, dedup_minhash_ml,
+    # ann_ml_brp) stay OUT so every slot records a hard oracle
+    # comparison. Freeze protocol: a query NEW in round N temporarily
+    # takes its family representative's slot for that one round (so it
+    # gets a driver row immediately), then swaps back out. ---
+    # reference parity (SURVEY §2 capstones)
     "wordcount",
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    "streaming_late_data",
+    "sum_by_key",
     "total_order_sort",
-    # new this round — each gets its driver row immediately instead of
-    # waiting out the r7+ frozen window (they took the merge_into_upsert
-    # and training_manifest repeat slots; both already driver-green r5)
-    "dedup_simhash_wide",
-    "boilerplate_removal",
-    "dedup_semantic",
+    "kv_textsink_roundtrip",
+    "rpc_registry_call",
+    "linefile_wordcount",
+    "python_udtf_words",
+    "pandas_udaf_sum",
+    # relational / TPC-H
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q21_suppliers_kept_waiting",
+    # temporal
+    "asof_join_forward",
+    "interval_overlap_join",
+    "time_weighted_avg",
+    # lakehouse / formats
+    "merge_into_upsert",
+    "schema_evolution_roundtrip",
+    # dedup (round 7: dedup_semantic_scaled and dedup_url_canonical are
+    # NEW this round and take the dedup_savings_report and dedup_simhash
+    # slots for one round per the freeze protocol; both displaced
+    # queries are driver-green r5/r6 and return next round)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_url_canonical",
+    "dedup_incremental",
+    "dedup_embedding",
+    "dedup_components",
+    "dedup_semantic_scaled",
+    "contamination_check",
+    # similarity / embeddings
+    "ann_ivf",
+    "hard_negative_mining",
+    # text
+    "text_tf_idf",
+    "text_bigram_lm",
+    "quality_percentile_filter",
+    # tokenizer
+    "bpe_train_merges",
+    "bpe_encode",
+    # multimodal
+    "multimodal_phash_dedup",
+    # sampling
+    "training_manifest",
+    "temporal_split",
+    # dq / privacy
+    "dq_constraint_check",
+    "k_anonymity_audit",
+    # streaming
+    "streaming_late_data",
+    "streaming_session_window",
+    "streaming_outer_join",
+    "streaming_quarantine",
+    # stats / sketches
+    "heavy_hitters_cms",
+    "theil_sen_trend",
+    # incremental views
+    "mv_incremental_agg",
+    "mv_incremental_join",
+    # graph / ML / ER
+    "graph_pagerank",
+    "graph_triangles",
+    "er_fuzzy_candidates",
+    # skew
+    "skew_join_salted",
+    # behavioral
+    "item_cooccurrence",
+    "json_tolerant_parse",
 ]
 
 # The window size is a hard coupling to the driver gate: adding or removing

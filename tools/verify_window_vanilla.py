@@ -32,6 +32,24 @@ def main() -> int:
     ap.add_argument("--names", nargs="*", default=None, help="explicit query names")
     args = ap.parse_args()
 
+    # Ambient-load guard: processing-time streaming triggers
+    # (streaming_chained_windows is the heaviest, ~35 s standalone) can
+    # STARVE when several gate suites run concurrently and fail with no
+    # code defect (observed once in round 6 at load ~3x cores). Warn up
+    # front so a streaming FAIL under load is re-run standalone before
+    # being believed.
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    if load1 > 0.5 * ncpu:
+        print(
+            f"WARNING: 1-min load avg {load1:.1f} on {ncpu} CPUs — this box "
+            "is busy. Streaming queries with processing-time triggers can "
+            "starve and fail SPURIOUSLY under concurrent load; re-run any "
+            "streaming failure standalone on an idle box before treating "
+            "it as real (VERIFICATION.md, round-6 lesson).",
+            flush=True,
+        )
+
     # must precede the registry import: the file_layout_report oracle
     # bakes literal parquet paths (DuckDB parquet_file_metadata cannot
     # take a view) from this env var at module-import time
@@ -48,6 +66,7 @@ def main() -> int:
         .getOrCreate()
     )
 
+    from tiny_mapreduce_rpc_server_spark import release_caches
     from tiny_mapreduce_rpc_server_spark.registry import all_queries
     from oracle_utils import compare
 
@@ -62,6 +81,10 @@ def main() -> int:
         spec = q[name]
         t0 = time.time()
         try:
+            # mirror the driver contract: __spark_entry__.queries() wraps
+            # every fn with a release_caches() so pinned caches don't
+            # accumulate across a many-query session
+            release_caches()
             df = spec.fn(spark, args.sf_dir)
             if spec.oracle is None:
                 n_rows = df.count()
