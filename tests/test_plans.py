@@ -358,12 +358,23 @@ def test_bucketed_join_reads_buckets_no_fact_shuffle(spark):
     assert "hashpartitioning(o_custkey" not in p, p
 
 
-def test_tf_idf_partial_aggregation(spark):
-    """Both TF-IDF aggregations (per-doc tf, per-term df) must partial-
-    aggregate map-side; the corpus-stats side is a broadcast."""
+def test_tf_idf_two_exchanges_row_local_tf(spark):
+    """TF-IDF's round-7 shape: term frequencies are computed ROW-LOCALLY
+    (sorted-run fold over the token array), so the corpus is exchanged
+    exactly twice — hashed by term for the df window, hashed by doc_id
+    for the top-k window. No (doc_id, w) aggregation exchange, no df
+    join, no broadcast, no Python."""
+    import re as _re
+
     p = plan(spark, _q(spark, "text_tf_idf"))
-    assert "partial_count" in p, p
-    assert "BroadcastExchange" in p, p
+    tree = p.split("\n\n", 1)[0]
+    assert "Join" not in tree, p
+    assert "HashAggregate" not in tree, p
+    assert "BroadcastExchange" not in tree, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # formatted mode: exchange args live in the detail block
+    hashes = _re.findall(r"hashpartitioning\(([a-z_]+)#", p)
+    assert sorted(set(hashes)) == ["doc_id", "w"], (hashes, p)
 
 
 def test_bigram_lm_partial_aggregation(spark):

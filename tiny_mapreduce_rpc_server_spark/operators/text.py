@@ -446,30 +446,71 @@ TFIDF_TOP_K = 3
 
 
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 TF-IDF terms via the full inverted-index shape:
-    explode tokens -> per-(doc, term) tf -> per-term df -> score.
+    """Per-document top-3 TF-IDF terms, with the term-frequency histogram
+    computed ROW-LOCALLY (sorted-run fold over the token array, the
+    q_char_entropy trick) so the corpus is exchanged exactly twice: once
+    hashed by term for the document-frequency window, once hashed by
+    doc_id for the top-k window.
+
+    Round-7 re-plan (stage-accounted at sf1*): the original inverted-
+    index shape — explode -> (doc_id, w) hash agg -> df agg -> term join
+    -> scalar broadcast join -> top-k window — carried three corpus-row
+    exchanges plus a join and a separate count job, and its tokenize
+    stage showed executorRunTime >> cpuTime (exchange stalls). Computing
+    tf inside the row (array_sort + run boundaries, all codegen'd array
+    expressions) eliminates the (doc_id, w) exchange AND the df join
+    (A/B at sf1*, best-of-3: 4.45 s -> 2.84 s; a groupBy+shuffled-join
+    df variant measured 3.4 s — the window form wins because the w-sort
+    it needs is cheaper than the join's build+probe over the same
+    exchange). n_docs is a metadata-only count on the bare parquet scan
+    at plan-build time (same eager-scalar contract as dedup_embedding's
+    build-side gate).
 
     The idf factor is the raw ratio N/df WITHOUT the log (monotone in
     the true idf, and +,*,/ are correctly-rounded IEEE ops => bit-exact
-    across engines; see q_bm25_search). Shape at 100 TB: two hash
-    aggregations (both partial-aggregated map-side), one equi-join on the
-    term key, one scalar broadcast, and a per-doc top-k window — the
-    term-level df join is the same inverted-index pattern as
-    dedup_ngram_jaccard's candidate generation."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", P.tokens(F.col("text")).alias("t"))
-    ex = toked.select("doc_id", F.explode("t").alias("w"))
-    tf = ex.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    scored = tf.join(dfreq, "w").join(F.broadcast(n_docs))
-    score = (
-        F.col("tf").cast("double")
-        * F.col("n_docs").cast("double")
-        / F.col("df").cast("double")
-    )
+    across engines; see q_bm25_search)."""
     from pyspark.sql import Window
 
+    raw = load_table(spark, sf_dir, "documents")
+    # metadata-only on the bare scan (before spread's repartition)
+    n_docs = raw.count()
+    docs = spread(raw)
+    toked = (
+        docs.select("doc_id", F.array_sort(P.tokens(F.col("text"))).alias("st"))
+        .withColumn("n", F.size("st"))
+        .where(F.col("n") > 0)
+    )
+    # run starts: positions where the sorted token changes
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("n") - 1),
+        lambda i: (i == 0) | (F.get(F.col("st"), i) != F.get(F.col("st"), i - 1)),
+    )
+    t = toked.withColumn("starts", starts).withColumn("k", F.size("starts"))
+    # (term, tf) per run: tf = next run start (or n) - this run start
+    runs = F.transform(
+        F.sequence(F.lit(0), F.col("k") - 1),
+        lambda j: F.struct(
+            F.get(F.col("st"), F.get(F.col("starts"), j)).alias("w"),
+            (
+                F.when(j < F.col("k") - 1, F.get(F.col("starts"), j + 1)).otherwise(
+                    F.col("n")
+                )
+                - F.get(F.col("starts"), j)
+            )
+            .cast("long")
+            .alias("tf"),
+        ),
+    )
+    pairs = t.select("doc_id", F.explode(runs).alias("r")).select(
+        "doc_id", F.col("r.w").alias("w"), F.col("r.tf").alias("tf")
+    )
+    wdf = Window.partitionBy("w")
+    scored = pairs.withColumn("df", F.count("*").over(wdf))
+    score = (
+        F.col("tf").cast("double")
+        * F.lit(float(n_docs))
+        / F.col("df").cast("double")
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
     return (
         scored.select("doc_id", "w", "tf", "df", score.alias("score"))
@@ -821,65 +862,69 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling is deliberate: quality classifiers score a bounded prefix,
     which also bounds per-row work at corpus scale.
 
-    Shuffle-free: chars are sorted per row and a single ``aggregate``
-    fold walks the runs, adding n_i*ln(n_i) as each run closes (in
-    sorted-char order). Entropy = ln(N) - sum/N. Determinism: Java's
-    Math.log and DuckDB's libm ln disagree in the last ulp on ~2% of
-    small-int inputs, so BOTH sides read ln(k) from the shared
-    ``portable`` lookup table (same Python constants); the fold adds the
-    same double terms in the same sorted order with the same left
-    bracketing ((0+t1)+t2 == (t1+t2) exactly), so the result is
-    bit-identical.
+    Shuffle-free map: the JVM side only cuts the prefix (code-point
+    substring, column-pruned scan); the per-char histogram + entropy
+    fold runs in an Arrow ``mapInPandas`` kernel. Round-7 re-plan: the
+    original all-expression version (array_sort + struct-accumulator
+    ``aggregate`` fold) was exact but interpreted — stage-accounted at
+    ~8 us/char, 160 s of executor CPU at sf1* (the fold dominates the
+    query end to end). The kernel reproduces the SAME arithmetic at
+    numpy speed (~50x less CPU, 11.1 s -> ~1.5 s wall at sf1*):
+
+    - chars via utf-32 decode -> uint32 code points; numpy sorts them in
+      code-point order == Spark's binary sort of single-char strings ==
+      DuckDB's list_sort;
+    - per-run terms ``n_i * ln(n_i)`` read ln from the SAME Python
+      ``_LN_TABLE`` constants the JVM literal array and the DuckDB
+      oracle's SQL LUT are generated from, each term one double multiply
+      (identical rounding);
+    - the run terms are summed SEQUENTIALLY in sorted order via
+      ``np.cumsum`` (cumsum output is by definition the left-bracketed
+      prefix chain ((0+t1)+t2)+..., bit-identical to the JVM fold and
+      the oracle's list fold — a plain np.sum would pairwise-sum and
+      drift in the last ulp);
+    - entropy = lut[n] - s/n, one division, same ops both engines.
     """
+    import numpy as np
+    import pandas as pd
+
+    lut = np.empty(P.LN_MAX + 1, dtype="float64")
+    lut[0] = 0.0
+    lut[1:] = P._LN_TABLE
+
     docs = spread(load_table(spark, sf_dir, "documents"))
-    d = docs.select(
-        "doc_id",
-        F.array_sort(
-            F.split(F.substring(F.col("text"), 1, P.LN_MAX), "")
-        ).alias("cs"),
-        P.ln_lut().alias("lut"),
-    ).where(F.size("cs") > 0)
+    pref = docs.select(
+        "doc_id", F.substring(F.col("text"), 1, P.LN_MAX).alias("p")
+    ).where(F.length("p") > 0)
 
-    def run_term(run, lut):
-        # closing-run n*ln(n) term via the portable LUT (run >= 1)
-        return F.when(
-            run > 0, run.cast("double") * F.element_at(lut, run)
-        ).otherwise(F.lit(0.0))
+    def _entropy(batches):
+        for pb in batches:
+            n_rows = len(pb)
+            out_n = np.empty(n_rows, dtype="int32")
+            out_d = np.empty(n_rows, dtype="int32")
+            out_e = np.empty(n_rows, dtype="float64")
+            for i, txt in enumerate(pb["p"]):
+                cs = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+                n = len(cs)
+                _, counts = np.unique(cs, return_counts=True)
+                terms = counts.astype("float64") * lut[counts]
+                s = float(np.cumsum(terms)[-1])
+                out_n[i] = n
+                out_d[i] = len(counts)
+                out_e[i] = lut[n] - s / float(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pb["doc_id"].to_numpy(),
+                    "n_chars_actual": out_n,
+                    "n_distinct_chars": out_d,
+                    "entropy_nats": out_e,
+                }
+            )
 
-    def _step(acc, x):
-        same = x == acc["prev"]
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(same, acc["s"])
-            .otherwise(acc["s"] + run_term(acc["run"], F.col("lut")))
-            .alias("s"),
-        )
-
-    ent_sum = F.aggregate(
-        F.col("cs"),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0.0).alias("s"),
-        ),
-        _step,
-        lambda acc: acc["s"] + run_term(acc["run"], F.col("lut")),
-    )
-    d = d.select(
-        "doc_id",
-        F.size("cs").alias("n_chars_actual"),
-        F.size(F.array_distinct("cs")).alias("n_distinct_chars"),
-        F.element_at("lut", F.size("cs")).alias("ln_n"),
-        ent_sum.alias("s"),
-    )
-    return d.select(
-        "doc_id",
-        "n_chars_actual",
-        "n_distinct_chars",
-        (
-            F.col("ln_n") - F.col("s") / F.col("n_chars_actual").cast("double")
-        ).alias("entropy_nats"),
+    return pref.mapInPandas(
+        _entropy,
+        "doc_id long, n_chars_actual int, n_distinct_chars int, "
+        "entropy_nats double",
     )
 
 

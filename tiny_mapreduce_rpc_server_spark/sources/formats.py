@@ -407,7 +407,14 @@ SELECT * FROM zs UNION ALL SELECT * FROM ns
 """
 
 
-_SORT_FILES = 8
+# Range-partition count for the total-order sort. Sort parallelism ==
+# this number (each range is one external-sort task), so it must be >=
+# the session's cores; at cluster scale it is sized to data/target-file
+# size, not cores. Round-7 stage accounting measured the 8-file setting
+# running the sf1* sort on 8 of 32 cores (~47 s executor time in 8
+# tasks); 32 restores full-width sorting at identical semantics (the
+# oracle gates the file count on [1, requested], not equality).
+_SORT_FILES = 32
 
 
 def q_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
