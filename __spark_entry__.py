@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in the ``tiny_mapreduce_rpc_server_spark``
 package; this module just adapts its query registry to the contract.
 
-Exactly 3 of the 242 registered queries are deliberately rows-only
+Exactly 3 of the 243 registered queries are deliberately rows-only
 (absent from ``oracle_sql()``), each with a deterministic bounds test
 instead (tests/test_invariants.py):
 
@@ -29,10 +29,11 @@ round 7 on,
 ``registry._PRIORITY`` freezes on a STABLE representative 50 so the
 driver re-verifies a fixed contract instead of rotating. Queries NEW in
 round N swap into their family representative's slot for one round,
-then swap back out (round 7: ``dedup_semantic_scaled`` and
-``dedup_url_canonical`` temporarily hold the ``dedup_savings_report``
-and ``dedup_simhash`` slots — both displaced queries are driver-green
-r5/r6 and return in round 8). Selection criteria: every operator family holds >= 1 slot; every physical plan
+then swap back out (round 7: ``dedup_semantic_scaled``,
+``dedup_url_canonical``, and ``dedup_semantic_incremental`` temporarily
+hold the ``dedup_savings_report``, ``dedup_simhash``, and
+``dedup_incremental`` slots — all three displaced queries are
+driver-green r3-r6 and return in round 8). Selection criteria: every operator family holds >= 1 slot; every physical plan
 class is exercised (broadcast join, shuffle join, window, partial agg,
 banded-signature equi-join, iterative localCheckpoint loop, Arrow
 mapInPandas, Structured Streaming with watermark, DataSource V2

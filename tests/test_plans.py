@@ -984,3 +984,18 @@ def test_dedup_url_canonical_pure_jvm_partial_agg(spark):
     tree = p.split("\n\n", 1)[0]
     n_exchange = len(_re.findall(r"\bExchange\b", tree))
     assert n_exchange == 2, (n_exchange, p)
+
+
+def test_dedup_semantic_incremental_index_probe_shape(spark):
+    """The incremental SemDeDup probe must be the index-probe shape: both
+    sides assigned via MapInPandas against the broadcast centroid matrix
+    (no N x K row explosion), candidates generated ONLY by the cluster
+    equi-join (broadcast of the count-gated incoming batch or a shuffled
+    cluster-key join — never a cartesian), exact cosine on candidates."""
+    import re as _re
+
+    p = plan(spark, _q(spark, "dedup_semantic_incremental"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "MapInPandas" in p, p
+    assert _re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p

@@ -769,59 +769,19 @@ SEED_STRIDE = 64
 SEED_RESIDUE = 7
 
 
-def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup at the paper's scaling regime (Abbas et al. 2023,
-    arXiv:2303.09540 §3: K grows with the corpus so cluster sizes stay
-    bounded — 50k clusters for LAION-440M). ``dedup_semantic`` pins K=8
-    for its static-CTE oracle, which caps the pairing stage at 8
-    concurrent tasks and lets within-cluster pair volume grow
-    quadratically with the corpus; THIS variant lifts that ceiling:
-
-    - **Seeding**: centroids are the corpus rows with
-      ``vec_id % SEED_STRIDE == SEED_RESIDUE`` — K ~= N/64 emerges from
-      the data (8 clusters at sf0.01 -> 31 at sf0.1 -> ~N/64 at any
-      scale), fully deterministic and SQL-expressible, so the oracle
-      parameterizes with the corpus instead of hard-coding K.
-    - **Assignment** (one Voronoi step, k-means with zero update
-      iterations): ``mapInPandas`` scores each Arrow batch against the
-      broadcast centroid matrix with BLAS (|x|^2 + |c|^2 - 2 x.c), then
-      re-scores only the within-tolerance argmin *candidates* with the
-      exact sequential fold (bit-identical to the oracle's
-      list_dot_product over the difference list), tie to lowest cluster
-      id. Parallelism = input partitions, NOT K; no N x K row explosion
-      (the broadcast-join + window _assign shape materializes N*K rows,
-      fine for K=8, fatal for K=50k).
-    - **Pairing**: the shared ``_cluster_pair_candidates`` two-phase
-      kernel, now over ~N/64 groups — pairing parallelism scales with
-      the corpus and per-group pair volume is ~SEED_STRIDE^2 bounded on
-      average instead of (N/8)^2.
-
-    Memory contract: the broadcast centroid matrix is (N/64) x d
-    float64. At the paper's LAION regime (50k x 768) that is ~300 MB —
-    the documented ceiling for single-level assignment; past it, use a
-    two-level coarse-quantizer assignment (the ``ann_ivf`` structure)
-    with this same exact re-score discipline.
-
-    Exactness contract: the BLAS distance expansion's absolute error is
-    <= ~d*eps*(|x|+|c|)^2 (cancellation included); candidates within
-    2x that tolerance of the BLAS argmin are exact-folded, so the chosen
-    cluster is always the oracle's argmin, ulp-for-ulp.
-
-    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
-    operator).
-    """
+def _exact_voronoi(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
+    """Assign every (vec_id, v) row to its nearest centroid — exact,
+    oracle-reproducible, at BLAS speed: a mapInPandas scan computes the
+    (batch x K) distance matrix via the |x|^2+|c|^2-2x.c expansion, then
+    re-scores only the within-tolerance argmin candidates with the
+    sequential fold the oracle uses (ties to lowest cluster id).
+    ``cents`` is a pandas DataFrame (cluster, cv) sorted by cluster id —
+    the broadcast index. Shared by ``dedup_semantic_scaled`` (self-index)
+    and ``dedup_semantic_incremental`` (existing-corpus index probed by
+    both sides)."""
     import numpy as np
     import pandas as pd
 
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cents = (
-        emb.filter(F.col("vec_id") % SEED_STRIDE == SEED_RESIDUE)
-        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
-        .toPandas()
-        .sort_values("cluster")
-    )
     c_ids = cents["cluster"].to_numpy(dtype="int64")
     c_mat = (
         np.array([np.asarray(x, dtype="float64") for x in cents["cv"]])
@@ -868,9 +828,62 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": vids, "cluster": chosen, "v": list(pb["v"])}
             )
 
-    assigned = emb.mapInPandas(
+    return emb.mapInPandas(
         _assign_exact, "vec_id long, cluster long, v array<double>"
     )
+
+
+def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the paper's scaling regime (Abbas et al. 2023,
+    arXiv:2303.09540 §3: K grows with the corpus so cluster sizes stay
+    bounded — 50k clusters for LAION-440M). ``dedup_semantic`` pins K=8
+    for its static-CTE oracle, which caps the pairing stage at 8
+    concurrent tasks and lets within-cluster pair volume grow
+    quadratically with the corpus; THIS variant lifts that ceiling:
+
+    - **Seeding**: centroids are the corpus rows with
+      ``vec_id % SEED_STRIDE == SEED_RESIDUE`` — K ~= N/64 emerges from
+      the data (8 clusters at sf0.01 -> 31 at sf0.1 -> ~N/64 at any
+      scale), fully deterministic and SQL-expressible, so the oracle
+      parameterizes with the corpus instead of hard-coding K.
+    - **Assignment** (one Voronoi step, k-means with zero update
+      iterations): ``mapInPandas`` scores each Arrow batch against the
+      broadcast centroid matrix with BLAS (|x|^2 + |c|^2 - 2 x.c), then
+      re-scores only the within-tolerance argmin *candidates* with the
+      exact sequential fold (bit-identical to the oracle's
+      list_dot_product over the difference list), tie to lowest cluster
+      id. Parallelism = input partitions, NOT K; no N x K row explosion
+      (the broadcast-join + window _assign shape materializes N*K rows,
+      fine for K=8, fatal for K=50k).
+    - **Pairing**: the shared ``_cluster_pair_candidates`` two-phase
+      kernel, now over ~N/64 groups — pairing parallelism scales with
+      the corpus and per-group pair volume is ~SEED_STRIDE^2 bounded on
+      average instead of (N/8)^2.
+
+    Memory contract: the broadcast centroid matrix is (N/64) x d
+    float64. At the paper's LAION regime (50k x 768) that is ~300 MB —
+    the documented ceiling for single-level assignment; past it, use a
+    two-level coarse-quantizer assignment (the ``ann_ivf`` structure)
+    with this same exact re-score discipline.
+
+    Exactness contract: the BLAS distance expansion's absolute error is
+    <= ~d*eps*(|x|+|c|)^2 (cancellation included); candidates within
+    2x that tolerance of the BLAS argmin are exact-folded, so the chosen
+    cluster is always the oracle's argmin, ulp-for-ulp.
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") % SEED_STRIDE == SEED_RESIDUE)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
+        .toPandas()
+        .sort_values("cluster")
+    )
+    assigned = _exact_voronoi(spark, emb, cents)
     # feeds pairing + two exact re-score joins + the membership rollup
     from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
 
@@ -925,5 +938,139 @@ ML_QUERIES.append(
         q_dedup_semantic_scaled,
         ORACLE_DEDUP_SEMANTIC_SCALED,
         ("ext", "ml", "dedup", "embedding", "clustering", "scale"),
+    )
+)
+
+
+# Fraction split for the incremental probe: rows whose portable hash of
+# vec_id lands in the top 20% are "incoming", the rest are the existing
+# corpus (same convention as dedup.INCR_INCOMING_FROM for text).
+SEM_INCR_INCOMING_FROM = 80
+
+
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion SemDeDup: which INCOMING embeddings
+    semantically near-dup an EXISTING one? The ``dedup_incremental``
+    production shape applied to embeddings — every batch, the pipeline
+    probes the persisted cluster index instead of re-pairing the corpus:
+
+    - the EXISTING corpus defines the index: seed centroids by the
+      ``vec_id % SEED_STRIDE`` rule (K ~= N_existing/64, grows with the
+      corpus), members assigned once by the exact two-phase Voronoi scan
+      (here derived in-plan; on a real lake both are persisted tables);
+    - the incoming batch — orders of magnitude smaller — is assigned
+      against the SAME broadcast centroid matrix, then joined to
+      existing members ON THE CLUSTER KEY only: pair volume is bounded
+      by (batch size x cluster size), never corpus-quadratic, and the
+      existing corpus is never shuffled by anything wider than its
+      cluster id;
+    - candidates get the exact ordered-fold cosine (bit-identical to the
+      oracle) at the SEMANTIC_DUP threshold; output is one row per
+      colliding incoming vec with its best existing match (highest
+      cosine, ties to the lowest existing id).
+
+    Incoming-vs-incoming pairs are deliberately out of scope (they dedup
+    when their batch lands — same contract as ``dedup_incremental``).
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    incoming_pred = (
+        P.h1(F.col("vec_id").cast("string")) % 100
+    ) >= SEM_INCR_INCOMING_FROM
+    existing = emb.filter(~incoming_pred)
+    incoming = emb.filter(incoming_pred)
+    cents = (
+        existing.filter(F.col("vec_id") % SEED_STRIDE == SEED_RESIDUE)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
+        .toPandas()
+        .sort_values("cluster")
+    )
+    ex_a = _exact_voronoi(spark, existing, cents).select(
+        F.col("vec_id").alias("vec_old"), "cluster", F.col("v").alias("vo")
+    )
+    in_a = _exact_voronoi(spark, incoming, cents).select(
+        F.col("vec_id").alias("vec_new"), "cluster", F.col("v").alias("vn")
+    )
+    from tiny_mapreduce_rpc_server_spark.functions import cosine
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import _bounded_broadcast
+
+    # batch is small by contract, but gate the broadcast on a real count
+    # so a mis-sized batch degrades to a shuffled cluster-key join
+    scored = (
+        _bounded_broadcast(in_a)
+        .join(ex_a, "cluster")
+        .select(
+            "vec_new",
+            "vec_old",
+            cosine(F.col("vn"), F.col("vo")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMANTIC_DUP)
+    )
+    w = Window.partitionBy("vec_new").orderBy(F.desc("cos_sim"), F.asc("vec_old"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_new", "vec_old", "cos_sim")
+    )
+
+
+ORACLE_DEDUP_SEMANTIC_INCREMENTAL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+inc AS (SELECT * FROM e
+        WHERE ({P.sql_h1("CAST(vec_id AS VARCHAR)")} % 100) >= {SEM_INCR_INCOMING_FROM}),
+ex AS (SELECT * FROM e
+       WHERE ({P.sql_h1("CAST(vec_id AS VARCHAR)")} % 100) < {SEM_INCR_INCOMING_FROM}),
+c0 AS (SELECT vec_id AS cluster, v AS cv FROM ex
+       WHERE vec_id % {SEED_STRIDE} = {SEED_RESIDUE}),
+dx AS (
+  SELECT ex.vec_id, ex.v, c0.cluster,
+         list_dot_product(
+           list_transform(generate_series(1, len(ex.v)), i -> ex.v[i] - cv[i]),
+           list_transform(generate_series(1, len(ex.v)), i -> ex.v[i] - cv[i])
+         ) AS dist
+  FROM ex, c0),
+ax AS (
+  SELECT vec_id AS vec_old, v AS vo, cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM dx) WHERE rn = 1),
+di AS (
+  SELECT inc.vec_id, inc.v, c0.cluster,
+         list_dot_product(
+           list_transform(generate_series(1, len(inc.v)), i -> inc.v[i] - cv[i]),
+           list_transform(generate_series(1, len(inc.v)), i -> inc.v[i] - cv[i])
+         ) AS dist
+  FROM inc, c0),
+ai AS (
+  SELECT vec_id AS vec_new, v AS vn, cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM di) WHERE rn = 1),
+scored AS (
+  SELECT ai.vec_new, ax.vec_old,
+         list_dot_product(vn, vo)
+           / (sqrt(list_dot_product(vn, vn)) * sqrt(list_dot_product(vo, vo)))
+           AS cos_sim
+  FROM ai JOIN ax ON ai.cluster = ax.cluster),
+hits AS (SELECT * FROM scored WHERE cos_sim >= {SEMANTIC_DUP})
+SELECT vec_new, vec_old, cos_sim FROM (
+  SELECT vec_new, vec_old, cos_sim,
+         row_number() OVER (PARTITION BY vec_new
+                            ORDER BY cos_sim DESC, vec_old ASC) AS rn
+  FROM hits) WHERE rn = 1
+"""
+
+ML_QUERIES.append(
+    QuerySpec(
+        "dedup_semantic_incremental",
+        q_dedup_semantic_incremental,
+        ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
+        ("ext", "ml", "dedup", "embedding", "incremental"),
     )
 )

@@ -105,14 +105,15 @@ _PRIORITY = [
     # lakehouse / formats
     "merge_into_upsert",
     "schema_evolution_roundtrip",
-    # dedup (round 7: dedup_semantic_scaled and dedup_url_canonical are
-    # NEW this round and take the dedup_savings_report and dedup_simhash
-    # slots for one round per the freeze protocol; both displaced
-    # queries are driver-green r5/r6 and return next round)
+    # dedup (round 7: dedup_semantic_scaled, dedup_url_canonical, and
+    # dedup_semantic_incremental are NEW this round and take the
+    # dedup_savings_report, dedup_simhash, and dedup_incremental slots
+    # for one round per the freeze protocol; all three displaced queries
+    # are driver-green r3-r6 and return next round)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_url_canonical",
-    "dedup_incremental",
+    "dedup_semantic_incremental",
     "dedup_embedding",
     "dedup_components",
     "dedup_semantic_scaled",
