@@ -61,9 +61,18 @@ def main() -> int:
 
     def rep(name: str, select: str) -> None:
         t0 = time.time()
+        # Bounded row groups: DuckDB's default writes small tables as ONE
+        # row group, and a parquet scan cannot split inside a row group —
+        # round-7 stage accounting caught the sf1* documents scan running
+        # on 1-2 tasks of a 32-core box (5.1 s serialized before spread()
+        # could fan out). Real 100 TB inputs arrive in many files/row
+        # groups; ~16 groups per table keeps the fixture honest.
+        n_src = con.sql(f"SELECT count(*) FROM '{SRC}/{name}.parquet'").fetchone()[0]
+        rg = max(2048, (n_src * k) // 16)
         con.execute(
             f"COPY (SELECT {select} FROM '{SRC}/{name}.parquet', copies"
-            f" ORDER BY i) TO '{out}/{name}.parquet' (FORMAT parquet)"
+            f" ORDER BY i) TO '{out}/{name}.parquet' "
+            f"(FORMAT parquet, ROW_GROUP_SIZE {rg})"
         )
         n = con.sql(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
         print(f"  {name}: {n:,} rows in {time.time() - t0:.1f}s", flush=True)
