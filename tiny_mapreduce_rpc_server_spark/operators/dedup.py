@@ -829,6 +829,16 @@ def _simhash_pairs(sh: DataFrame, block_spec) -> DataFrame:
     ex = sigs.select("simhash", F.explode(blocks).alias("b")).select(
         "simhash", F.col("b.blk_id").alias("blk_id"), F.col("b.blk_key").alias("blk_key")
     )
+    # The exploded distinct-signature stream is tiny in BYTES (0.3 MB at
+    # sf1*), so AQE coalesces the self-join's exchanges to one partition
+    # — but the join's work is intra-block PAIR volume, which blows up
+    # quadratically per block key (stage-accounted at sf1*: 41 s of CPU
+    # in a single task). Pin the join key partitioning at the session's
+    # parallelism: AQE sizes by input bytes, this stage's cost is
+    # candidate pairs.
+    ex = ex.repartition(
+        sh.sparkSession.sparkContext.defaultParallelism, "blk_id", "blk_key"
+    )
     a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     sig_pairs = (
@@ -845,6 +855,17 @@ def _simhash_pairs(sh: DataFrame, block_spec) -> DataFrame:
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
+    )
+    # The signature-pair set is tiny (distinct signatures only), so AQE
+    # coalesces its exchange to ~one partition — but the doc-expansion
+    # joins below MULTIPLY it into tens of millions of pair rows, and
+    # that one task would emit the whole output serially (stage-accounted
+    # at sf1*: 44 s of dedup_simhash_wide's 60 s wall was a single-task
+    # stage reading 0.3 MB and writing 23.5M rows). AQE sizes partitions
+    # by input bytes; this stage's cost is output rows — spread the
+    # expansion across the session's parallelism explicitly.
+    sig_pairs = sig_pairs.repartition(
+        sh.sparkSession.sparkContext.defaultParallelism
     )
     x = sh.select(F.col("doc_id").alias("dx"), F.col("simhash").alias("sig_a"))
     y = sh.select(F.col("doc_id").alias("dy"), F.col("simhash").alias("sig_b"))

@@ -65,6 +65,16 @@ def main() -> int:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.range(1).count()
     q = all_queries()
+    # Real warmup: range(1).count() does not JIT the heavy codegen /
+    # shuffle / Arrow paths, so the FIRST probe query's first rep used to
+    # absorb the whole JVM warmup (measured: 37 s -> 12 s -> 6 s reps for
+    # the first query vs a 4 s steady state). One untimed representative
+    # run levels the field; DuckDB needs no twin (its library warms with
+    # the first connection, and each oracle rep is a fresh connection by
+    # design).
+    release_caches()
+    q[PROBE[0]].fn(spark, sf_dir).toPandas()
+    spark.catalog.clearCache()
     rows = []
     for name in PROBE:
         spec = q[name]
@@ -154,8 +164,12 @@ def main() -> int:
     lines.append("(count/range-overlap/checksum over the engine-written files),")
     lines.append("not a sort, so its sub-second time is not a sort time. The")
     lines.append("two simhash rows emit tens of millions of pairs — both")
-    lines.append("engines are output-bound there and land within ~2x of each")
-    lines.append("other. The rows where data actually dominates — the")
+    lines.append("engines are output-bound there (23.5M pair rows through the")
+    lines.append("block join, the hamming filter, and Arrow) and the engine lands")
+    lines.append("within ~2-3x of the in-process engine's emission rate; the")
+    lines.append("round-7 repartition of the block join key (AQE sizes by input")
+    lines.append("bytes, this stage's cost is output rows) already took the wide")
+    lines.append("row from 53 s to ~17-25 s. The rows where data actually dominates — the")
     lines.append("candidate-generation dedup joins and contamination_check —")
     lines.append(f"run {min(cand_s):.0f}-{max(cand_s):.0f}x faster than the")
     lines.append("single-node oracle, and those are exactly the queries whose")
