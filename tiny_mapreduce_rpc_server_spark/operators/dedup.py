@@ -1624,5 +1624,6 @@ DEDUP_QUERIES.append(
         q_dedup_url_canonical,
         ORACLE_DEDUP_URL_CANONICAL,
         ("ext", "dedup", "url"),
+        bench=True,
     )
 )

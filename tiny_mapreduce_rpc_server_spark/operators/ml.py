@@ -938,6 +938,7 @@ ML_QUERIES.append(
         q_dedup_semantic_scaled,
         ORACLE_DEDUP_SEMANTIC_SCALED,
         ("ext", "ml", "dedup", "embedding", "clustering", "scale"),
+        bench=True,
     )
 )
 
