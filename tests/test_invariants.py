@@ -541,3 +541,56 @@ def test_boilerplate_removal_semantics_crafted_corpus(spark, monkeypatch):
     # doc 5 is entirely boilerplate (doc 1/2/5 share the segment in A)
     assert out[5]["clean_text"] == ""
     assert out[5]["boiler_pct"] == 100
+
+
+def test_url_canonicalizer_cases_and_idempotence(spark):
+    """canonicalize_url: pinned behavior on the tricky cases (default vs
+    non-default ports, tracking-param strip with survivor sort, fragment
+    strip, www vs real subdomains, case folding) and IDEMPOTENCE — a
+    canonical URL must be its own canonical form, so re-running the
+    pipeline over already-clean URLs is a no-op."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        canonicalize_url,
+        registrable_domain,
+    )
+
+    cases = [
+        # (messy, expected_canonical, expected_registrable)
+        ("HTTPS://WWW.Src1.Example.COM:443/a/b?utm_source=x&page=2#frag",
+         "https://src1.example.com/a/b?page=2", "example.com"),
+        ("http://site.co.uk:80/p?z=1&a=2", "http://site.co.uk/p?a=2&z=1",
+         "site.co.uk"),
+        # non-default port survives; 8080 != 80 even for http
+        ("http://h.example.com:8080/x", "http://h.example.com:8080/x",
+         "example.com"),
+        # real subdomain survives canonicalization but folds in the
+        # registrable rollup
+        ("https://blog.src2.com/t?ref=9&fbclid=abc&id=7",
+         "https://blog.src2.com/t?id=7", "src2.com"),
+        # all params tracking -> no '?' at all
+        ("https://a.co.uk/only?utm_campaign=c&gclid=g",
+         "https://a.co.uk/only", "a.co.uk"),
+        ("https://www.deep.sub.example.co.uk/r", "https://deep.sub.example.co.uk/r",
+         "example.co.uk"),
+    ]
+    df = spark.createDataFrame([(m,) for m, _, _ in cases], ["url"])
+    got = df.select(
+        canonicalize_url(F.col("url")).alias("c"),
+    ).collect()
+    for (messy, want_c, _), row in zip(cases, got):
+        assert row.c == want_c, (messy, row.c, want_c)
+    # registrable domain of the canonical form
+    got_r = df.select(
+        registrable_domain(canonicalize_url(F.col("url"))).alias("r")
+    ).collect()
+    for (messy, _, want_r), row in zip(cases, got_r):
+        assert row.r == want_r, (messy, row.r, want_r)
+    # idempotence: canonicalize(canonical) == canonical
+    cdf = spark.createDataFrame([(c,) for _, c, _ in cases], ["url"])
+    twice = cdf.select(
+        F.col("url").alias("once"), canonicalize_url(F.col("url")).alias("again")
+    ).collect()
+    for row in twice:
+        assert row.again == row.once, (row.once, row.again)

@@ -1411,6 +1411,71 @@ _URL_TRACKING_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
 _URL_REGISTRABLE_RE = r"([^.]+\.co\.uk|[^.]+\.[^.]+)$"
 
 
+def canonicalize_url(url):
+    """Canonical form of a URL column — the reusable library surface
+    behind ``dedup_url_canonical`` (apply it to any real URL column):
+
+      1. strip the fragment
+      2. lowercase scheme + host
+      3. strip the default port (443/https, 80/http), keep others
+      4. strip a leading ``www.``
+      5. drop tracking params (``_URL_TRACKING_RE``), SORT survivors,
+         reassemble
+
+    Pure built-in string expressions (split_part/lower/regexp/
+    array_sort) — whole-stage codegen, no Python, shuffle-free.
+    Idempotent: canonicalize_url(canonicalize_url(u)) ==
+    canonicalize_url(u) (property-tested in tests/test_properties.py).
+    """
+    u1 = F.split_part(url, F.lit("#"), F.lit(1))
+    scheme = F.lower(F.split_part(u1, F.lit("://"), F.lit(1)))
+    rest = F.split_part(u1, F.lit("://"), F.lit(2))
+    authority = F.split_part(rest, F.lit("/"), F.lit(1))
+    pathq = F.substring(rest, F.length(authority) + 1, F.lit(2147483647))
+    host = F.lower(F.split_part(authority, F.lit(":"), F.lit(1)))
+    port = F.split_part(authority, F.lit(":"), F.lit(2))
+    host_n = F.regexp_replace(host, r"^www\.", "")
+    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    qs = F.split_part(pathq, F.lit("?"), F.lit(2))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(F.split(qs, "&"), lambda x: ~x.rlike(_URL_TRACKING_RE))
+        ),
+        "&",
+    )
+    portpart = F.when(
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host_n,
+        portpart,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+def registrable_domain(url):
+    """Registrable domain of a (canonical) URL column: one extra label
+    before a multi-label public suffix (demo suffix list: ``co.uk``),
+    else the last two labels. A real deployment swaps the full Mozilla
+    PSL into the alternation; the expression shape is unchanged."""
+    host = F.lower(
+        F.split_part(
+            F.split_part(F.split_part(url, F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1)),
+            F.lit(":"),
+            F.lit(1),
+        )
+    )
+    return F.regexp_extract(
+        F.regexp_replace(host, r"^www\.", ""), _URL_REGISTRABLE_RE, 1
+    )
+
+
 def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + duplicate accounting — the scrape-lineage
     dedup every crawl pipeline runs BEFORE fetching/processing content
@@ -1484,55 +1549,11 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 3 == 1, F.concat(F.lit("#sec-"), (d % 6).cast("string"))).otherwise(F.lit("")),
         ),
     )
-    u1 = F.split_part(F.col("url"), F.lit("#"), F.lit(1))
-    parts = (
-        messy.select("doc_id", u1.alias("u1"))
-        .withColumn("scheme", F.lower(F.split_part(F.col("u1"), F.lit("://"), F.lit(1))))
-        .withColumn("rest", F.split_part(F.col("u1"), F.lit("://"), F.lit(2)))
-        .withColumn("authority", F.split_part(F.col("rest"), F.lit("/"), F.lit(1)))
-        .withColumn("pathq", F.expr("substring(rest, length(authority) + 1)"))
-        .withColumn("host", F.lower(F.split_part(F.col("authority"), F.lit(":"), F.lit(1))))
-        .withColumn("port", F.split_part(F.col("authority"), F.lit(":"), F.lit(2)))
-        .withColumn("host_n", F.regexp_replace(F.col("host"), r"^www\.", ""))
-        .withColumn("path", F.split_part(F.col("pathq"), F.lit("?"), F.lit(1)))
-        .withColumn("qs", F.split_part(F.col("pathq"), F.lit("?"), F.lit(2)))
-        .withColumn(
-            "kept",
-            F.array_join(
-                F.array_sort(
-                    F.filter(
-                        F.split(F.col("qs"), "&"),
-                        lambda x: ~x.rlike(_URL_TRACKING_RE),
-                    )
-                ),
-                "&",
-            ),
-        )
-        .withColumn(
-            "portpart",
-            F.when(
-                (F.col("port") == "")
-                | ((F.col("scheme") == "https") & (F.col("port") == "443"))
-                | ((F.col("scheme") == "http") & (F.col("port") == "80")),
-                F.lit(""),
-            ).otherwise(F.concat(F.lit(":"), F.col("port"))),
-        )
-    )
-    urls = parts.select(
+    canon = canonicalize_url(F.col("url"))
+    urls = messy.select(
         "doc_id",
-        F.concat(
-            F.col("scheme"),
-            F.lit("://"),
-            F.col("host_n"),
-            F.col("portpart"),
-            F.col("path"),
-            F.when(F.col("kept") == "", F.lit("")).otherwise(
-                F.concat(F.lit("?"), F.col("kept"))
-            ),
-        ).alias("canonical_url"),
-        F.regexp_extract(F.col("host_n"), _URL_REGISTRABLE_RE, 1).alias(
-            "registrable_domain"
-        ),
+        canon.alias("canonical_url"),
+        registrable_domain(canon).alias("registrable_domain"),
     )
     per_canonical = urls.groupBy("registrable_domain", "canonical_url").agg(
         F.count("*").alias("n")
