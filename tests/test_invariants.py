@@ -594,3 +594,34 @@ def test_url_canonicalizer_cases_and_idempotence(spark):
     ).collect()
     for row in twice:
         assert row.again == row.once, (row.once, row.again)
+
+
+def test_zero_norm_embedding_pairs_are_excluded(spark):
+    """End-to-end pin of the zero-norm contract on dedup_embedding's
+    broadcast path, verified against the ORACLE's own semantics on the
+    same rows: DuckDB's zero-divide cosine is NULL and the NULL
+    comparison drops the pair, so the engine must emit no pair touching
+    the zero vector — and must not raise under ANSI (a forced candidate
+    would put 0/0 through the exact Spark cosine)."""
+    import duckdb
+
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        COSINE_DUP,
+        ORACLE_DEDUP_EMBEDDING,
+        _dedup_embedding_broadcast,
+    )
+
+    data = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [-1.0, 0.0])]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    rows = _dedup_embedding_broadcast(spark, emb).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in rows}
+    assert pairs == {(1, 2)}, pairs  # exact duplicates only
+    # the registered oracle agrees on the identical input
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v})" for i, v in data)
+        + ") t(vec_id, embedding)"
+    )
+    got = {tuple(r[:2]) for r in con.execute(ORACLE_DEDUP_EMBEDDING).fetchall()}
+    assert got == pairs, (got, pairs)

@@ -92,3 +92,34 @@ def test_zorder_expression_interleaves_exactly(x, y):
     back_x = sum(((z >> (2 * i)) & 1) << i for i in range(_Z_BITS))
     back_y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(_Z_BITS))
     assert (back_x, back_y) == (x, y)
+
+
+def test_cluster_pair_candidates_drop_zero_norm():
+    """Zero-norm contract (settled round 7): a zero-norm vector's cosine
+    is undefined — the DuckDB oracle's division by zero yields NULL and
+    ``NULL >= t`` DROPS the pair, while ANSI Spark (the driver's vanilla
+    default) would THROW if such a pair reached the exact cosine. The
+    BLAS kernel's NaN scores (0 * inf) compare False against the margin,
+    so pairs touching a zero-norm row are EXCLUDED in the candidate
+    phase — matching the oracle and never tripping ANSI division."""
+    import pandas as pd
+
+    from tiny_mapreduce_rpc_server_spark.operators.ml import (
+        SEMANTIC_DUP,
+        _cluster_pair_candidates,
+    )
+
+    fn = _cluster_pair_candidates(SEMANTIC_DUP - 1e-9)
+    pdf = pd.DataFrame(
+        {"vec_id": [1, 2, 3, 4],
+         "v": [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [1.0, 1e-9]]}
+    )
+    out = fn((7,), pdf)
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    # the zero-norm row pairs with NOTHING
+    assert not any(1 in p for p in pairs), pairs
+    # finite near-parallel pair still found
+    assert (2, 4) in pairs, pairs
+    # finite anti-parallel pair is a normal BLAS reject
+    assert (2, 3) not in pairs, pairs
+    assert set(out["cluster"]) == {7}

@@ -986,11 +986,12 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
 
     def _candidates(batches):
         b_ids, b_mat, b_inv = bc.value
-        # zero-norm rows: cosine is NaN, which the exact Spark filter and
-        # the oracle BOTH keep (NaN >= t is TRUE in SQL NaN ordering) but
-        # numpy drops (False) — force-emit those pairs so the exact phase
-        # decides, keeping both engines' NaN semantics identical
-        b_zero = ~np.isfinite(b_inv)
+        # zero-norm rows: cosine is undefined — the oracle's division by
+        # zero yields NULL and NULL >= t DROPS the pair, while ANSI Spark
+        # would THROW if such a pair reached the exact cosine. The NaN
+        # BLAS scores (0 * inf) compare False against the margin, so
+        # those pairs are excluded here, matching the oracle's NULL-drop
+        # (pinned by test_zero_norm_embedding_pairs_are_excluded)
         n_build = b_mat.shape[0]
         for pb in batches:
             a_ids = pb["vec_id"].to_numpy(dtype="int64")
@@ -1002,7 +1003,6 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
                 continue
             with np.errstate(invalid="ignore", divide="ignore"):
                 a_inv = 1.0 / np.sqrt((a_mat * a_mat).sum(axis=1))
-            a_zero = ~np.isfinite(a_inv)
             # worst-case per-step scores block: len(a_ids) * step * 8 bytes
             step = max(1, block_bytes // (8 * len(a_ids)))
             out_a, out_b = [], []
@@ -1014,11 +1014,9 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
                         * a_inv[:, None]
                         * b_inv[None, lo:hi]
                     )
-                    hit = (
-                        (scores >= margin)
-                        | a_zero[:, None]
-                        | b_zero[None, lo:hi]
-                    ) & (a_ids[:, None] < b_ids[None, lo:hi])
+                    hit = (scores >= margin) & (
+                        a_ids[:, None] < b_ids[None, lo:hi]
+                    )
                 ai, bi = np.nonzero(hit)
                 out_a.append(a_ids[ai])
                 out_b.append(b_ids[lo:hi][bi])
@@ -1069,7 +1067,12 @@ def _dedup_embedding_bucketed(emb: DataFrame) -> DataFrame:
         bucket = bucket + F.when(
             dot(F.col("embedding"), F.lit(_plane(p))) > 0, F.lit(1 << p)
         ).otherwise(0)
-    eb = emb.withColumn("bucket", bucket)
+    # zero-norm vectors: cosine undefined — oracle drops the NULL pair,
+    # ANSI Spark would throw in the in-bucket cosine; exclude the rows
+    # (they can never be part of a kept pair in either engine)
+    eb = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0).withColumn(
+        "bucket", bucket
+    )
     a = eb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
     b = eb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("bucket").alias("bucket_b"))
     cos = cosine(F.col("ea"), F.col("eb"))

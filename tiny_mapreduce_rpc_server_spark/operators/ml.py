@@ -571,11 +571,14 @@ def _cluster_pair_candidates(margin: float):
     ~= 4e-14 at d=64 and the 1e-9 margin holds for d up to ~1e6; for
     wider embeddings widen the margin proportionally to d.
 
-    Zero-norm rows (cosine NaN): both the exact Spark filter and the
-    DuckDB oracle evaluate ``NaN >= t`` as TRUE (NaN sorts greatest), but
-    numpy evaluates it FALSE — so the BLAS phase force-emits every pair
-    touching a zero-norm row and lets the exact phase decide, keeping
-    the two engines' NaN semantics identical end to end.
+    Zero-norm rows: a zero-norm vector's cosine is undefined — DuckDB's
+    division by zero yields NULL and ``NULL >= t`` DROPS the pair, while
+    ANSI Spark (the driver's vanilla default) would THROW in the exact
+    phase. The convergent contract is exclusion: the BLAS phase's NaN
+    scores (0 * inf) compare False against the margin, so pairs touching
+    a zero-norm row never reach the exact phase — matching the oracle's
+    NULL-drop exactly and never tripping ANSI division. Pinned by
+    tests/test_properties.py::test_cluster_pair_candidates_drop_zero_norm.
     """
     import numpy as np
     import pandas as pd
@@ -591,7 +594,6 @@ def _cluster_pair_candidates(margin: float):
             )
         with np.errstate(invalid="ignore", divide="ignore"):
             inv = 1.0 / np.sqrt((mat * mat).sum(axis=1))
-        zero = ~np.isfinite(inv)
         # block the (step x n) score matrix to 256 MB so a huge cluster
         # can't blow the worker (same budget as dedup_embedding)
         step = max(1, (1 << 28) // (8 * len(ids)))
@@ -600,9 +602,9 @@ def _cluster_pair_candidates(margin: float):
             hi = min(lo + step, len(ids))
             with np.errstate(invalid="ignore", divide="ignore"):
                 s = (mat[lo:hi] @ mat.T) * inv[lo:hi, None] * inv[None, :]
-                hit = ((s >= margin) | zero[lo:hi, None] | zero[None, :]) & (
-                    ids[lo:hi, None] < ids[None, :]
-                )
+                # NaN scores (zero-norm rows) compare False: dropped, by
+                # contract (see docstring)
+                hit = (s >= margin) & (ids[lo:hi, None] < ids[None, :])
             ai, bi = np.nonzero(hit)
             out_a.append(ids[lo:hi][ai])
             out_b.append(ids[bi])
@@ -990,14 +992,21 @@ def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
         .sort_values("cluster")
     )
-    ex_a = _exact_voronoi(spark, existing, cents).select(
+    from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import _bounded_broadcast
+
+    # zero-norm vectors have no defined cosine: the oracle's division by
+    # zero yields NULL and the NULL comparison DROPS the pair, while ANSI
+    # Spark would throw in this join's cosine — exclude them from the
+    # pairing explicitly (assignment above keeps them; they simply can
+    # never match anything, same as the oracle)
+    nonzero = dot(F.col("v"), F.col("v")) > 0
+    ex_a = _exact_voronoi(spark, existing, cents).filter(nonzero).select(
         F.col("vec_id").alias("vec_old"), "cluster", F.col("v").alias("vo")
     )
-    in_a = _exact_voronoi(spark, incoming, cents).select(
+    in_a = _exact_voronoi(spark, incoming, cents).filter(nonzero).select(
         F.col("vec_id").alias("vec_new"), "cluster", F.col("v").alias("vn")
     )
-    from tiny_mapreduce_rpc_server_spark.functions import cosine
-    from tiny_mapreduce_rpc_server_spark.operators.dedup import _bounded_broadcast
 
     # batch is small by contract, but gate the broadcast on a real count
     # so a mis-sized batch degrades to a shuffled cluster-key join
