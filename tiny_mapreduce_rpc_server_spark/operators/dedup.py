@@ -809,11 +809,15 @@ def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_pairs(sh: DataFrame, block_spec) -> DataFrame:
-    """Candidate generation + hamming verify at distinct-signature
-    granularity (see ``q_dedup_simhash``), for any (offset, width)
-    block partition of the fingerprint."""
-    sh = _pin(sh)
+def _simhash_sig_pairs(sh: DataFrame, block_spec) -> DataFrame:
+    """The candidate-generation + hamming-verify stage of the simhash
+    family at DISTINCT-SIGNATURE granularity: (sig_a, sig_b, hamming)
+    with sig_a <= sig_b (the sig_a = sig_b row carries same-signature
+    doc groups). ``sh`` must already be pinned. Shared by the pair
+    expansion (``_simhash_pairs``) and the pair-free cluster rollup
+    (graph.q_dedup_simhash_clusters), which consume this SMALL set in
+    opposite ways: one multiplies it into doc pairs, one rolls it into
+    cluster accounting without ever materializing a doc pair."""
     sigs = sh.select("simhash").distinct()
     blocks = F.array(
         *[
@@ -856,6 +860,15 @@ def _simhash_pairs(sh: DataFrame, block_spec) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+    return sig_pairs
+
+
+def _simhash_pairs(sh: DataFrame, block_spec) -> DataFrame:
+    """Candidate generation + hamming verify at distinct-signature
+    granularity (see ``q_dedup_simhash``), expanded back to doc pairs,
+    for any (offset, width) block partition of the fingerprint."""
+    sh = _pin(sh)
+    sig_pairs = _simhash_sig_pairs(sh, block_spec)
     # The signature-pair set is tiny (distinct signatures only), so AQE
     # coalesces its exchange to ~one partition — but the doc-expansion
     # joins below MULTIPLY it into tens of millions of pair rows, and

@@ -37,9 +37,16 @@ from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.operators.dedup import (
     BROADCAST_PAIR_BOUND,
+    HAMMING_MAX,
     ORACLE_DEDUP_NGRAM_JACCARD,
+    SIMHASH_WIDE_BITS,
+    _SIMHASH_WIDE_BLOCKS,
+    _T,
     _bounded_broadcast,
+    _doc_simhash,
     _pin,
+    _simhash_sig_pairs,
+    _sql_simhash,
     q_dedup_ngram_jaccard,
 )
 from tiny_mapreduce_rpc_server_spark.sources import load_table
@@ -269,6 +276,96 @@ SELECT source,
 FROM marked GROUP BY source
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# pair-free simhash cluster rollup (the scale-safe companion to
+# dedup_simhash_wide — VERDICT r7 #2)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash dedup accounting WITHOUT the doc-pair list: the
+    cluster-size histogram plus docs-kept/dropped totals, computed
+    entirely at distinct-signature granularity.
+
+    ``dedup_simhash_wide``'s cost at scale is its OUTPUT CONTRACT — it
+    must materialize every near-dup doc pair (23.5M rows at sf1*, 11.5x
+    growth), which is quadratic in cluster size. But the numbers a
+    pipeline owner actually acts on (how many clusters, how many docs
+    dedup drops) never need that list. This query rolls the SMALL
+    signature-pair set (hamming <= HAMMING_MAX over 63-bit fingerprints,
+    same candidate generation as the wide pair query) into connected
+    components over the SIGNATURE graph — thousands of nodes at sf1*,
+    not millions of doc pairs — then folds per-signature doc counts
+    through the component assignment:
+
+      kept per cluster = 1 (the canonical doc); dropped = size - 1.
+
+    Scale shape: corpus text is read once to compute signatures; the
+    only doc-granularity shuffle is the map-side-combined
+    groupBy(simhash) count (output = distinct signatures). Everything
+    after — block explode, sig self-join, label propagation, rollup —
+    runs on the distinct-signature table. No doc pair is ever
+    materialized, so output is O(distinct cluster sizes) regardless of
+    how pathological the duplicate distribution is; a 1M-doc
+    same-signature cluster costs one counter here vs ~5e11 pairs in the
+    pair formulation. Singleton signatures (no near-dup edge) are
+    clusters of their own via the left-join coalesce."""
+    sh = _pin(_doc_simhash(spark, sf_dir, SIMHASH_WIDE_BITS))
+    sig_edges = (
+        _simhash_sig_pairs(sh, _SIMHASH_WIDE_BLOCKS)
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select(F.col("sig_a").alias("doc_a"), F.col("sig_b").alias("doc_b"))
+    )
+    comp = propagate_components(sig_edges).withColumnRenamed("doc_id", "simhash")
+    sig_docs = sh.groupBy("simhash").agg(F.count("*").alias("n_docs"))
+    assigned = sig_docs.join(comp, "simhash", "left").select(
+        F.coalesce("component", "simhash").alias("cluster"), "n_docs"
+    )
+    csz = assigned.groupBy("cluster").agg(F.sum("n_docs").alias("cluster_size"))
+    return csz.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_dropped"),
+    )
+
+
+def _sql_simhash_cluster_blocks() -> str:
+    parts = [
+        f"SELECT simhash, {i} AS blk_id, "
+        f"(simhash >> {off}) & {(1 << width) - 1} AS blk_key FROM sigs"
+        for i, (off, width) in enumerate(_SIMHASH_WIDE_BLOCKS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ORACLE_DEDUP_SIMHASH_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_sql_simhash(_T, SIMHASH_WIDE_BITS)}),
+sigs AS (SELECT simhash, count(*) AS n_docs FROM sh GROUP BY simhash),
+ex AS ({_sql_simhash_cluster_blocks()}),
+sp AS (
+  SELECT DISTINCT a.simhash AS sig_a, b.simhash AS sig_b
+  FROM ex a JOIN ex b
+    ON a.blk_id = b.blk_id AND a.blk_key = b.blk_key
+   AND a.simhash < b.simhash
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}),
+edges AS (SELECT sig_a AS src, sig_b AS dst FROM sp
+          UNION SELECT sig_b, sig_a FROM sp),
+cc(node, label) AS (
+  SELECT simhash, simhash FROM sigs
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+),
+comp AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+csz AS (
+  SELECT c.cluster, CAST(sum(s.n_docs) AS BIGINT) AS cluster_size
+  FROM sigs s JOIN comp c ON s.simhash = c.node GROUP BY c.cluster)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS n_dropped
+FROM csz GROUP BY cluster_size
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +670,12 @@ GRAPH_QUERIES = [
         q_dedup_savings_report,
         ORACLE_DEDUP_SAVINGS,
         ("ext", "dedup", "graph", "ops"),
+    ),
+    QuerySpec(
+        "dedup_simhash_clusters",
+        q_dedup_simhash_clusters,
+        ORACLE_DEDUP_SIMHASH_CLUSTERS,
+        ("ext", "dedup", "graph", "stats"),
     ),
     QuerySpec(
         "graph_pagerank",

@@ -945,6 +945,239 @@ ML_QUERIES.append(
 )
 
 
+# Two-level coarse quantizer (the documented escape from the single-level
+# 300 MB centroid-broadcast ceiling — see q_dedup_semantic_scaled's memory
+# contract). Coarse cells are every COARSE_FACTOR-th fine seed:
+# vec_id % (SEED_STRIDE * COARSE_FACTOR) == SEED_RESIDUE.
+COARSE_FACTOR = 4
+COARSE_STRIDE = SEED_STRIDE * COARSE_FACTOR
+# cells probed per vector: the assignment contract is "nearest fine
+# centroid among those owned by the NPROBE nearest coarse cells" —
+# deterministic and SQL-expressible, so the oracle checks the exact same
+# rule instead of a weaker rows-only bound.
+NPROBE = 2
+
+
+def _exact_topn_cells(
+    spark: SparkSession, emb: DataFrame, cents, nprobe: int
+) -> DataFrame:
+    """(vec_id, cell, v) with the ``nprobe`` nearest coarse centroids per
+    vector, exact and oracle-reproducible: the same two-phase discipline
+    as ``_exact_voronoi`` (BLAS distance matrix, then the oracle's
+    sequential fold on the within-tolerance candidates), generalized to
+    top-n — candidates are everything within tolerance of the n-th
+    smallest BLAS distance, exact-folded and ordered by
+    (distance, cell id). ``cents`` is a pandas DataFrame (cluster, cv)
+    sorted by cluster id."""
+    import numpy as np
+    import pandas as pd
+
+    c_ids = cents["cluster"].to_numpy(dtype="int64")
+    c_mat = (
+        np.array([np.asarray(x, dtype="float64") for x in cents["cv"]])
+        if len(c_ids)
+        else np.empty((0, 1), dtype="float64")
+    )
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def _probe(batches):
+        ids_c, cm = bc.value
+        c_norm2 = (cm * cm).sum(axis=1)
+        c_max = float(np.sqrt(c_norm2.max())) if len(ids_c) else 0.0
+        d = cm.shape[1]
+        take = min(nprobe, len(ids_c))
+        for pb in batches:
+            vids = pb["vec_id"].to_numpy(dtype="int64")
+            if len(vids) == 0 or take == 0:
+                yield pd.DataFrame(
+                    {"vec_id": np.empty(0, "int64"),
+                     "cell": np.empty(0, "int64"),
+                     "v": np.empty(0, "object")}
+                )
+                continue
+            mat = np.array([np.asarray(x, dtype="float64") for x in pb["v"]])
+            x_norm2 = (mat * mat).sum(axis=1)
+            dist = x_norm2[:, None] + c_norm2[None, :] - 2.0 * (mat @ cm.T)
+            # n-th smallest BLAS distance per row; a true top-n member's
+            # BLAS distance is <= exact_nth + err <= blas_nth + 2*err, so
+            # the 2x-error tolerance band always contains the exact top-n
+            kth = np.partition(dist, take - 1, axis=1)[:, take - 1]
+            tol = 8.0 * d * 2.3e-16 * (np.sqrt(x_norm2) + c_max) ** 2
+            out_vid: list[int] = []
+            out_cell: list[int] = []
+            out_v: list = []
+            for r in range(len(vids)):
+                cand_j = np.nonzero(dist[r] <= kth[r] + tol[r])[0]
+                scored = []
+                for j in cand_j:
+                    diff = mat[r] - cm[j]
+                    s = 0.0
+                    for x in diff:  # sequential fold == oracle's fold
+                        s += x * x
+                    scored.append((s, int(ids_c[j])))
+                scored.sort()  # (exact dist, cell id) == oracle ORDER BY
+                for s, cid in scored[:take]:
+                    out_vid.append(int(vids[r]))
+                    out_cell.append(cid)
+                    out_v.append(pb["v"].iloc[r])
+            yield pd.DataFrame(
+                {"vec_id": np.array(out_vid, dtype="int64"),
+                 "cell": np.array(out_cell, dtype="int64"),
+                 "v": out_v}
+            )
+
+    return emb.mapInPandas(_probe, "vec_id long, cell long, v array<double>")
+
+
+def q_dedup_semantic_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TWO-LEVEL coarse-quantizer assignment — the
+    executable escape from ``dedup_semantic_scaled``'s single-level
+    broadcast ceiling (its memory contract caps the broadcast centroid
+    matrix at ~300 MB, e.g. 50k x 768 float64).
+
+    Assignment contract (deterministic, oracle-checked exactly): a
+    vector's cluster is the nearest FINE centroid among those owned by
+    its NPROBE nearest COARSE cells; all distance argmins use the exact
+    sequential fold with ties to the lowest id — the standard IVF
+    residual-free hierarchy (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search" §IV's coarse quantizer; same cell structure
+    as ``ann_ivf``, similarity.py).
+
+    Scale shape — what changes vs single-level:
+
+    - only the COARSE matrix (K/COARSE_FACTOR rows here; ~sqrt(K) with a
+      production stride schedule) is broadcast; the FINE centroid table
+      is never collected, never broadcast — it flows as a DataFrame,
+      shuffled once by its owning cell id.
+    - each vector probes its NPROBE nearest cells via one Arrow
+      ``mapInPandas`` scan (BLAS + exact re-score, parallelism = input
+      partitions), emitting NPROBE rows per vector — no N x K row
+      explosion at any K.
+    - the candidate join (vectors x fine-centroids-of-probed-cells) is a
+      hash join on the cell id: per-vector candidate count = fines per
+      cell x NPROBE (~COARSE_FACTOR x NPROBE on average), independent of
+      K, so assignment cost is O(N x COARSE_FACTOR x NPROBE) rows where
+      the single-level broadcast-join formulation is O(N x K).
+    - pairing + accounting reuse the shared SemDeDup kernels
+      (``_cluster_pair_candidates`` / ``_semantic_rollup``) over ~N/64
+      bounded-size clusters.
+
+    The demo stride (COARSE_FACTOR=4) keeps the sf0.01 fixture
+    non-degenerate (8 fine centroids -> 2 cells); at production scale the
+    coarse stride is chosen so K_coarse ~= sqrt(K) — the structure and
+    the exactness argument are stride-independent.
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    coarse = (
+        emb.filter(F.col("vec_id") % COARSE_STRIDE == SEED_RESIDUE)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
+        .toPandas()
+        .sort_values("cluster")
+    )
+    # fine centroids STAY distributed: (f_cluster, cell, cv) via the
+    # exact single-nearest kernel against the broadcast coarse matrix
+    fines = emb.filter(F.col("vec_id") % SEED_STRIDE == SEED_RESIDUE)
+    f_cells = _exact_voronoi(spark, fines, coarse).select(
+        F.col("vec_id").alias("f_cluster"),
+        F.col("cluster").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    # every vector probes its NPROBE nearest cells (exact top-n kernel)
+    v_cells = _exact_topn_cells(spark, emb, coarse, NPROBE)
+    # candidate fines per vector: hash join on the cell id — the fine
+    # matrix is never broadcast; per-vector fan-out is fines-per-cell x
+    # NPROBE, independent of K
+    dist = _sq_dist(F.col("v"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    assigned = (
+        v_cells.join(f_cells, "cell")
+        .select(
+            "vec_id", "v", F.col("f_cluster").alias("cluster"), dist.alias("dist")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster")
+    )
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
+
+    assigned = _pin(assigned)
+    cand = assigned.groupBy("cluster").applyInPandas(
+        _cluster_pair_candidates(SEMANTIC_DUP - 1e-9),
+        "cluster long, vec_a long, vec_b long",
+    )
+    return _semantic_rollup(assigned, cand)
+
+
+def _sql_sq_dist(a: str, b: str) -> str:
+    """The oracle's exact squared-L2 fold between two DOUBLE[] columns."""
+    diff = f"list_transform(generate_series(1, len({a})), i -> {a}[i] - {b}[i])"
+    return f"list_dot_product({diff}, {diff})"
+
+
+ORACLE_DEDUP_SEMANTIC_TWOLEVEL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
+       WHERE vec_id % {SEED_STRIDE} = {SEED_RESIDUE}),
+g0 AS (SELECT vec_id AS cell, v AS gv FROM e
+       WHERE vec_id % {COARSE_STRIDE} = {SEED_RESIDUE}),
+fd AS (
+  SELECT c0.cluster, c0.cv, g0.cell, {_sql_sq_dist('cv', 'gv')} AS dist
+  FROM c0, g0),
+fc AS (
+  SELECT cluster, cv, cell FROM (
+    SELECT cluster, cv, cell,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY dist ASC, cell ASC) AS rn
+    FROM fd) WHERE rn = 1),
+vd AS (
+  SELECT e.vec_id, e.v, g0.cell, {_sql_sq_dist('v', 'gv')} AS dist
+  FROM e, g0),
+vc AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cell ASC) AS rn
+    FROM vd) WHERE rn <= {NPROBE}),
+cd AS (
+  SELECT vc.vec_id, vc.v, fc.cluster, {_sql_sq_dist('vc.v', 'fc.cv')} AS dist
+  FROM vc JOIN fc ON vc.cell = fc.cell),
+a1 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM cd) WHERE rn = 1),
+drp AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM a1 a JOIN a1 b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {SEMANTIC_DUP}
+)
+SELECT m.cluster,
+       count(*)::BIGINT AS n_members,
+       count(drp.vec_id)::BIGINT AS n_dropped,
+       (count(*) - count(drp.vec_id))::BIGINT AS n_kept
+FROM a1 m
+LEFT JOIN drp ON m.cluster = drp.cluster AND m.vec_id = drp.vec_id
+GROUP BY m.cluster
+"""
+
+ML_QUERIES.append(
+    QuerySpec(
+        "dedup_semantic_twolevel",
+        q_dedup_semantic_twolevel,
+        ORACLE_DEDUP_SEMANTIC_TWOLEVEL,
+        ("ext", "ml", "dedup", "embedding", "clustering", "scale"),
+    )
+)
+
+
 # Fraction split for the incremental probe: rows whose portable hash of
 # vec_id lands in the top 20% are "incoming", the rest are the existing
 # corpus (same convention as dedup.INCR_INCOMING_FROM for text).
