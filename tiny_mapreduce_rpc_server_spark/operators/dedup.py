@@ -688,6 +688,79 @@ SELECT doc_new, doc_old, jaccard FROM ranked WHERE rn = 1
 """
 
 
+def q_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` with the index actually PERSISTED — the
+    production shape executed end-to-end instead of simulated in-plan
+    (the in-plan variant's docstring notes "on a real lake they'd be a
+    persisted table"; this query IS that lake roundtrip).
+
+    Two parquet tables model the lake state for the EXISTING corpus:
+
+    - ``bands``: the LSH band-key index (bk, doc_id) — what the nightly
+      indexing job maintains;
+    - ``shingles``: the shingle store (doc_id, shingles) — the
+      verification-side fetch table.
+
+    Build phase WRITES both; probe phase READS THEM BACK and computes
+    nothing about the existing corpus in-plan — incoming-batch keys are
+    broadcast against one scan of the stored index, candidates fetch
+    existing shingles from the stored table only. Same output contract
+    (and oracle) as ``dedup_incremental``, so the roundtrip is proven
+    equal to the in-plan derivation by the same hash comparison.
+
+    100 TB notes: write the band index partitioned/bucketed by ``bk`` so
+    each probe prunes to touched buckets and the index side never
+    re-shuffles; the shingle store bucketed by ``doc_id`` co-locates the
+    verify join. Here both are plain parquet (the container has no
+    catalog for bucketed saveAsTable) and the probe relies on the
+    broadcast of the small batch instead — the same no-corpus-shuffle
+    guarantee."""
+    import os as _os
+    import tempfile as _tempfile
+
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tempfile.gettempdir(), f"tmrs_lsh_index_{sf}")
+    ds = _pin(_doc_shingles(spark, sf_dir))
+    incoming_pred = (P.h1(F.col("doc_id").cast("string")) % 100) >= INCR_INCOMING_FROM
+    existing = ds.filter(~incoming_pred)
+    # ---- build: the batch indexing job (writes the lake state) ----
+    _band_keys(existing).write.mode("overwrite").parquet(base + "/bands")
+    existing.write.mode("overwrite").parquet(base + "/shingles")
+    # ---- probe: only the STORED index + the incoming batch ----
+    ex_keys = spark.read.parquet(base + "/bands")
+    store = spark.read.parquet(base + "/shingles")
+    inc = ds.filter(incoming_pred)
+    inc_keys = _band_keys(inc)
+    cand = (
+        _bounded_broadcast(inc_keys.alias("i"))
+        .join(ex_keys.alias("e"), F.col("i.bk") == F.col("e.bk"))
+        .select(
+            F.col("i.doc_id").alias("doc_new"),
+            F.col("e.doc_id").alias("doc_old"),
+        )
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    dn = inc.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("shn"))
+    do = store.select(
+        F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sho")
+    )
+    inter = F.size(F.array_intersect("shn", "sho"))
+    jac = inter / (F.size("shn") + F.size("sho") - inter)
+    verified = (
+        _bounded_broadcast(cand)
+        .join(dn, "doc_new")
+        .join(do, "doc_old")
+        .select("doc_new", "doc_old", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_VERIFY)
+    )
+    w = Window.partitionBy("doc_new").orderBy(F.desc("jaccard"), F.asc("doc_old"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_new", "doc_old", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
@@ -1401,6 +1474,12 @@ DEDUP_QUERIES: list[QuerySpec] = [
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("ext", "dedup"), bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("ext", "dedup"), bench=True),
     QuerySpec("dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL, ("ext", "dedup", "incremental")),
+    QuerySpec(
+        "dedup_incremental_persisted",
+        q_dedup_incremental_persisted,
+        ORACLE_DEDUP_INCREMENTAL,
+        ("ext", "dedup", "incremental", "lakehouse"),
+    ),
     QuerySpec("text_simhash", q_text_simhash, ORACLE_TEXT_SIMHASH, ("ext", "dedup")),
     QuerySpec("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH, ("ext", "dedup")),
     QuerySpec("dedup_simhash_wide", q_dedup_simhash_wide, ORACLE_DEDUP_SIMHASH_WIDE, ("ext", "dedup")),

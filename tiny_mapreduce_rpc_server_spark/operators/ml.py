@@ -1317,3 +1317,89 @@ ML_QUERIES.append(
         ("ext", "ml", "dedup", "embedding", "incremental"),
     )
 )
+
+
+def q_dedup_semantic_incremental_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_semantic_incremental`` with the cluster index PERSISTED —
+    the production lake roundtrip executed end-to-end (the in-plan
+    variant derives the index per run and notes "on a real lake both are
+    persisted tables"; this query writes and probes those tables).
+
+    Lake state for the EXISTING corpus, two parquet tables:
+
+    - ``centroids``: (cluster, cv) — the seed centroid matrix the
+      nightly job maintains (small: K ~= N/64 rows);
+    - ``members``: (vec_old, cluster, vo) — every existing vector with
+      its assigned cluster, written once by the batch assignment job.
+
+    Probe phase reads BOTH back: the stored centroid table (bounded —
+    the same ~300 MB single-level ceiling, with the two-level variant as
+    the documented escape) is collected and broadcast to assign the
+    incoming batch; candidates join the incoming batch to STORED members
+    on the cluster key only. No existing-corpus assignment, seeding, or
+    shuffle happens at probe time — exactly what makes per-batch dedup
+    affordable when batches are small and the corpus is 100 TB. Same
+    output contract (and oracle) as ``dedup_semantic_incremental``."""
+    import os as _os
+    import tempfile as _tempfile
+
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tempfile.gettempdir(), f"tmrs_sem_index_{sf}")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    incoming_pred = (
+        P.h1(F.col("vec_id").cast("string")) % 100
+    ) >= SEM_INCR_INCOMING_FROM
+    existing = emb.filter(~incoming_pred)
+    incoming = emb.filter(incoming_pred)
+    # ---- build: the batch indexing job (writes the lake state) ----
+    cents_df = existing.filter(F.col("vec_id") % SEED_STRIDE == SEED_RESIDUE).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    cents_df.write.mode("overwrite").parquet(base + "/centroids")
+    cents_build = (
+        spark.read.parquet(base + "/centroids").toPandas().sort_values("cluster")
+    )
+    _exact_voronoi(spark, existing, cents_build).select(
+        F.col("vec_id").alias("vec_old"), "cluster", F.col("v").alias("vo")
+    ).write.mode("overwrite").parquet(base + "/members")
+    # ---- probe: only the STORED index + the incoming batch ----
+    cents = spark.read.parquet(base + "/centroids").toPandas().sort_values("cluster")
+    members = spark.read.parquet(base + "/members")
+    from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import _bounded_broadcast
+
+    nonzero = dot(F.col("v"), F.col("v")) > 0
+    ex_a = members.filter(dot(F.col("vo"), F.col("vo")) > 0)
+    in_a = _exact_voronoi(spark, incoming, cents).filter(nonzero).select(
+        F.col("vec_id").alias("vec_new"), "cluster", F.col("v").alias("vn")
+    )
+    scored = (
+        _bounded_broadcast(in_a)
+        .join(ex_a, "cluster")
+        .select(
+            "vec_new",
+            "vec_old",
+            cosine(F.col("vn"), F.col("vo")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMANTIC_DUP)
+    )
+    w = Window.partitionBy("vec_new").orderBy(F.desc("cos_sim"), F.asc("vec_old"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_new", "vec_old", "cos_sim")
+    )
+
+
+ML_QUERIES.append(
+    QuerySpec(
+        "dedup_semantic_incremental_persisted",
+        q_dedup_semantic_incremental_persisted,
+        ORACLE_DEDUP_SEMANTIC_INCREMENTAL,
+        ("ext", "ml", "dedup", "embedding", "incremental", "lakehouse"),
+    )
+)
