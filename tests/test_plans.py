@@ -358,23 +358,35 @@ def test_bucketed_join_reads_buckets_no_fact_shuffle(spark):
     assert "hashpartitioning(o_custkey" not in p, p
 
 
-def test_tf_idf_two_exchanges_row_local_tf(spark):
-    """TF-IDF's round-7 shape: term frequencies are computed ROW-LOCALLY
-    (sorted-run fold over the token array), so the corpus is exchanged
-    exactly twice — hashed by term for the df window, hashed by doc_id
-    for the top-k window. No (doc_id, w) aggregation exchange, no df
-    join, no broadcast, no Python."""
+def test_tf_idf_row_local_tf_broadcast_df(spark):
+    """TF-IDF's round-8 shape (ADVICE r7): term frequencies are computed
+    ROW-LOCALLY (sorted-run fold over the token array — no (doc_id, w)
+    aggregation exchange), and df comes from a PARTIAL-AGGREGATING
+    groupBy(w) joined back broadcast — never an unbounded window
+    partitioned by term, which would funnel a stopword's whole posting
+    list through one task (AQE can skew-split a join, not a window).
+    Exchanges touching corpus-sized data: hashed by doc_id for the
+    top-k window only; the hashpartitioning(w) exchange carries
+    map-side-combined (term, count) rows, bounded by partitions x
+    distinct terms. No Python."""
     import re as _re
 
     p = plan(spark, _q(spark, "text_tf_idf"))
     tree = p.split("\n\n", 1)[0]
-    assert "Join" not in tree, p
-    assert "HashAggregate" not in tree, p
-    assert "BroadcastExchange" not in tree, p
+    # df joins back broadcast under the count gate — never a shuffled
+    # probe of corpus pairs by term
+    assert "BroadcastHashJoin" in tree, p
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, p
+    # df aggregation partial-aggregates map-side
+    assert "partial_count" in p, p
+    # no per-term window over the posting list
+    assert "Window" in tree, p  # the doc_id top-k window stays
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
-    # formatted mode: exchange args live in the detail block
     hashes = _re.findall(r"hashpartitioning\(([a-z_]+)#", p)
     assert sorted(set(hashes)) == ["doc_id", "w"], (hashes, p)
+    # the only window partition key is doc_id (bounded by doc length)
+    win_parts = _re.findall(r"windowspecdefinition\(([a-z_]+)#", p)
+    assert set(win_parts) == {"doc_id"}, (win_parts, p)
 
 
 def test_bigram_lm_partial_aggregation(spark):

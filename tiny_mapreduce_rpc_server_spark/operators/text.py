@@ -459,17 +459,32 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage showed executorRunTime >> cpuTime (exchange stalls). Computing
     tf inside the row (array_sort + run boundaries, all codegen'd array
     expressions) eliminates the (doc_id, w) exchange AND the df join
-    (A/B at sf1*, best-of-3: 4.45 s -> 2.84 s; a groupBy+shuffled-join
-    df variant measured 3.4 s — the window form wins because the w-sort
-    it needs is cheaper than the join's build+probe over the same
-    exchange). n_docs is a metadata-only count on the bare parquet scan
-    at plan-build time (same eager-scalar contract as dedup_embedding's
-    build-side gate).
+    (A/B at sf1*, best-of-3: 4.45 s -> 2.84 s). n_docs is a
+    metadata-only count on the bare parquet scan at plan-build time
+    (same eager-scalar contract as dedup_embedding's build-side gate).
+
+    Round-8 re-plan (ADVICE r7): round 7 computed df as an unbounded
+    window count partitioned by term, which funnels a ubiquitous term's
+    ENTIRE posting list (~N rows for a stopword) through one window
+    task — and AQE can skew-split a join's partitions but never a
+    window's. df now partial-aggregates map-side (groupBy(w): the
+    shuffle carries one pre-combined row per term per map partition,
+    hot terms included) and joins back BROADCAST when the vocabulary
+    passes the count gate (``_bounded_broadcast``) — zero pairs-by-term
+    shuffle at all. Above the gate it degrades to a shuffled join,
+    where AQE's skew-join split handles the hot probe partitions the
+    window form could not. The pinned pairs subtree feeds both the df
+    aggregate and the probe side, so tokenization runs once.
 
     The idf factor is the raw ratio N/df WITHOUT the log (monotone in
     the true idf, and +,*,/ are correctly-rounded IEEE ops => bit-exact
     across engines; see q_bm25_search)."""
     from pyspark.sql import Window
+
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        _bounded_broadcast,
+        _pin,
+    )
 
     raw = load_table(spark, sf_dir, "documents")
     # metadata-only on the bare scan (before spread's repartition)
@@ -501,11 +516,13 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tf"),
         ),
     )
-    pairs = t.select("doc_id", F.explode(runs).alias("r")).select(
-        "doc_id", F.col("r.w").alias("w"), F.col("r.tf").alias("tf")
+    pairs = _pin(
+        t.select("doc_id", F.explode(runs).alias("r")).select(
+            "doc_id", F.col("r.w").alias("w"), F.col("r.tf").alias("tf")
+        )
     )
-    wdf = Window.partitionBy("w")
-    scored = pairs.withColumn("df", F.count("*").over(wdf))
+    dfreq = pairs.groupBy("w").agg(F.count("*").alias("df"))
+    scored = pairs.join(_bounded_broadcast(dfreq), "w")
     score = (
         F.col("tf").cast("double")
         * F.lit(float(n_docs))
