@@ -673,6 +673,20 @@ def test_registrable_domain_psl_and_guards(spark):
         if spark_got.get(h) != duck_got.get(h)
     }
 
+    # the broadcast-join form (the hot-path shape) agrees with the
+    # column-expression form on every host
+    join_got = {
+        r.h: r.registrable_domain
+        for r in psl.with_registrable_domain(
+            spark.createDataFrame([(h,) for h in hosts], ["h"]), "h"
+        ).collect()
+    }
+    assert join_got == spark_got, {
+        h: (join_got.get(h), spark_got.get(h))
+        for h in hosts
+        if join_got.get(h) != spark_got.get(h)
+    }
+
     # canonicalizer guard rails: exotic authorities pass through
     # verbatim, scheme-less returns the raw string; both idempotent
     guard_cases = [

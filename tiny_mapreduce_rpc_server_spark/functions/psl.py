@@ -464,6 +464,97 @@ def registrable_domain_of_host(host: Column) -> Column:
     ).otherwise(F.array_join(F.slice(labels, n - slen, slen + 1), "."))
 
 
+def rule_rows() -> list[tuple[str, int, int, int]]:
+    """The rule table in relational form for the broadcast-join lookup:
+    (name, pri, rl, slen) where ``name`` is the label sequence a host's
+    tail must equal, ``pri`` ranks exception rules above normal ones
+    (PSL: "the prevailing rule is the exception rule if any"), ``rl`` is
+    the rule's label count for the longest-rule-wins ordering (a
+    wildcard ``*.p`` counts one more than its parent), and ``slen`` is
+    the public-suffix label count when this rule prevails."""
+    parsed = _parse_psl(_EMBEDDED_PSL)
+    rows: list[tuple[str, int, int, int]] = []
+    for s in sorted(parsed["exact"]):
+        k = s.count(".") + 1
+        rows.append((s, 1, k, k))
+    for p in sorted(parsed["wild"]):
+        k = p.count(".") + 1
+        rows.append((p, 1, k + 1, k + 1))
+    for e in sorted(parsed["exc"]):
+        k = e.count(".") + 1
+        rows.append((e, 2, k, k - 1))
+    return rows
+
+
+def with_registrable_domain(df, host_col: str, out_col: str = "registrable_domain"):
+    """DataFrame-level registrable-domain lookup — the 100 TB shape: the
+    rule table joins BROADCAST against the host's last-1/2/3 label tails
+    (three broadcast hash joins, zero shuffle, no giant per-row CASE),
+    and the prevailing rule is picked by (exception?, label count) — the
+    PSL precedence. Semantically identical to
+    ``registrable_domain_of_host`` (cross-checked in
+    tests/test_invariants.py); prefer THIS form in hot paths: the
+    column-expression form inlines the rule sets into the plan, which
+    costs ~1s of fixed plan-build/codegen time per query and grows with
+    the rule table, while the join form keeps the rules in a 4-column
+    broadcast relation (the full 9k-rule PSL is still < 1 MB).
+
+    ``df[host_col]`` must be a lowercase host. Adds ``out_col``; NULL
+    when the host has no registrable domain."""
+    spark = df.sparkSession
+    rules = spark.createDataFrame(
+        rule_rows(), "name string, pri int, rl int, slen int"
+    )
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    st = df.withColumn("_psl_labels", labels).withColumn(
+        "_psl_n", F.size(F.col("_psl_labels"))
+    )
+    for k in (1, 2, 3):
+        tail = F.concat_ws(
+            ".",
+            *[F.try_element_at(F.col("_psl_labels"), F.lit(i)) for i in range(-k, 0)],
+        )
+        # only rules whose NAME has exactly k labels can equal a k-label
+        # tail — pre-filter the broadcast side per join level
+        rk = rules.filter(
+            F.length("name") - F.length(F.regexp_replace("name", r"\.", ""))
+            == k - 1
+        ).select(
+            F.col("name").alias(f"_psl_name{k}"),
+            F.col("pri").alias(f"_psl_pri{k}"),
+            F.col("rl").alias(f"_psl_rl{k}"),
+            F.col("slen").alias(f"_psl_slen{k}"),
+        )
+        st = st.join(
+            F.broadcast(rk),
+            (F.col("_psl_n") >= k) & (tail == F.col(f"_psl_name{k}")),
+            "left",
+        )
+    cands = [
+        F.when(
+            F.col(f"_psl_pri{k}").isNotNull(),
+            F.struct(
+                F.col(f"_psl_pri{k}").alias("pri"),
+                F.col(f"_psl_rl{k}").alias("rl"),
+                F.col(f"_psl_slen{k}").alias("slen"),
+            ),
+        )
+        for k in (1, 2, 3)
+    ]
+    default = F.struct(F.lit(0).alias("pri"), F.lit(0).alias("rl"), F.lit(1).alias("slen"))
+    slen = F.coalesce(F.greatest(*cands), default).getField("slen")
+    n = F.col("_psl_n")
+    reg = F.when(
+        host.rlike(_IP_RE) | (host == "") | (n <= slen),
+        F.lit(None).cast("string"),
+    ).otherwise(F.array_join(F.slice(F.col("_psl_labels"), n - slen, slen + 1), "."))
+    drop = ["_psl_labels", "_psl_n"] + [
+        c for k in (1, 2, 3) for c in (f"_psl_name{k}", f"_psl_pri{k}", f"_psl_rl{k}", f"_psl_slen{k}")
+    ]
+    return st.withColumn(out_col, reg).drop(*drop)
+
+
 def _sql_in(names: list[str]) -> str:
     return ", ".join("'" + s + "'" for s in names)
 

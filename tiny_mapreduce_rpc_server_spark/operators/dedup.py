@@ -1662,12 +1662,27 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 3 == 1, F.concat(F.lit("#sec-"), (d % 6).cast("string"))).otherwise(F.lit("")),
         ),
     )
-    canon = canonicalize_url(F.col("url"))
-    urls = messy.select(
-        "doc_id",
-        canon.alias("canonical_url"),
-        registrable_domain(canon).alias("registrable_domain"),
+    # the hot path uses the BROADCAST rule-table join form
+    # (psl.with_registrable_domain): the column-expression cascade
+    # inlines the rule sets into the plan (~1s fixed plan-build/codegen
+    # cost, growing with the rule table), while the join form keeps the
+    # rules in a 4-column broadcast relation — three broadcast hash
+    # joins on the host's label tails, zero shuffle, rule-table size
+    # independent. canonical_url is aliased into its own projection
+    # first (expression-materialization rule) so the host parse
+    # references a column, not 25 inlined copies of the canonicalizer.
+    urls0 = messy.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
     )
+    rest = F.split_part(F.col("canonical_url"), F.lit("://"), F.lit(2))
+    authority = F.split_part(rest, F.lit("/"), F.lit(1))
+    hostport = F.element_at(F.split(authority, "@"), -1)
+    host = F.when(hostport.contains("["), F.lit("")).otherwise(
+        F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    )
+    urls = psl.with_registrable_domain(
+        urls0.withColumn("_host", host), "_host"
+    ).drop("_host")
     per_canonical = urls.groupBy("registrable_domain", "canonical_url").agg(
         F.count("*").alias("n")
     )

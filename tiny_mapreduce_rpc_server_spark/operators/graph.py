@@ -676,6 +676,7 @@ GRAPH_QUERIES = [
         q_dedup_simhash_clusters,
         ORACLE_DEDUP_SIMHASH_CLUSTERS,
         ("ext", "dedup", "graph", "stats"),
+        bench=True,
     ),
     QuerySpec(
         "graph_pagerank",
