@@ -32,6 +32,15 @@ PROBE = [
     "boilerplate_removal",
     "dedup_semantic_scaled",
     "dedup_semantic_incremental",
+    "dedup_semantic_twolevel",
+    # dedup_simhash_clusters is deliberately NOT in the showdown: its
+    # oracle's recursive label propagation materializes every
+    # (node, reachable-label) pair — O(component size^2) tuples — which
+    # is fine at the sf0.01/sf0.1 correctness gates but runs >30 min at
+    # sf1* (killed round 8). The engine side converges in O(log
+    # diameter) pointer-jumping rounds (21 s at sf1*, SCALING.md row:
+    # 4.0x growth); that asymmetry is the point of the operator.
+    "dedup_incremental_persisted",
     "dedup_url_canonical",
     "text_tf_idf",
     "text_bigram_lm",
