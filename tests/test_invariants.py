@@ -704,6 +704,37 @@ def test_registrable_domain_psl_and_guards(spark):
         assert row.cc == row.c, (u, row.c, row.cc)
 
 
+def test_split_cluster_safe_zero_leakage_vs_naive(spark):
+    """split_cluster_safe's construction guarantee: cluster-keyed
+    hashing yields ZERO cross-split near-dup pairs (the leaked_pairs
+    column), while the naive per-doc rule on the same corpus leaks —
+    proving the operator changes the thing the audit measures, not just
+    relabels it."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        q_dedup_ngram_jaccard,
+    )
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        q_split_cluster_safe,
+    )
+    from tiny_mapreduce_rpc_server_spark.operators.sampling import _split_col
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_split_cluster_safe(spark, sf).collect()
+    assert len(rows) == 3, rows
+    assert all(r.leaked_pairs == 0 for r in rows), rows
+    assert sum(r.n_docs for r in rows) == 500
+    # the naive per-doc split leaks on the very same pair list
+    pairs = q_dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    naive = pairs.select(
+        _split_col(F.col("doc_a")).alias("sa"),
+        _split_col(F.col("doc_b")).alias("sb"),
+    )
+    naive_leaked = naive.filter(F.col("sa") != F.col("sb")).count()
+    assert naive_leaked > 0, "fixture has no cross-split near-dup pairs"
+
+
 def test_zero_norm_embedding_pairs_are_excluded(spark):
     """End-to-end pin of the zero-norm contract on dedup_embedding's
     broadcast path, verified against the ORACLE's own semantics on the

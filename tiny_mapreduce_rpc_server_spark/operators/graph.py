@@ -278,6 +278,84 @@ FROM marked GROUP BY source
 )
 
 
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: the leakage-proof construction
+    that ``split_leakage_check`` audits for. The naive per-doc hash
+    split lets near-duplicates straddle the boundary (a val doc that
+    near-dups a train doc inflates eval); this split hashes each doc's
+    near-dup CLUSTER REPRESENTATIVE instead, so every near-dup cluster
+    lands in exactly one split — leakage is zero by construction, and
+    the output PROVES it (``leaked_pairs`` counts near-dup pairs whose
+    ends disagree on the split; always 0 here, nonzero under the naive
+    rule on the same corpus).
+
+    Same 80/10/10 hash rule as ``train_val_test_split`` (one shared
+    definition, sampling._split_col), applied to
+    coalesce(component, doc_id). Scale shape: cluster assignment is the
+    CC label table (docs in >= 1 near-dup pair — orders of magnitude
+    below corpus size) broadcast against one corpus scan when the count
+    gate allows; the split column is then a free per-row expression; the
+    leak audit joins the (small) pair list to the (small) in-pair
+    assignment twice. No corpus-sized shuffle beyond the candidate
+    generation the dedup family already pays.
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator)."""
+    from tiny_mapreduce_rpc_server_spark.operators.sampling import _split_col
+
+    pairs = _pin(
+        q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    comp = propagate_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    asg = _pin(
+        docs.join(_bounded_broadcast(comp), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("rep"))
+        .select("doc_id", "rep", _split_col(F.col("rep")).alias("split"))
+    )
+    a = asg.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = asg.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leak = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count("*").alias("leaked_pairs"))
+    )
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+def _oracle_split_cluster_safe() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.sampling import _sql_split
+
+    return (
+        _ORACLE_CC_CTE
+        + f"""
+, comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+asg AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep,
+         {_sql_split("COALESCE(c.component, d.doc_id)")} AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+leak AS (
+  SELECT count(*)::BIGINT AS leaked_pairs
+  FROM pairs p
+  JOIN asg a ON p.doc_a = a.doc_id
+  JOIN asg b ON p.doc_b = b.doc_id
+  WHERE a.split <> b.split)
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT rep)::BIGINT AS n_groups, leaked_pairs
+FROM asg CROSS JOIN leak
+GROUP BY split, leaked_pairs
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # pair-free simhash cluster rollup (the scale-safe companion to
 # dedup_simhash_wide — VERDICT r7 #2)
@@ -677,6 +755,12 @@ GRAPH_QUERIES = [
         ORACLE_DEDUP_SIMHASH_CLUSTERS,
         ("ext", "dedup", "graph", "stats"),
         bench=True,
+    ),
+    QuerySpec(
+        "split_cluster_safe",
+        q_split_cluster_safe,
+        _oracle_split_cluster_safe(),
+        ("ext", "sampling", "dedup", "graph"),
     ),
     QuerySpec(
         "graph_pagerank",
