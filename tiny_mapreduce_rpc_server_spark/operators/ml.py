@@ -947,10 +947,12 @@ ML_QUERIES.append(
 
 # Two-level coarse quantizer (the documented escape from the single-level
 # 300 MB centroid-broadcast ceiling — see q_dedup_semantic_scaled's memory
-# contract). Coarse cells are every COARSE_FACTOR-th fine seed:
-# vec_id % (SEED_STRIDE * COARSE_FACTOR) == SEED_RESIDUE.
-COARSE_FACTOR = 4
-COARSE_STRIDE = SEED_STRIDE * COARSE_FACTOR
+# contract). Coarse cells are every f-th fine seed where f = ceil(sqrt(K))
+# emerges from the fine-seed COUNT — so K_coarse ~= sqrt(K) at any corpus
+# size (the IVF balance point: broadcast size and per-cell fan-out both
+# ~sqrt(K)). ceil(sqrt(count)) is deterministic across engines: the count
+# is an exact integer, IEEE sqrt is correctly rounded, so Python and
+# DuckDB compute the identical stride.
 # cells probed per vector: the assignment contract is "nearest fine
 # centroid among those owned by the NPROBE nearest coarse cells" —
 # deterministic and SQL-expressible, so the oracle checks the exact same
@@ -1045,42 +1047,49 @@ def q_dedup_semantic_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — what changes vs single-level:
 
-    - only the COARSE matrix (K/COARSE_FACTOR rows here; ~sqrt(K) with a
-      production stride schedule) is broadcast; the FINE centroid table
-      is never collected, never broadcast — it flows as a DataFrame,
-      shuffled once by its owning cell id.
+    - the coarse stride f = ceil(sqrt(K)) EMERGES from the fine-seed
+      count (one cheap count job; the oracle computes the identical f
+      in SQL — exact integer count, correctly-rounded IEEE sqrt), so
+      only a ~sqrt(K)-row coarse matrix is broadcast at ANY corpus
+      size; the FINE centroid table is never collected, never
+      broadcast — it flows as a DataFrame, shuffled once by its owning
+      cell id.
     - each vector probes its NPROBE nearest cells via one Arrow
       ``mapInPandas`` scan (BLAS + exact re-score, parallelism = input
       partitions), emitting NPROBE rows per vector — no N x K row
       explosion at any K.
     - the candidate join (vectors x fine-centroids-of-probed-cells) is a
       hash join on the cell id: per-vector candidate count = fines per
-      cell x NPROBE (~COARSE_FACTOR x NPROBE on average), independent of
-      K, so assignment cost is O(N x COARSE_FACTOR x NPROBE) rows where
-      the single-level broadcast-join formulation is O(N x K).
+      cell x NPROBE ~= sqrt(K) x NPROBE, so assignment cost is
+      O(N x sqrt(K)) rows — the IVF balance point — where the
+      single-level broadcast-join formulation is O(N x K) and the
+      broadcast is O(K).
     - pairing + accounting reuse the shared SemDeDup kernels
       (``_cluster_pair_candidates`` / ``_semantic_rollup``) over ~N/64
       bounded-size clusters.
 
-    The demo stride (COARSE_FACTOR=4) keeps the sf0.01 fixture
-    non-degenerate (8 fine centroids -> 2 cells); at production scale the
-    coarse stride is chosen so K_coarse ~= sqrt(K) — the structure and
-    the exactness argument are stride-independent.
+    At the fixtures: sf0.01 has K=8 fines -> f=3 -> 3 cells; sf0.1 has
+    K=31 -> f=6 -> 6 cells; at the paper's 50k clusters f=224 -> ~224
+    cells of ~224 fines — a 224 x d broadcast instead of 50k x d.
 
     No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
     operator)."""
+    import math
+
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    coarse = (
-        emb.filter(F.col("vec_id") % COARSE_STRIDE == SEED_RESIDUE)
-        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
-        .toPandas()
-        .sort_values("cluster")
     )
     # fine centroids STAY distributed: (f_cluster, cell, cv) via the
     # exact single-nearest kernel against the broadcast coarse matrix
     fines = emb.filter(F.col("vec_id") % SEED_STRIDE == SEED_RESIDUE)
+    k_fine = fines.count()
+    f = max(1, int(math.ceil(math.sqrt(k_fine))))
+    coarse = (
+        emb.filter(F.col("vec_id") % (SEED_STRIDE * f) == SEED_RESIDUE)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
+        .toPandas()
+        .sort_values("cluster")
+    )
     f_cells = _exact_voronoi(spark, fines, coarse).select(
         F.col("vec_id").alias("f_cluster"),
         F.col("cluster").alias("cell"),
@@ -1122,8 +1131,9 @@ ORACLE_DEDUP_SEMANTIC_TWOLEVEL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
        WHERE vec_id % {SEED_STRIDE} = {SEED_RESIDUE}),
-g0 AS (SELECT vec_id AS cell, v AS gv FROM e
-       WHERE vec_id % {COARSE_STRIDE} = {SEED_RESIDUE}),
+kf AS (SELECT GREATEST(1, CAST(CEIL(SQRT(count(*))) AS BIGINT)) AS f FROM c0),
+g0 AS (SELECT cluster AS cell, cv AS gv FROM c0, kf
+       WHERE cluster % ({SEED_STRIDE} * f) = {SEED_RESIDUE}),
 fd AS (
   SELECT c0.cluster, c0.cv, g0.cell, {_sql_sq_dist('cv', 'gv')} AS dist
   FROM c0, g0),
