@@ -388,6 +388,214 @@ SELECT * FROM jl UNION ALL SELECT * FROM ji
 """
 
 
+# Clustered-recall companion: the synthetic corpus embeddings are
+# isotropic, so ann_eval_recall HONESTLY reports that bucketed paths
+# fail there. This companion builds a deterministically CLUSTERED
+# embedding set (EVAL_GROUPS tight clusters, EVAL_EPS jitter) from the
+# same vec_ids and shows the same bucketed paths succeeding — together
+# the two queries bracket the decision a pipeline owner faces: bucketed
+# ANN is safe iff the embedding space is clustered, and this pair
+# MEASURES that instead of assuming it.
+EVAL_GROUPS = 16
+EVAL_EPS = 0.05
+_EVAL_MOD = 1013
+
+
+def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH-bucketed and IVF paths on a CLUSTERED embedding
+    space — the positive control for ``ann_eval_recall``'s negative
+    result on the isotropic corpus.
+
+    The clustered set is derived in-plan from the corpus vec_ids with
+    integer arithmetic both engines reproduce bit-for-bit: group
+    g = vec_id % EVAL_GROUPS, vector = base(g) + EVAL_EPS * noise(vec_id)
+    where base/noise components are modular-arithmetic doubles (the
+    ``_plane`` construction). Within a group, vectors are near-identical
+    (cosine ~1), so ground-truth neighbors are group-mates; a bucketed
+    path earns its recall by keeping groups together. Same plan shapes
+    as the corpus-table paths: broadcast queries/centroids, no shuffle
+    until the per-query top-k."""
+    ids = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id")
+    dseq = F.sequence(F.lit(0), F.lit(DIM - 1))
+    g = F.col("vec_id") % EVAL_GROUPS
+
+    def _base(d):
+        return ((g * DIM + d) * P.C1 % _EVAL_MOD) / F.lit(_EVAL_MOD) - 0.5
+
+    def _noise(d):
+        return ((F.col("vec_id") * DIM + d) % _EVAL_MOD * P.C2 % _EVAL_MOD) / F.lit(
+            _EVAL_MOD
+        ) - 0.5
+
+    emb = ids.select(
+        "vec_id",
+        F.transform(dseq, lambda d: _base(d) + F.lit(EVAL_EPS) * _noise(d)).alias(
+            "embedding"
+        ),
+    )
+    emb = emb.localCheckpoint(eager=False)  # 3 consumers, derive once
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    cos = cosine(F.col("qv"), F.col("embedding"))
+    # brute-force ground truth
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    truth = topk(
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        )
+    ).cache()
+    # sign-LSH path
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        bucket = bucket + F.when(
+            dot(F.col("embedding"), F.lit(_plane(p))) > 0, F.lit(1 << p)
+        ).otherwise(0)
+    eb = emb.withColumn("bucket", bucket)
+    qb = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    lsh = topk(
+        eb.join(
+            F.broadcast(qb),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        )
+    )
+    # IVF path (same fixed centroid ids as ann_ivf)
+    cent = emb.filter(F.col("vec_id").isin(CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            cosine(F.col("embedding"), F.col("cv")).alias("csim"),
+        )
+        .withColumn("crnk", F.row_number().over(w_assign))
+    )
+    cells = assigned.filter(F.col("crnk") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    )
+    probes = assigned.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cent_id").alias("probe_cell"),
+    )
+    ivf = topk(
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        )
+    )
+
+    def path_recall(approx: DataFrame, path: str) -> DataFrame:
+        a = approx.select("query_id", "neighbor_id", F.lit(1).alias("in_a"))
+        j = truth.join(a, ["query_id", "neighbor_id"], "left")
+        return j.agg(
+            F.lit(path).alias("path"),
+            F.count("*").alias("n_truth"),
+            F.count("in_a").alias("n_hit"),
+            (F.count("in_a").cast("double") / F.count("*")).alias("recall"),
+        )
+
+    return path_recall(lsh, "lsh").unionAll(path_recall(ivf, "ivf"))
+
+
+def _oracle_ann_eval_recall_clustered() -> str:
+    e = (
+        f"SELECT vec_id, list_transform(generate_series(0, {DIM - 1}), d -> "
+        f"((vec_id % {EVAL_GROUPS}) * {DIM} + d) * {P.C1} % {_EVAL_MOD} / {_EVAL_MOD} - 0.5 "
+        f"+ {EVAL_EPS} * ((vec_id * {DIM} + d) % {_EVAL_MOD} * {P.C2} % {_EVAL_MOD} / {_EVAL_MOD} - 0.5)"
+        f") AS v FROM (SELECT vec_id FROM embeddings)"
+    )
+    cossql = (
+        "list_dot_product(qv, {t}.v)"
+        " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product({t}.v, {t}.v)))"
+    )
+    return f"""
+WITH e AS ({e}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+tsc AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {cossql.format(t='e')} AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+t AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM tsc) WHERE rnk <= {TOP_K}),
+eb AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM eb
+       WHERE vec_id < {N_QUERIES}),
+lsc AS (
+  SELECT query_id, eb.vec_id AS neighbor_id, {cossql.format(t='eb')} AS cos_sim
+  FROM qb JOIN eb ON eb.bucket = qb.qbucket AND eb.vec_id <> qb.query_id),
+lsh AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM lsc) WHERE rnk <= {TOP_K}),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         WHERE vec_id IN ({_SQL_CENTROID_IDS})),
+assigned AS (
+  SELECT e.vec_id, e.v, cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(cv, cv))) DESC,
+                    cent_id ASC) AS crnk
+  FROM e CROSS JOIN cent),
+cells AS (SELECT vec_id, v, cent_id AS cell FROM assigned WHERE crnk = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS probe_cell
+           FROM assigned WHERE vec_id < {N_QUERIES} AND crnk <= {N_PROBE}),
+isc AS (
+  SELECT query_id, cells.vec_id AS neighbor_id, {cossql.format(t='cells')} AS cos_sim
+  FROM probes JOIN cells
+    ON cells.cell = probes.probe_cell AND cells.vec_id <> probes.query_id),
+ivf AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM isc) WHERE rnk <= {TOP_K}),
+jl AS (
+  SELECT 'lsh' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN lsh a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+ji AS (
+  SELECT 'ivf' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN ivf a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+SELECT * FROM jl UNION ALL SELECT * FROM ji
+"""
+
+
 # ---------------------------------------------------------------------------
 # hard-negative mining (contrastive-training data prep)
 # ---------------------------------------------------------------------------
@@ -737,6 +945,12 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         ORACLE_EMBEDDING_CENTROIDS,
         ("ext", "embedding", "ml"),
         bench=True,
+    ),
+    QuerySpec(
+        "ann_eval_recall_clustered",
+        q_ann_eval_recall_clustered,
+        _oracle_ann_eval_recall_clustered(),
+        ("ext", "similarity", "eval"),
     ),
     QuerySpec("ann_bruteforce", q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE, ("ext", "similarity"), bench=True),
     QuerySpec("ann_lsh_bucketed", q_ann_lsh_bucketed, ORACLE_ANN_LSH, ("ext", "similarity")),
