@@ -764,3 +764,45 @@ def test_zero_norm_embedding_pairs_are_excluded(spark):
     )
     got = {tuple(r[:2]) for r in con.execute(ORACLE_DEDUP_EMBEDDING).fetchall()}
     assert got == pairs, (got, pairs)
+
+
+def test_pq_seed_rows_encode_to_their_own_code(spark):
+    """PQ encoding sanity: a codebook seed row's sub-vector IS codeword
+    (m, code), so its self-distance is exactly 0.0 and the argmin must
+    pick its own code in every subspace (any other codeword would need
+    an identical 16-dim sub-vector to tie). Also pins the output
+    contract: 10 queries x 5 ranks, rnk dense 1..5, ADC >= 0."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+        PQ_M,
+        PQ_SEED_IDS,
+        TOP_K,
+        N_QUERIES,
+        q_ann_pq,
+    )
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+        _sub_sqd,
+    )
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # self-distance of every seed sub-vector is identically 0.0
+    seeds = emb.filter(F.col("vec_id").isin(PQ_SEED_IDS))
+    for m in range(PQ_M):
+        d = seeds.select(
+            _sub_sqd(F.lit(m), F.col("v"), F.slice("v", m * 16 + 1, 16)).alias("d")
+        ).agg(F.max("d")).first()[0]
+        assert d == 0.0
+    out = q_ann_pq(spark, sf).collect()
+    assert len(out) == N_QUERIES * TOP_K
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.adc_dist >= 0.0
+    for q, rows in by_q.items():
+        assert sorted(r.rnk for r in rows) == list(range(1, TOP_K + 1))
+        assert all(r.neighbor_id != q for r in rows)

@@ -902,7 +902,205 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC scan over code tables)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 16 dims each
+PQ_K = 16  # codewords per subspace
+# deterministic "trained" codebook: sub-vectors of a fixed stride of corpus
+# rows (same oracle-checkability trick as ann_ivf's CENTROID_IDS; a real
+# deployment k-means-trains each subspace — kmeans_lloyd is that loop)
+PQ_SEED_IDS = sorted(11 + 29 * c for c in range(PQ_K))  # 11..446, all >= N_QUERIES
+
+
+def _sub_sqd(m, v, cw):
+    """Squared L2 between ``v``'s m-th sub-vector and codeword ``cw``.
+
+    Ordered fold (same shape ml._sq_dist pins against DuckDB's
+    list_dot_product of the diff vector): per-element (x-y)*(x-y) rounds
+    twice, the sum folds left-to-right from 0.0 — bit-identical in both
+    engines."""
+    sub = F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.aggregate(
+        F.zip_with(sub, cw, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the memory-bounded ANN path at corpus
+    scale. The 64-dim vector is split into 4 sub-vectors, each encoded as
+    its nearest of 16 codewords (argmin squared-L2, ties to the lowest
+    code) — 4 small ints instead of 64 doubles, a 128x shrink. Queries
+    precompute a 4x16 lookup grid of sub-distances once, and every
+    corpus vector is scored by 4 table lookups + 3 adds (asymmetric
+    distance computation), never a full dot product.
+
+    100 TB shape: the codebook is M*K tiny rows collapsed into ONE
+    broadcast row, so encoding is a single corpus scan with row-local
+    argmin (no shuffle, no N x K explosion); the ADC scan reads only the
+    code columns (on a real lake the codes are a persisted 4-byte
+    column, the float vectors never re-read); the only shuffle is the
+    final per-query top-k. Recall loss vs ann_bruteforce is the
+    quantization trade — measured the same way ann_eval_recall audits
+    the bucketed paths.
+
+    No reference counterpart (SURVEY §2.11 — [EXT]; PQ/ADC per Jegou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI'11).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # codebook entries (m, code, cw), code = rank of the seed id
+    seeds = F.lit(PQ_SEED_IDS)
+    entries = (
+        emb.filter(F.col("vec_id").isin(PQ_SEED_IDS))
+        .select(
+            (F.array_position(seeds, F.col("vec_id")) - 1).cast("int").alias("code"),
+            "v",
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col("code").alias("code"),
+                            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cw"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.m", "e.code", "e.cw")
+    )
+    # ONE row: all M*K entries sorted by (m, code) — filter(cb, m) below
+    # then yields code-ascending slices for grid indexing
+    cb_one = entries.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "code", "cw"))).alias("cb")
+    )
+
+    def _argmin_code(m):
+        # nearest codeword in subspace m: sort (d, code) structs, take head
+        return F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.filter(F.col("cb"), lambda e: e["m"] == m),
+                    lambda e: F.struct(
+                        _sub_sqd(m, F.col("v"), e["cw"]).alias("d"),
+                        e["code"].alias("code"),
+                    ),
+                )
+            ),
+            1,
+        )["code"]
+
+    coded = (
+        emb.join(F.broadcast(cb_one))
+        .select(
+            "vec_id",
+            F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin_code).alias(
+                "codes"
+            ),
+        )
+    )
+    # per-query ADC lookup grid: grid[m+1][code+1] = sqd(q_sub_m, cw)
+    luts = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb_one))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.transform(
+                    F.filter(F.col("cb"), lambda e: e["m"] == m),
+                    lambda e: _sub_sqd(m, F.col("v"), e["cw"]),
+                ),
+            ).alias("grid"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("grid"), m + F.lit(1)),
+            F.element_at(F.col("codes"), m + F.lit(1)) + F.lit(1),
+        ),
+    )
+    scored = coded.join(
+        F.broadcast(luts), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "adc_dist")
+    )
+
+
+_PQ_IDS_SQL = ", ".join(str(i) for i in PQ_SEED_IDS)
+_PQ_SEEDS_LIST = "[" + _PQ_IDS_SQL + "]"
+
+
+def _sql_sub_sqd(vexpr: str) -> str:
+    """DuckDB squared L2 between vexpr's m-th sub-vector and cb.cw."""
+    diff = (
+        f"list_transform(generate_series(1, {PQ_SUBDIM}),"
+        f" i -> {vexpr}[cb.m * {PQ_SUBDIM} + i] - cb.cw[i])"
+    )
+    return f"list_dot_product({diff}, {diff})"
+
+
+ORACLE_ANN_PQ = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (
+  SELECT ms.m,
+         CAST(list_position({_PQ_SEEDS_LIST}, e.vec_id) - 1 AS INT) AS code,
+         e.v[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cw
+  FROM e, ms WHERE e.vec_id IN ({_PQ_IDS_SQL})),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, cb.m, cb.code, {_sql_sub_sqd('e.v')} AS d,
+           row_number() OVER (PARTITION BY e.vec_id, cb.m
+                              ORDER BY {_sql_sub_sqd('e.v')} ASC, cb.code ASC) AS rn
+    FROM e, cb) WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code, {_sql_sub_sqd('q.v')} AS ld
+  FROM e q, cb WHERE q.vec_id < {N_QUERIES}),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         max(CASE WHEN c.m = 0 THEN ld END)
+         + max(CASE WHEN c.m = 1 THEN ld END)
+         + max(CASE WHEN c.m = 2 THEN ld END)
+         + max(CASE WHEN c.m = 3 THEN ld END) AS adc_dist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+  FROM adc)
+SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "ann_pq",
+        q_ann_pq,
+        ORACLE_ANN_PQ,
+        ("ext", "similarity", "pq"),
+        bench=True,
+    ),
     QuerySpec(
         "source_semantic_similarity",
         q_source_semantic_similarity,
