@@ -1623,8 +1623,51 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    messy = _with_messy_url(docs)
+    # the hot path uses the BROADCAST rule-table join form
+    # (psl.with_registrable_domain): the column-expression cascade
+    # inlines the rule sets into the plan (~1s fixed plan-build/codegen
+    # cost, growing with the rule table), while the join form keeps the
+    # rules in a 4-column broadcast relation — three broadcast hash
+    # joins on the host's label tails, zero shuffle, rule-table size
+    # independent. canonical_url is aliased into its own projection
+    # first (expression-materialization rule) so the host parse
+    # references a column, not 25 inlined copies of the canonicalizer.
+    urls0 = messy.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    urls = psl.with_registrable_domain(
+        urls0.withColumn("_host", _host_of_canonical()), "_host"
+    ).drop("_host")
+    per_canonical = urls.groupBy("registrable_domain", "canonical_url").agg(
+        F.count("*").alias("n")
+    )
+    return per_canonical.groupBy("registrable_domain").agg(
+        F.sum("n").alias("n_urls"),
+        F.count("*").alias("n_canonical"),
+        (F.sum("n") - F.count("*")).alias("n_dupes"),
+        F.min("canonical_url").alias("sample_canonical"),
+    )
+
+
+def _host_of_canonical(col: str = "canonical_url"):
+    """Lowercased host of an already-canonical URL column (IPv6-literal
+    authorities map to '' — no registrable domain)."""
+    rest = F.split_part(F.col(col), F.lit("://"), F.lit(2))
+    authority = F.split_part(rest, F.lit("/"), F.lit(1))
+    hostport = F.element_at(F.split(authority, "@"), -1)
+    return F.when(hostport.contains("["), F.lit("")).otherwise(
+        F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
+    )
+
+
+def _with_messy_url(docs: DataFrame) -> DataFrame:
+    """Deterministic *messy* URL per doc (the documents table carries no
+    URL column): uppercase schemes/hosts, default :443 ports, www
+    prefixes, real subdomains, shuffled query params, tracking junk,
+    fragments — the raw-crawl shape the canonicalizer exists for."""
     d = F.col("doc_id")
-    messy = docs.withColumn(
+    return docs.withColumn(
         "url",
         F.concat(
             F.when(d % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
@@ -1662,40 +1705,11 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d % 3 == 1, F.concat(F.lit("#sec-"), (d % 6).cast("string"))).otherwise(F.lit("")),
         ),
     )
-    # the hot path uses the BROADCAST rule-table join form
-    # (psl.with_registrable_domain): the column-expression cascade
-    # inlines the rule sets into the plan (~1s fixed plan-build/codegen
-    # cost, growing with the rule table), while the join form keeps the
-    # rules in a 4-column broadcast relation — three broadcast hash
-    # joins on the host's label tails, zero shuffle, rule-table size
-    # independent. canonical_url is aliased into its own projection
-    # first (expression-materialization rule) so the host parse
-    # references a column, not 25 inlined copies of the canonicalizer.
-    urls0 = messy.select(
-        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
-    )
-    rest = F.split_part(F.col("canonical_url"), F.lit("://"), F.lit(2))
-    authority = F.split_part(rest, F.lit("/"), F.lit(1))
-    hostport = F.element_at(F.split(authority, "@"), -1)
-    host = F.when(hostport.contains("["), F.lit("")).otherwise(
-        F.lower(F.split_part(hostport, F.lit(":"), F.lit(1)))
-    )
-    urls = psl.with_registrable_domain(
-        urls0.withColumn("_host", host), "_host"
-    ).drop("_host")
-    per_canonical = urls.groupBy("registrable_domain", "canonical_url").agg(
-        F.count("*").alias("n")
-    )
-    return per_canonical.groupBy("registrable_domain").agg(
-        F.sum("n").alias("n_urls"),
-        F.count("*").alias("n_canonical"),
-        (F.sum("n") - F.count("*")).alias("n_dupes"),
-        F.min("canonical_url").alias("sample_canonical"),
-    )
 
 
-ORACLE_DEDUP_URL_CANONICAL = r"""
-WITH messy AS (
+# messy-URL CTE + canonicalization stages, shared by every URL-operator
+# oracle (must stay in lockstep with _with_messy_url / canonicalize_url)
+_SQL_MESSY_CTE = r"""messy AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
          || '://'
@@ -1719,8 +1733,11 @@ WITH messy AS (
              END)
          || (CASE WHEN doc_id % 3 = 1 THEN '#sec-' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END)
          AS url
-  FROM documents),
-p0 AS (SELECT doc_id, split_part(url, '#', 1) AS u1 FROM messy),
+  FROM documents)"""
+
+# canonicalization stages p0..p5 + the canonical/registrable-domain
+# projection (reads the `messy` CTE, yields the `urls` CTE)
+_SQL_CANON_STAGES = r"""p0 AS (SELECT doc_id, split_part(url, '#', 1) AS u1 FROM messy),
 p1 AS (
   SELECT doc_id, u1,
          lower(split_part(u1, '://', 1)) AS scheme,
@@ -1755,7 +1772,10 @@ urls AS (
          scheme || '://' || host_n || portpart || path
            || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url,
          """ + psl.sql_registrable_domain("hlabels", "len(hlabels)") + r""" AS registrable_domain
-  FROM p5),
+  FROM p5)"""
+
+ORACLE_DEDUP_URL_CANONICAL = (
+    "WITH " + _SQL_MESSY_CTE + ",\n" + _SQL_CANON_STAGES + r""",
 per_canonical AS (
   SELECT registrable_domain, canonical_url, count(*) AS n
   FROM urls GROUP BY registrable_domain, canonical_url)
@@ -1767,6 +1787,7 @@ SELECT registrable_domain,
 FROM per_canonical
 GROUP BY registrable_domain
 """
+)
 
 DEDUP_QUERIES.append(
     QuerySpec(
@@ -1775,5 +1796,104 @@ DEDUP_QUERIES.append(
         ORACLE_DEDUP_URL_CANONICAL,
         ("ext", "dedup", "url"),
         bench=True,
+    )
+)
+
+
+# --- domain blocklist filter ([EXT]) ----------------------------------
+
+# Blocked registrable domains (the crawl-pipeline convention: blocklists
+# name REGISTRABLE domains, and a block covers every subdomain —
+# blog.src3.com falls with src3.com). One entry never matches: the
+# accounting must prove absent domains block nothing.
+BLOCKLIST_DOMAINS = ["src3.com", "src7.co.uk", "src12.com", "spam.example"]
+
+
+def q_filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering — the source-hygiene gate a crawl
+    pipeline runs before any content processing (licensing takedowns,
+    spam domains, opt-out lists).
+
+    Semantics: a blocklist entry is a REGISTRABLE domain (PSL rules, so
+    ``src3.com`` also blocks ``blog.src3.com`` and ``www.src3.com`` —
+    subdomain folding is the whole point of matching at the registrable
+    level, not the raw host). Docs derive the same deterministic messy
+    URL as ``dedup_url_canonical``; each is canonicalized, its
+    registrable domain extracted via the broadcast PSL rule-table join,
+    then LEFT-joined against the broadcast blocklist.
+
+    Output pins both sides of the filter: per registrable domain —
+    blocked flag, n_docs, n_hosts (distinct canonical hosts folded into
+    the domain, proving subdomain coverage), sample_host. The kept
+    corpus is exactly the ``NOT blocked`` rows.
+
+    100 TB shape: canonicalization + host parse are whole-stage-codegen
+    string exprs; PSL and blocklist are two broadcast joins (a
+    million-entry blocklist is ~30 MB — broadcastable; past that it
+    becomes one more shuffle join on the domain key); the rollup
+    pre-aggregates on (domain, host) so a hot domain never funnels raw
+    rows through one reducer.
+
+    No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
+    operator).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    urls0 = _with_messy_url(docs).select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    hosts = psl.with_registrable_domain(
+        urls0.withColumn("host", _host_of_canonical()), "host"
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in BLOCKLIST_DOMAINS], "blocked_domain string"
+    )
+    flagged = hosts.join(
+        F.broadcast(bl),
+        F.col("registrable_domain") == F.col("blocked_domain"),
+        "left",
+    ).select(
+        "registrable_domain",
+        "host",
+        F.col("blocked_domain").isNotNull().alias("blocked"),
+    )
+    per_host = flagged.groupBy("registrable_domain", "blocked", "host").agg(
+        F.count("*").alias("n")
+    )
+    return per_host.groupBy("registrable_domain", "blocked").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_hosts"),
+        F.min("host").alias("sample_host"),
+    )
+
+
+_SQL_BLOCKLIST = ", ".join(f"('{d}')" for d in BLOCKLIST_DOMAINS)
+
+ORACLE_FILTER_DOMAIN_BLOCKLIST = (
+    "WITH " + _SQL_MESSY_CTE + ",\n" + _SQL_CANON_STAGES + f""",
+bl(blocked_domain) AS (VALUES {_SQL_BLOCKLIST}),
+flagged AS (
+  SELECT u.registrable_domain, p5.host_n AS host,
+         bl.blocked_domain IS NOT NULL AS blocked
+  FROM urls u
+  JOIN p5 USING (doc_id)
+  LEFT JOIN bl ON u.registrable_domain = bl.blocked_domain),
+per_host AS (
+  SELECT registrable_domain, blocked, host, count(*) AS n
+  FROM flagged GROUP BY 1, 2, 3)
+SELECT registrable_domain, blocked,
+       sum(n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_hosts,
+       min(host) AS sample_host
+FROM per_host
+GROUP BY registrable_domain, blocked
+"""
+)
+
+DEDUP_QUERIES.append(
+    QuerySpec(
+        "filter_domain_blocklist",
+        q_filter_domain_blocklist,
+        ORACLE_FILTER_DOMAIN_BLOCKLIST,
+        ("ext", "dedup", "url", "filter"),
     )
 )
