@@ -333,17 +333,25 @@ FROM ex GROUP BY label, pos
 
 
 def q_ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN QA: recall of each approximate path (LSH-bucketed, IVF)
-    against the brute-force top-k ground truth — the gate that decides
-    whether a bucketed path may replace the exact scan at all.
+    """ANN QA: recall of each approximate path (LSH-bucketed, IVF,
+    PQ/ADC) against the brute-force top-k ground truth — the gate that
+    decides whether an approximate path may replace the exact scan.
 
-    The measured numbers on THIS corpus are deliberately low (IVF
-    ~0.26, sign-LSH ~0): the synthetic embeddings are isotropic random
-    vectors, and with no cluster structure locality-sensitive bucketing
-    cannot beat chance — which is exactly the property this query
-    exists to detect before a pipeline trusts bucketed ANN on a new
-    embedding space. Real text embeddings are strongly clustered and
-    the same paths score high. Exact, not sampled: all three inputs are
+    The measured numbers on THIS corpus are deliberately low for the
+    BUCKETED paths (IVF ~0.26, sign-LSH ~0): the synthetic embeddings
+    are isotropic random vectors, and with no cluster structure
+    locality-sensitive bucketing cannot beat chance — which is exactly
+    the property this query exists to detect before a pipeline trusts
+    bucketed ANN on a new embedding space. PQ is the contrast case: it
+    scans EVERY candidate, so its loss is quantization distortion, not
+    bucket misses — and on THIS corpus that distortion is also severe
+    (~0.06 recall: isotropic 64-dim vectors carry near-maximal entropy,
+    so 4x16 random-seed codewords reconstruct poorly). The measured
+    split still tells the owner WHICH failure mode they face — pruning
+    (fix: more probes / planes) vs compression (fix: more codewords /
+    subspaces, or PQ-then-exact-rerank). Real text embeddings are
+    strongly clustered and score high (ann_eval_recall_clustered is
+    that positive control). Exact, not sampled: all inputs are
     deterministic registered queries and the oracle recomputes them in
     SQL."""
     # cache: the O(Q*N) brute-force truth feeds BOTH union branches —
@@ -362,8 +370,10 @@ def q_ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("in_a").cast("double") / F.count("*")).alias("recall"),
         )
 
-    return path_recall(q_ann_lsh_bucketed(spark, sf_dir), "lsh").unionAll(
-        path_recall(q_ann_ivf(spark, sf_dir), "ivf")
+    return (
+        path_recall(q_ann_lsh_bucketed(spark, sf_dir), "lsh")
+        .unionAll(path_recall(q_ann_ivf(spark, sf_dir), "ivf"))
+        .unionAll(path_recall(q_ann_pq(spark, sf_dir), "pq"))
     )
 
 
@@ -372,6 +382,7 @@ def _oracle_ann_eval_recall() -> str:
 WITH t AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_BRUTEFORCE})),
 lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_LSH})),
 ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF})),
+pq AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_PQ})),
 jl AS (
   SELECT 'lsh' AS path, count(*) AS n_truth,
          count(a.neighbor_id) AS n_hit,
@@ -383,8 +394,14 @@ ji AS (
          count(a.neighbor_id) AS n_hit,
          count(a.neighbor_id)::DOUBLE / count(*) AS recall
   FROM t LEFT JOIN ivf a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+jp AS (
+  SELECT 'pq' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN pq a
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
-SELECT * FROM jl UNION ALL SELECT * FROM ji
+SELECT * FROM jl UNION ALL SELECT * FROM ji UNION ALL SELECT * FROM jp
 """
 
 
@@ -954,9 +971,16 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # codebook entries (m, code, cw), code = rank of the seed id
+    cb_one = _pq_cb_one(_pq_codebook_entries(emb))
+    coded = _pq_codes(emb, cb_one)
+    luts = _pq_luts(emb, cb_one)
+    return _pq_adc_topk(coded, luts)
+
+
+def _pq_codebook_entries(emb: DataFrame) -> DataFrame:
+    """Codebook entries (m, code, cw); code = rank of the seed id."""
     seeds = F.lit(PQ_SEED_IDS)
-    entries = (
+    return (
         emb.filter(F.col("vec_id").isin(PQ_SEED_IDS))
         .select(
             (F.array_position(seeds, F.col("vec_id")) - 1).cast("int").alias("code"),
@@ -978,11 +1002,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.m", "e.code", "e.cw")
     )
-    # ONE row: all M*K entries sorted by (m, code) — filter(cb, m) below
-    # then yields code-ascending slices for grid indexing
-    cb_one = entries.groupBy().agg(
+
+
+def _pq_cb_one(entries: DataFrame) -> DataFrame:
+    """ONE row: all M*K entries sorted by (m, code) — filter(cb, m)
+    downstream then yields code-ascending slices for grid indexing."""
+    return entries.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("m", "code", "cw"))).alias("cb")
     )
+
+
+def _pq_codes(emb: DataFrame, cb_one: DataFrame) -> DataFrame:
+    """(vec_id, codes): row-local argmin encoding against the broadcast
+    single-row codebook — one scan, no shuffle, no N x K explosion."""
 
     def _argmin_code(m):
         # nearest codeword in subspace m: sort (d, code) structs, take head
@@ -999,17 +1031,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         )["code"]
 
-    coded = (
-        emb.join(F.broadcast(cb_one))
-        .select(
-            "vec_id",
-            F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin_code).alias(
-                "codes"
-            ),
-        )
+    return emb.join(F.broadcast(cb_one)).select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin_code).alias(
+            "codes"
+        ),
     )
-    # per-query ADC lookup grid: grid[m+1][code+1] = sqd(q_sub_m, cw)
-    luts = (
+
+
+def _pq_luts(emb: DataFrame, cb_one: DataFrame) -> DataFrame:
+    """Per-query ADC lookup grid: grid[m+1][code+1] = sqd(q_sub_m, cw)."""
+    return (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(cb_one))
         .select(
@@ -1023,6 +1055,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grid"),
         )
     )
+
+
+def _pq_adc_topk(coded: DataFrame, luts: DataFrame) -> DataFrame:
+    """ADC scan (4 lookups + ordered-fold adds per candidate) + top-k."""
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
@@ -1093,6 +1129,50 @@ SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq`` with the PQ index actually PERSISTED — the serving
+    shape executed end-to-end (same lake-roundtrip discipline as
+    ``dedup_incremental_persisted``). Two parquet tables model the
+    stored index:
+
+    - ``codebook``: the trained (m, code, cw) table — what the offline
+      training job maintains;
+    - ``codes``: the encoded corpus (vec_id, codes) — 4 small ints per
+      vector, the 128x-compressed column the ADC scan actually reads.
+
+    Build phase WRITES both; probe phase reads ONLY the stored tables
+    plus the incoming query vectors (the one legitimately fresh input
+    of a serving path) — no corpus float vector is re-read or
+    re-encoded at query time. Same output contract and oracle as
+    ``ann_pq``, so the hash comparison proves stored-probe == in-plan
+    derivation.
+
+    100 TB notes: the codes table is the only corpus-sized artifact and
+    it is ~the size of a bigint column; re-encoding happens only when
+    the codebook retrains. Here both tables are plain parquet (no
+    catalog in this container); a real lake would sort/cluster codes by
+    code prefix for cell-level skipping."""
+    import os as _os
+    import tempfile as _tempfile
+
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tempfile.gettempdir(), f"tmrs_pq_index_{sf}")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb_entries = _pq_codebook_entries(emb)
+    # ---- build: offline train + encode jobs (write the lake state) ----
+    cb_entries.write.mode("overwrite").parquet(base + "/codebook")
+    _pq_codes(emb, _pq_cb_one(cb_entries)).write.mode("overwrite").parquet(
+        base + "/codes"
+    )
+    # ---- probe: stored tables + fresh query vectors only ----
+    stored_cb = spark.read.parquet(base + "/codebook")
+    stored_codes = spark.read.parquet(base + "/codes")
+    luts = _pq_luts(emb, _pq_cb_one(stored_cb))
+    return _pq_adc_topk(stored_codes, luts)
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "ann_pq",
@@ -1100,6 +1180,12 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         ORACLE_ANN_PQ,
         ("ext", "similarity", "pq"),
         bench=True,
+    ),
+    QuerySpec(
+        "ann_pq_persisted",
+        q_ann_pq_persisted,
+        ORACLE_ANN_PQ,
+        ("ext", "similarity", "pq", "lakehouse"),
     ),
     QuerySpec(
         "source_semantic_similarity",
