@@ -1012,8 +1012,8 @@ def _pq_cb_one(entries: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codes(emb: DataFrame, cb_one: DataFrame) -> DataFrame:
-    """(vec_id, codes): row-local argmin encoding against the broadcast
+def _pq_codes(emb: DataFrame, cb_one: DataFrame, keep=("vec_id",)) -> DataFrame:
+    """(*keep, codes): row-local argmin encoding against the broadcast
     single-row codebook — one scan, no shuffle, no N x K explosion."""
 
     def _argmin_code(m):
@@ -1032,7 +1032,7 @@ def _pq_codes(emb: DataFrame, cb_one: DataFrame) -> DataFrame:
         )["code"]
 
     return emb.join(F.broadcast(cb_one)).select(
-        "vec_id",
+        *keep,
         F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin_code).alias(
             "codes"
         ),
@@ -1129,6 +1129,205 @@ SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse Voronoi cells + product quantization on RESIDUALS —
+# the standard composition (FAISS IVFADC; Jegou et al. TPAMI'11 §V)
+# ---------------------------------------------------------------------------
+
+
+def _sqd_full(a, b):
+    """Ordered-fold squared L2 over full vectors (both engines fold the
+    per-element squares left-to-right from 0.0)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: corpus vectors are assigned to their nearest of 16
+    coarse centroids (squared-L2, ties to the lowest cell id), the
+    RESIDUAL v - centroid is PQ-encoded with a global 4x16 codebook, and
+    a query probes its 2 nearest cells scoring only those cells'
+    candidates by residual-ADC lookups. The composition is what both
+    pieces exist for: coarse cells bound the candidate set (cost ~
+    nprobe/ncells of the corpus), PQ bounds the per-candidate cost and
+    memory (4 bytes vs 512), and encoding residuals instead of raw
+    vectors removes the cell's mean from what the codebook must
+    represent.
+
+    100 TB shape: assignment is row-local against ONE broadcast row of
+    16 centroids (no N x C shuffle — compare ann_ivf's window form);
+    encoding is row-local against the broadcast codebook; the stored
+    artifact per vector is (cell, 4 codes); query-time work is
+    nprobe LUT builds + an equi-join on the cell key, so the corpus is
+    scanned once and only candidate cells' codes flow; final top-k is
+    the only shuffle.
+
+    No reference counterpart (SURVEY §2.11 — [EXT]).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents_one = (
+        emb.filter(F.col("vec_id").isin(CENTROID_IDS))
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    )
+
+    def _ranked_cells(v):
+        # (d, cell) structs sorted ascending — head = nearest cell
+        return F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _sqd_full(v, c["cv"]).alias("d"), c["cell"].alias("cell")
+                ),
+            )
+        )
+
+    def _cv_of(cell):
+        return F.element_at(
+            F.filter(F.col("cents"), lambda c: c["cell"] == cell), 1
+        )["cv"]
+
+    def _residual(v, cell):
+        return F.zip_with(v, _cv_of(cell), lambda x, y: x - y)
+
+    with_cell = (
+        emb.join(F.broadcast(cents_one))
+        .withColumn("cell", _ranked_cells(F.col("v"))[0]["cell"])
+        .select("vec_id", "cell", _residual(F.col("v"), F.col("cell")).alias("v"))
+    )
+    # global residual codebook from the same fixed seed rows (their
+    # residuals), then row-local encoding — reuses the PQ stages verbatim
+    cb_entries = _pq_codebook_entries(with_cell)
+    cb_one = _pq_cb_one(cb_entries)
+    coded = _pq_codes(with_cell, cb_one, keep=("vec_id", "cell"))
+    # queries: NPROBE nearest cells, one residual LUT per (query, cell)
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents_one))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "v",
+            F.explode(
+                F.slice(
+                    F.transform(_ranked_cells(F.col("v")), lambda s: s["cell"]),
+                    1,
+                    N_PROBE,
+                )
+            ).alias("cell"),
+            F.col("cents").alias("cents"),
+        )
+        .select(
+            "query_id",
+            "cell",
+            _residual(F.col("v"), F.col("cell")).alias("v"),
+        )
+    )
+    luts = (
+        probes.join(F.broadcast(cb_one))
+        .select(
+            "query_id",
+            "cell",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.transform(
+                    F.filter(F.col("cb"), lambda e: e["m"] == m),
+                    lambda e: _sub_sqd(m, F.col("v"), e["cw"]),
+                ),
+            ).alias("grid"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("grid"), m + F.lit(1)),
+            F.element_at(F.col("codes"), m + F.lit(1)) + F.lit(1),
+        ),
+    )
+    scored = coded.join(
+        F.broadcast(luts),
+        (coded["cell"] == luts["cell"]) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "adc_dist")
+    )
+
+
+_IVFPQ_CENT_IDS_SQL = ", ".join(str(i) for i in CENTROID_IDS)
+
+
+def _sql_sqd_full(a: str, b: str) -> str:
+    diff = f"list_transform(generate_series(1, {DIM}), i -> {a}[i] - {b}[i])"
+    return f"list_dot_product({diff}, {diff})"
+
+
+ORACLE_ANN_IVF_PQ = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN ({_IVFPQ_CENT_IDS_SQL})),
+assigned AS (
+  SELECT vec_id, cell,
+         list_transform(generate_series(1, {DIM}), i -> v[i] - cv[i]) AS v
+  FROM (
+    SELECT e.vec_id, cents.cell, e.v, cents.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_sqd_full('e.v', 'cents.cv')} ASC,
+                                       cents.cell ASC) AS rn
+    FROM e, cents) WHERE rn = 1),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (
+  SELECT ms.m,
+         CAST(list_position({_PQ_SEEDS_LIST}, a.vec_id) - 1 AS INT) AS code,
+         a.v[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cw
+  FROM assigned a, ms WHERE a.vec_id IN ({_PQ_IDS_SQL})),
+codes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT a.vec_id, a.cell, cb.m, cb.code,
+           row_number() OVER (PARTITION BY a.vec_id, cb.m
+                              ORDER BY {_sql_sub_sqd('a.v')} ASC, cb.code ASC) AS rn
+    FROM assigned a, cb) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell,
+         list_transform(generate_series(1, {DIM}), i -> qv[i] - cv[i]) AS v
+  FROM (
+    SELECT q.vec_id AS query_id, cents.cell, q.v AS qv, cents.cv,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_sqd_full('q.v', 'cents.cv')} ASC,
+                                       cents.cell ASC) AS rn
+    FROM e q, cents WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
+lut AS (
+  SELECT p.query_id, p.cell, cb.m, cb.code, {_sql_sub_sqd('p.v')} AS ld
+  FROM probes p, cb),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         max(CASE WHEN c.m = 0 THEN ld END)
+         + max(CASE WHEN c.m = 1 THEN ld END)
+         + max(CASE WHEN c.m = 2 THEN ld END)
+         + max(CASE WHEN c.m = 3 THEN ld END) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+  FROM adc)
+SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ann_pq`` with the PQ index actually PERSISTED — the serving
     shape executed end-to-end (same lake-roundtrip discipline as
@@ -1186,6 +1385,12 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         q_ann_pq_persisted,
         ORACLE_ANN_PQ,
         ("ext", "similarity", "pq", "lakehouse"),
+    ),
+    QuerySpec(
+        "ann_ivf_pq",
+        q_ann_ivf_pq,
+        ORACLE_ANN_IVF_PQ,
+        ("ext", "similarity", "pq", "ivf"),
     ),
     QuerySpec(
         "source_semantic_similarity",
