@@ -864,3 +864,112 @@ GRAPH_QUERIES.append(
         ("ext", "graph", "similarity", "topk"),
     )
 )
+
+
+# --- label-propagation community detection ([EXT]) --------------------
+
+LPA_ROUNDS = 2  # unrolled so the oracle stays a static CTE chain
+LPA_MIN_CO = 2  # co-purchase weight threshold => sparse, meaningful edges
+
+
+def q_graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA, Raghavan
+    et al. 2007) over the part co-purchase graph — the corpus-curation
+    companion to ``dedup_components``: components answer "which docs
+    are transitively NEAR-DUPLICATES", communities answer "which items
+    CLUSTER by affinity" (domain grouping, topic buckets) on a graph
+    that is connected far beyond its duplicate structure.
+
+    Graph: parts co-occurring in >= LPA_MIN_CO distinct orders
+    (undirected). Update rule, LPA_ROUNDS synchronous rounds: every
+    node adopts the most frequent label among its NEIGHBORS, ties to
+    the smallest label; initial label = node id. Fixed rounds keep the
+    oracle a static CTE chain (the convergence-loop form is
+    ``_components``'s driver loop with this step function swapped in).
+
+    Output: one row per surviving community — size, min/max member.
+
+    100 TB shape: each round is one shuffle join (edges x labels on the
+    src key) + one (node, label) count with map-side partial agg + one
+    argmax via ``min(struct(-cnt, label))`` — partial-aggregable, so
+    the per-node reduce never sees more rows than the node's DISTINCT
+    neighbor labels (a window row_number here would funnel every
+    (node, label) row of a hot node through one task; the min-struct
+    form is the hot-key-safe argmax). Edge building reuses the
+    item_cooccurrence shape: quadratic only within a basket.
+
+    No reference counterpart (SURVEY §2.11 — [EXT]).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= LPA_MIN_CO)
+        .select("src", "dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(LPA_ROUNDS):
+        nb = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("label")))[
+                "label"
+            ].alias("label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+def _sql_lpa_round(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN {prev} l ON e.src = l.node
+    GROUP BY e.dst, l.label) WHERE rn = 1)"""
+
+
+ORACLE_GRAPH_COMMUNITY_LPA = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {LPA_MIN_CO}),
+edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{_sql_lpa_round('lab0', 'lab1')},
+{_sql_lpa_round('lab1', 'lab2')}
+SELECT label AS community, count(*) AS n_members,
+       min(node) AS min_member, max(node) AS max_member
+FROM lab2 GROUP BY label
+"""
+
+GRAPH_QUERIES.append(
+    QuerySpec(
+        "graph_community_lpa",
+        q_graph_community_lpa,
+        ORACLE_GRAPH_COMMUNITY_LPA,
+        ("ext", "graph", "ml"),
+    )
+)
