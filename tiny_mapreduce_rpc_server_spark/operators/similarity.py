@@ -374,6 +374,7 @@ def q_ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_recall(q_ann_lsh_bucketed(spark, sf_dir), "lsh")
         .unionAll(path_recall(q_ann_ivf(spark, sf_dir), "ivf"))
         .unionAll(path_recall(q_ann_pq(spark, sf_dir), "pq"))
+        .unionAll(path_recall(q_ann_ivf_pq(spark, sf_dir), "ivfpq"))
     )
 
 
@@ -383,6 +384,7 @@ WITH t AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_BRUTEFORCE})),
 lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_LSH})),
 ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF})),
 pq AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_PQ})),
+ivfpq AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF_PQ})),
 jl AS (
   SELECT 'lsh' AS path, count(*) AS n_truth,
          count(a.neighbor_id) AS n_hit,
@@ -400,8 +402,15 @@ jp AS (
          count(a.neighbor_id) AS n_hit,
          count(a.neighbor_id)::DOUBLE / count(*) AS recall
   FROM t LEFT JOIN pq a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+jip AS (
+  SELECT 'ivfpq' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN ivfpq a
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
 SELECT * FROM jl UNION ALL SELECT * FROM ji UNION ALL SELECT * FROM jp
+UNION ALL SELECT * FROM jip
 """
 
 
