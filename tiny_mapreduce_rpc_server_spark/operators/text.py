@@ -1377,3 +1377,116 @@ TEXT_QUERIES.append(
         bench=True,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality buckets (integer surprisal proxy — no libm)
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000  # surprisal proxy resolution
+LM_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def q_text_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): score each
+    document by how SURPRISING its bigrams are under the corpus's own
+    bigram LM, then split the corpus into head / middle / tail terciles
+    — the curation step that keeps fluent text and quarantines noise.
+
+    Exactness: true perplexity needs log(), and libm log differs across
+    engines in the last ulp — so the score is the MONOTONE integer
+    proxy ``(c_prefix * LM_SCALE) DIV c_bigram`` per bigram occurrence
+    (the reciprocal conditional frequency, = exp(surprisal) scaled),
+    summed and divided by the doc's bigram count with truncating
+    integer DIV. Every step is exact integer arithmetic, so both
+    engines agree bit-for-bit and the bucket boundaries (ntile over
+    (score, doc_id)) are deterministic.
+
+    Output: per bucket (1 = most fluent) — n_docs, min/max/decimal-mean
+    score, min doc_id. Docs with < 2 tokens have no bigrams and no LM
+    evidence; they are excluded (a real pipeline routes them to a
+    length filter first — text_quality_score's job).
+
+    100 TB shape: one corpus tokenize -> explode (no shuffle), the
+    bigram count table via map-side partial agg, prefix counts rolled
+    up FROM the bigram table (never a second corpus pass), two
+    AQE-managed joins back on the (w1, w2) / (w1) keys, per-doc agg
+    partial-aggregated on doc_id. The ntile is a single total-order
+    window over ONE row per doc — the only global exchange, and it
+    carries (doc_id, score) pairs only.
+
+    No reference counterpart (SURVEY §2.11 — [EXT]).
+    """
+    from tiny_mapreduce_rpc_server_spark.functions import davg
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", P.tokens(F.lower(F.col("text"))).alias("t"))
+    tc = F.col("t")
+    n = F.size(tc)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    ex = toked.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+    cbg = ex.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    c1 = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    scored = (
+        ex.join(cbg, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"sum(c_w1 * CAST({LM_SCALE} AS BIGINT) DIV c_bg) DIV count(*)"
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.asc("score"), F.asc("doc_id"))
+    bucketed = scored.withColumn("bucket", F.ntile(LM_BUCKETS).over(w))
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        davg("score", "mean_score"),
+        F.min("doc_id").alias("sample_doc"),
+    )
+
+
+ORACLE_TEXT_LM_QUALITY = f"""
+WITH d AS (SELECT doc_id, {P.sql_tokens("lower(text)")} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM d WHERE len(t) >= 2)),
+cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c_bg) AS c_w1 FROM cbg GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         (sum((c_w1 * {LM_SCALE}::BIGINT) // c_bg) // count(*))::BIGINT AS score
+  FROM bg JOIN cbg USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id),
+bucketed AS (
+  SELECT doc_id, score,
+         ntile({LM_BUCKETS}) OVER (ORDER BY score ASC, doc_id ASC) AS bucket
+  FROM scored)
+SELECT bucket, count(*) AS n_docs,
+       min(score) AS min_score, max(score) AS max_score,
+       CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_score,
+       min(doc_id) AS sample_doc
+FROM bucketed
+GROUP BY bucket
+"""
+
+TEXT_QUERIES.append(
+    QuerySpec(
+        "text_lm_quality_filter",
+        q_text_lm_quality_filter,
+        ORACLE_TEXT_LM_QUALITY,
+        ("ext", "text", "quality", "ngram"),
+    )
+)
