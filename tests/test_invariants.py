@@ -806,3 +806,70 @@ def test_pq_seed_rows_encode_to_their_own_code(spark):
     for q, rows in by_q.items():
         assert sorted(r.rnk for r in rows) == list(range(1, TOP_K + 1))
         assert all(r.neighbor_id != q for r in rows)
+
+
+def test_blocklist_folds_subdomains_and_ignores_absent_entries(spark):
+    """filter_domain_blocklist's contract: (1) a blocked registrable
+    domain covers every subdomain — src3.com's group must contain >1
+    distinct host (www/blog variants fold in) and carry blocked=true on
+    every row; (2) a blocklist entry absent from the corpus
+    (spam.example) must appear on NO output row — blocking is a filter,
+    not an outer join that invents domains."""
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        BLOCKLIST_DOMAINS,
+        q_filter_domain_blocklist,
+    )
+
+    rows = q_filter_domain_blocklist(spark, SF_ORACLE).collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.registrable_domain, []).append(r)
+    assert "spam.example" in BLOCKLIST_DOMAINS
+    assert "spam.example" not in by_dom
+    src3 = by_dom["src3.com"]
+    assert all(r.blocked for r in src3)
+    assert sum(r.n_hosts for r in src3) > 1  # www./blog. folded in
+    # non-listed domains are never blocked
+    assert all(
+        not r.blocked
+        for r in rows
+        if r.registrable_domain not in BLOCKLIST_DOMAINS
+    )
+
+
+def test_lpa_community_labels_are_member_node_ids(spark):
+    """graph_community_lpa invariants: community sizes cover every node
+    exactly once (sum of n_members == node count), every community
+    label is a real node id (labels only ever copy node ids), and
+    min_member <= max_member per row."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        q_graph_community_lpa,
+    )
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    out = q_graph_community_lpa(spark, SF_ORACLE).collect()
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    nodes = {
+        r.n
+        for r in pairs.select(F.col("src").alias("n"))
+        .union(pairs.select(F.col("dst").alias("n")))
+        .distinct()
+        .collect()
+    }
+    assert sum(r.n_members for r in out) == len(nodes)
+    assert all(r.community in nodes for r in out)
+    assert all(r.min_member <= r.max_member for r in out)
