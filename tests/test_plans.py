@@ -1011,3 +1011,35 @@ def test_dedup_semantic_incremental_index_probe_shape(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "MapInPandas" in p, p
     assert _re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p
+
+
+# --- PQ-ANN family ---------------------------------------------------------
+
+
+def test_ann_pq_single_corpus_scan_no_nk_explosion(spark):
+    """ann_pq's scale contract: encoding is row-local against ONE
+    broadcast codebook row — the plan must contain NO shuffle exchange
+    between the corpus scan and the ADC scan except the final top-k
+    window, and the codebook/LUT sides reach the scan via
+    BroadcastExchange (BroadcastNestedLoopJoin), never a cartesian."""
+    tree = plan(spark, _q(spark, "ann_pq")).split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree
+    # one top-k window => exactly one non-broadcast exchange consumes
+    # the scored rows; the codebook/LUT subtrees may each aggregate
+    # (their exchanges carry M*K rows), so count exchanges feeding the
+    # window: the Window node exists and sits above a single Exchange
+    assert "Window" in tree
+    # the corpus-side join must NOT be a SortMergeJoin (that would mean
+    # a corpus shuffle on the join key)
+    assert "SortMergeJoin" not in tree
+
+
+def test_ann_ivf_pq_assignment_is_broadcast_rowlocal(spark):
+    """ann_ivf_pq must assign cells and encode residuals row-locally:
+    no SortMergeJoin anywhere (the cell-keyed ADC join is a broadcast
+    of the tiny LUT side), no cartesian product."""
+    tree = plan(spark, _q(spark, "ann_ivf_pq")).split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
