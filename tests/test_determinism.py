@@ -51,6 +51,12 @@ FLOAT_SHUFFLE_QUERIES = [
     "embedding_spectrum",
     "join_skew_diagnosis",
     "dedup_savings_report",
+    # round-8 late additions: ADC distances are row-local folds but the
+    # top-k window crosses a shuffle; the LM filter's mean crosses a
+    # decimal aggregation and its buckets a total-order ntile
+    "ann_pq",
+    "ann_ivf_pq",
+    "text_lm_quality_filter",
 ]
 
 _SHUF = "spark.sql.shuffle.partitions"
