@@ -42,6 +42,11 @@ PROBE = [
     # 4.0x growth); that asymmetry is the point of the operator.
     "dedup_incremental_persisted",
     "dedup_url_canonical",
+    "filter_domain_blocklist",
+    "ann_pq",
+    "ann_ivf_pq",
+    "graph_community_lpa",
+    "text_lm_quality_filter",
     "text_tf_idf",
     "text_bigram_lm",
     "bpe_train_merges",
