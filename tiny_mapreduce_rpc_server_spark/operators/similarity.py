@@ -1337,6 +1337,126 @@ SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health report — FAISS's imbalance-factor diagnostics
+    for BOTH index structures this module builds: IVF cell balance
+    (a skewed cell turns nprobe into a corpus scan; an empty cell is
+    wasted training) and per-subspace PQ code usage (dead codewords
+    mean the effective codebook is smaller than K and quantization
+    error is higher than budgeted). This is the query an index owner
+    runs BEFORE trusting ann_ivf / ann_pq latencies at scale.
+
+    Output: one row per index part ('ivf_cell', 'pq_m0'..'pq_m3') —
+    keys used vs total, item count, min/max bucket, and the imbalance
+    factor max_bucket * n_keys_total / n_items (1.0 = perfectly
+    balanced; FAISS convention). Imbalance is an integer ratio, so the
+    double is bit-identical in both engines.
+
+    100 TB shape: both assignments are row-local against single
+    broadcast rows (the IVF argmin reuses ann_ivf_pq's ranked-cells
+    expression, the PQ encode reuses _pq_codes), so the whole report
+    is one corpus scan + K-bounded aggregates.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents_one = (
+        emb.filter(F.col("vec_id").isin(CENTROID_IDS))
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sqd_full(F.col("v"), c["cv"]).alias("d"), c["cell"].alias("cell")
+            ),
+        )
+    )
+    cells = (
+        emb.join(F.broadcast(cents_one))
+        .select(ranked[0]["cell"].alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("ivf_cell").alias("part"), "k", "n")
+    )
+    codes = _pq_codes(emb, _pq_cb_one(_pq_codebook_entries(emb)))
+    code_parts = (
+        codes.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda m: F.struct(
+                        F.concat(F.lit("pq_m"), m.cast("string")).alias("part"),
+                        F.element_at(F.col("codes"), m + F.lit(1))
+                        .cast("long")
+                        .alias("k"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.part", "e.k")
+        .groupBy("part", "k")
+        .agg(F.count("*").alias("n"))
+    )
+    buckets = cells.unionAll(code_parts)
+    total_keys = F.when(F.col("part") == "ivf_cell", F.lit(N_CELLS)).otherwise(
+        F.lit(PQ_K)
+    )
+    return buckets.groupBy("part").agg(
+        F.count("*").alias("n_keys_used"),
+        F.max(total_keys).alias("n_keys_total"),
+        F.sum("n").alias("n_items"),
+        F.min("n").alias("min_bucket"),
+        F.max("n").alias("max_bucket"),
+        (
+            (F.max("n") * F.max(total_keys)).cast("double") / F.sum("n")
+        ).alias("imbalance"),
+    )
+
+
+ORACLE_ANN_INDEX_STATS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN ({_IVFPQ_CENT_IDS_SQL})),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_sqd_full('e.v', 'cents.cv')} ASC,
+                                       cents.cell ASC) AS rn
+    FROM e, cents) WHERE rn = 1),
+cellbuckets AS (
+  SELECT 'ivf_cell' AS part, cell AS k, count(*) AS n
+  FROM assigned GROUP BY cell),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (
+  SELECT ms.m,
+         CAST(list_position({_PQ_SEEDS_LIST}, e.vec_id) - 1 AS INT) AS code,
+         e.v[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cw
+  FROM e, ms WHERE e.vec_id IN ({_PQ_IDS_SQL})),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, cb.m, cb.code,
+           row_number() OVER (PARTITION BY e.vec_id, cb.m
+                              ORDER BY {_sql_sub_sqd('e.v')} ASC, cb.code ASC) AS rn
+    FROM e, cb) WHERE rn = 1),
+codebuckets AS (
+  SELECT 'pq_m' || CAST(m AS VARCHAR) AS part, CAST(code AS BIGINT) AS k,
+         count(*) AS n
+  FROM codes GROUP BY m, code),
+buckets AS (SELECT * FROM cellbuckets UNION ALL SELECT * FROM codebuckets)
+SELECT part, count(*) AS n_keys_used,
+       max(CASE WHEN part = 'ivf_cell' THEN {N_CELLS} ELSE {PQ_K} END) AS n_keys_total,
+       sum(n)::BIGINT AS n_items,
+       min(n) AS min_bucket, max(n) AS max_bucket,
+       CAST(max(n) * max(CASE WHEN part = 'ivf_cell' THEN {N_CELLS} ELSE {PQ_K} END)
+            AS DOUBLE) / sum(n) AS imbalance
+FROM buckets
+GROUP BY part
+"""
+
+
 def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ann_pq`` with the PQ index actually PERSISTED — the serving
     shape executed end-to-end (same lake-roundtrip discipline as
@@ -1400,6 +1520,12 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         q_ann_ivf_pq,
         ORACLE_ANN_IVF_PQ,
         ("ext", "similarity", "pq", "ivf"),
+    ),
+    QuerySpec(
+        "ann_index_stats",
+        q_ann_index_stats,
+        ORACLE_ANN_INDEX_STATS,
+        ("ext", "similarity", "eval", "dq"),
     ),
     QuerySpec(
         "source_semantic_similarity",
