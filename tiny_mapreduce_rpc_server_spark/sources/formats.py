@@ -79,6 +79,52 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 built-in XML source roundtrip (rowTag records): customer
+    written as XML, read back with the ORIGINAL schema enforced (XML
+    schema inference widens numerics — enforcing the source schema is
+    the production pattern), aggregated identically to the parquet
+    truth. min/max over c_name pins string fidelity through XML
+    entity escaping; the decimal sum pins numeric fidelity through the
+    text encoding.
+
+    100 TB note: XML is an ingest format, not a lake format — the
+    roundtrip models reading third-party feeds; rowTag splitting is
+    line-oblivious, so Spark parallelizes by file, making many medium
+    files the scalable layout."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "xml_customer")
+    (
+        cust.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(cust.schema)
+        .format("xml")
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal", "sum_acctbal"),
+        F.min("c_name").alias("first_name"),
+        F.max("c_name").alias("last_name"),
+    )
+
+
+ORACLE_XML_ROUNDTRIP = f"""
+SELECT c_mktsegment, c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS sum_acctbal,
+       min(c_name) AS first_name,
+       max(c_name) AS last_name
+FROM customer GROUP BY c_mktsegment, c_nationkey
+"""
+
+
 def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned parquet sink + partition-pruned read-back:
     orders written partitionBy(o_orderstatus), then read with a status
@@ -599,6 +645,12 @@ FORMAT_QUERIES = [
         q_orc_roundtrip,
         ORACLE_ORC_ROUNDTRIP,
         ("source", "orc"),
+    ),
+    QuerySpec(
+        "xml_source_roundtrip",
+        q_xml_roundtrip,
+        ORACLE_XML_ROUNDTRIP,
+        ("source", "xml"),
     ),
     QuerySpec(
         "bucketed_join_roundtrip",
