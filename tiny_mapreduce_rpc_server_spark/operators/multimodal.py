@@ -788,3 +788,125 @@ MULTIMODAL_QUERIES.append(
         ("ext", "multimodal", "dedup", "audio"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile-source ingest: how image corpora actually land in a lake
+# ---------------------------------------------------------------------------
+
+_INGEST_SCHEMA = (
+    "doc_id long, file_len long, width int, height int, mean_pixel double"
+)
+
+
+def _write_files_batch(base: str):
+    """mapInPandas worker factory: write each payload as {doc_id}.bmp
+    under ``base`` (models the distributed landing-zone write — one
+    file per asset on shared storage, no driver involvement)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        _os.makedirs(base, exist_ok=True)
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with open(_os.path.join(base, f"{int(doc_id)}.bmp"), "wb") as f:
+                    f.write(bytes(payload))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    return fn
+
+
+def _decode_with_len_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    try:
+        import PIL.Image  # noqa: F401
+
+        decode = _bmp_decode_pil
+    except ImportError:
+        decode = _bmp_decode_py
+    for pdf in batches:
+        ws, hs, means = [], [], []
+        for payload in pdf["payload"]:
+            w, h, m = decode(bytes(payload))
+            ws.append(w)
+            hs.append(h)
+            means.append(m)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "file_len": pdf["file_len"],
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            }
+        )
+
+
+def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal INGEST path, end-to-end: one BMP file per
+    document written to a landing zone by distributed workers, then
+    re-ingested with Spark's built-in ``binaryFile`` source (path,
+    length, content), identity recovered from the filename, and the
+    payload decoded by the same Arrow decode kernel as
+    ``multimodal_decode``. The oracle states every output in closed
+    form — including ``file_len``, which pins the exact on-disk BMP
+    byte count (54-byte header + 4-byte-aligned rows) through the
+    write->read roundtrip.
+
+    100 TB shape: binaryFile parallelizes by file and prunes by glob;
+    small-asset corpora want the files coalesced into larger archives
+    (or this very ingest run ONCE, landing content into parquet binary
+    columns — which is exactly what the other multimodal operators
+    then consume). No reference counterpart (SURVEY §2.11 — [EXT])."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tempfile.gettempdir(), f"tmrs_binaryfile_{sf}")
+    if _os.path.exists(base):
+        _shutil.rmtree(base)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = P.h1(F.col("text"))
+    src = docs.select(
+        "doc_id",
+        (h % 64 + 8).cast("int").alias("w"),
+        (h % 48 + 8).cast("int").alias("h"),
+        (h % 256).cast("int").alias("color"),
+    )
+    images = src.mapInPandas(encode_batch, _ENCODE_SCHEMA)
+    # eager write phase (same contract as the *_persisted lake queries)
+    images.mapInPandas(_write_files_batch(base), "n long").count()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(base)
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("file_len"),
+        F.col("content").alias("payload"),
+    )
+    return payloads.mapInPandas(_decode_with_len_batch, _INGEST_SCHEMA)
+
+
+ORACLE_BINARYFILE_INGEST = f"""
+SELECT doc_id,
+       CAST(54 + ((3 * ({P.sql_h1("text")} % 64 + 8) + 3) // 4 * 4)
+                 * ({P.sql_h1("text")} % 48 + 8) AS BIGINT) AS file_len,
+       CAST({P.sql_h1("text")} % 64 + 8 AS INTEGER) AS width,
+       CAST({P.sql_h1("text")} % 48 + 8 AS INTEGER) AS height,
+       CAST({P.sql_h1("text")} % 256 AS DOUBLE) AS mean_pixel
+FROM documents
+"""
+
+MULTIMODAL_QUERIES.append(
+    QuerySpec(
+        "multimodal_binaryfile_ingest",
+        q_multimodal_binaryfile_ingest,
+        ORACLE_BINARYFILE_INGEST,
+        ("ext", "multimodal", "source", "lakehouse"),
+    )
+)
