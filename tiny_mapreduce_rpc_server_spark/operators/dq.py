@@ -335,3 +335,91 @@ DQ_QUERIES.append(
         ("ext", "dq", "encryption"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# single-pass DQ metrics via df.observe() — monitors without a second scan
+# ---------------------------------------------------------------------------
+
+
+def q_dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ monitoring the way a production pipeline actually does it:
+    ``df.observe()`` + ``Observation`` attach exact metric aggregates
+    to the SAME job that lands the data (here a noop-sink write over
+    the cleaned projection), so quality counters cost zero extra scans
+    — at 100 TB a separate metrics pass doubles the read bill; this is
+    the API that removes it.
+
+    Metrics: row count, violations of two invariants (quantity > 0,
+    0 <= discount <= 0.1 — both zero on this corpus, and PROVING zero
+    is the point of a monitor), a threshold counter (discount >= 0.05,
+    non-zero), a decimal-exact revenue sum, and the shipdate range.
+    The observed values come back as one driver-side row (bounded by
+    construction) re-emitted as the result DataFrame; the oracle
+    recomputes every metric from SQL, so the value-hash proves the
+    observation saw exactly what a full aggregate sees.
+
+    No reference counterpart (SURVEY §2.11 — [EXT])."""
+    from decimal import Decimal
+
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("n_bad_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("n_bad_discount"),
+        F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)).alias(
+            "n_high_discount"
+        ),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    # the "pipeline": land the cleaned rows; the noop sink executes the
+    # full plan distributed with zero output cost
+    observed.filter(F.col("l_quantity") > 0).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    row = (
+        int(m["n_rows"]),
+        int(m["n_bad_qty"]),
+        int(m["n_bad_discount"]),
+        int(m["n_high_discount"]),
+        float(Decimal(m["sum_price"])),
+        m["min_ship"],
+        m["max_ship"],
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, n_bad_qty long, n_bad_discount long, "
+        "n_high_discount long, sum_price double, min_ship date, max_ship date",
+    )
+
+
+ORACLE_DQ_OBSERVE = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad_qty,
+       sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_bad_discount,
+       sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)::BIGINT
+         AS n_high_discount,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       CAST(min(l_shipdate) AS DATE) AS min_ship,
+       CAST(max(l_shipdate) AS DATE) AS max_ship
+FROM lineitem
+"""
+
+DQ_QUERIES.append(
+    QuerySpec(
+        "dq_observe_metrics",
+        q_dq_observe_metrics,
+        ORACLE_DQ_OBSERVE,
+        ("ext", "dq", "observability"),
+    )
+)
