@@ -278,3 +278,78 @@ UDF_SURFACE_QUERIES = [
         ("udf", "grouped-map"),
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: RecordBatch-level Python execution (no pandas conversion)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_token_count(batches):
+    """mapInArrow worker: per-doc whitespace token count computed with
+    pyarrow.compute only — zero pandas materialization, zero per-row
+    Python. Token count == number of \\S+ runs, the same contract as
+    functions.portable.tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        n_tok = pc.count_substring_regex(batch.column("text"), r"\S+")
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), batch.column("lang"),
+             pc.cast(n_tok, pa.int64())],
+            names=["doc_id", "lang", "n_tokens"],
+        )
+
+
+def q_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python execution surface:
+    the worker receives raw Arrow RecordBatches and answers with
+    pyarrow.compute kernels, skipping the pandas conversion that
+    mapInPandas pays on both edges (per-batch Series construction +
+    object boxing). Per-doc token counts feed a per-language rollup.
+
+    The per-doc counts are exact integers, so the DuckDB oracle
+    recomputes the identical contract with regexp_extract_all — the
+    value-hash proves the Arrow kernel and the SQL engine agree on
+    every document.
+
+    100 TB shape: the Arrow path streams batches at the Parquet
+    reader's batch size with one C-level regex pass per batch; the only
+    shuffle is the final (lang) rollup, partial-aggregated map-side.
+    No reference counterpart (SURVEY §2.11 — [EXT])."""
+    from tiny_mapreduce_rpc_server_spark.sources import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    counted = docs.mapInArrow(
+        _arrow_token_count, "doc_id long, lang string, n_tokens long"
+    )
+    return counted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+ORACLE_ARROW_MAP_BATCHES = r"""
+WITH t AS (
+  SELECT lang, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+UDF_SURFACE_QUERIES.append(
+    QuerySpec(
+        "arrow_map_batches",
+        q_arrow_map_batches,
+        ORACLE_ARROW_MAP_BATCHES,
+        ("ext", "udf", "arrow"),
+    )
+)
