@@ -353,3 +353,69 @@ UDF_SURFACE_QUERIES.append(
         ("ext", "udf", "arrow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# applyInArrow: grouped-map in raw Arrow (the Spark 4 sibling of
+# applyInPandas, completing this module's Python-execution matrix)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_lang_profile(table):
+    """Grouped-map worker: one pa.Table per language group in, one
+    summary row out — pyarrow.compute only, exact integer outputs
+    (sum/min/max over int64), no pandas anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chars = pc.cast(table.column("n_chars"), pa.int64())
+    return pa.table(
+        {
+            "lang": [table.column("lang")[0].as_py()],
+            "n_docs": pa.array([table.num_rows], pa.int64()),
+            "sum_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
+            "min_chars": pa.array([pc.min(chars).as_py()], pa.int64()),
+            "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+        }
+    )
+
+
+def q_applyinarrow_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — grouped-map custom aggregation where the
+    worker sees each group as ONE raw Arrow table (no pandas edge at
+    all): a per-language corpus profile with exact integer stats.
+    Together with pandas_udaf_sum (GROUPED_AGG), applyinpandas_runs
+    (grouped-map pandas), arrow_python_udf (scalar), python_udtf_words
+    (UDTF), the multimodal mapInPandas kernels, and arrow_map_batches
+    (mapInArrow), this completes every Python-execution surface Spark 4
+    offers.
+
+    100 TB caveat (the reason built-ins win when they suffice): a
+    grouped-map worker materializes the WHOLE group in memory, so key
+    skew bounds feasibility — this profile exists for its API
+    coverage; the same stats in pure aggregates are one partial-agg
+    shuffle (see text_token_stats). No reference counterpart (SURVEY
+    §2.11 — [EXT])."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").applyInArrow(
+        _arrow_lang_profile,
+        "lang string, n_docs long, sum_chars long, min_chars long, max_chars long",
+    )
+
+
+ORACLE_APPLYINARROW_LANG = """
+SELECT lang, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY lang
+"""
+
+UDF_SURFACE_QUERIES.append(
+    QuerySpec(
+        "applyinarrow_lang_profile",
+        q_applyinarrow_lang_profile,
+        ORACLE_APPLYINARROW_LANG,
+        ("ext", "udf", "arrow", "grouped-map"),
+    )
+)
