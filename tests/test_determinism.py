@@ -55,6 +55,7 @@ FLOAT_SHUFFLE_QUERIES = [
     # top-k window crosses a shuffle; the LM filter's mean crosses a
     # decimal aggregation and its buckets a total-order ntile
     "ann_pq",
+    "ann_pq_persisted",
     "ann_ivf_pq",
     "text_lm_quality_filter",
 ]

@@ -786,7 +786,7 @@ def test_pq_seed_rows_encode_to_their_own_code(spark):
     )
     from tiny_mapreduce_rpc_server_spark.sources import load_table
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_ORACLE
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

@@ -126,30 +126,50 @@ def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
-def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: real image decode, payload-driven only. PIL
-    when available; minimal BMP parser otherwise — identical outputs."""
-    try:
-        import PIL.Image  # noqa: F401
+def _decoder(passthrough: tuple = ()):
+    """mapInPandas worker factory: real image decode, payload-driven
+    only (PIL when available; minimal BMP parser otherwise — identical
+    outputs). ``passthrough`` columns are copied from input to output
+    unchanged, so every decode-shaped query shares ONE decode loop."""
 
-        decode = _bmp_decode_pil
-    except ImportError:
-        decode = _bmp_decode_py
-    for pdf in batches:
-        ws, hs, means = [], [], []
-        for payload in pdf["payload"]:
-            w, h, m = decode(bytes(payload))
-            ws.append(w)
-            hs.append(h)
-            means.append(m)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "width": pd.Series(ws, dtype="int32"),
-                "height": pd.Series(hs, dtype="int32"),
-                "mean_pixel": pd.Series(means, dtype="float64"),
-            }
-        )
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL.Image  # noqa: F401
+
+            decode = _bmp_decode_pil
+        except ImportError:
+            decode = _bmp_decode_py
+        for pdf in batches:
+            ws, hs, means = [], [], []
+            for payload in pdf["payload"]:
+                w, h, m = decode(bytes(payload))
+                ws.append(w)
+                hs.append(h)
+                means.append(m)
+            out = {"doc_id": pdf["doc_id"]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["width"] = pd.Series(ws, dtype="int32")
+            out["height"] = pd.Series(hs, dtype="int32")
+            out["mean_pixel"] = pd.Series(means, dtype="float64")
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+decode_batch = _decoder()
+
+
+def _img_src(docs: DataFrame) -> DataFrame:
+    """Per-doc synthetic image parameters (w, h, color) — the hash
+    closed form every BMP oracle states; single owner for the formula."""
+    h = P.h1(F.col("text"))
+    return docs.select(
+        "doc_id",
+        (h % 64 + 8).cast("int").alias("w"),
+        (h % 48 + 8).cast("int").alias("h"),
+        (h % 256).cast("int").alias("color"),
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,14 +178,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (dims/color hash-derived), then decode it reading ONLY the
     payload bytes. Solid fill makes the decoded mean exact (color*n/n),
     so the oracle can state the decoded properties in closed form."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    h = P.h1(F.col("text"))
-    src = docs.select(
-        "doc_id",
-        (h % 64 + 8).cast("int").alias("w"),
-        (h % 48 + 8).cast("int").alias("h"),
-        (h % 256).cast("int").alias("color"),
-    )
+    src = _img_src(spread(load_table(spark, sf_dir, "documents")))
     images = src.mapInPandas(encode_batch, _ENCODE_SCHEMA)
     return images.mapInPandas(decode_batch, _DECODE_SCHEMA)
 
@@ -428,14 +441,7 @@ def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB groups on the closed-form triple — equal group statistics
     without ever building a BMP.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    h = P.h1(F.col("text"))
-    src = docs.select(
-        "doc_id",
-        (h % 64 + 8).cast("int").alias("w"),
-        (h % 48 + 8).cast("int").alias("h"),
-        (h % 256).cast("int").alias("color"),
-    )
+    src = _img_src(spread(load_table(spark, sf_dir, "documents")))
     images = src.mapInPandas(encode_batch, _ENCODE_SCHEMA)
     return (
         images.select(F.sha2("payload", 256).alias("digest"), "doc_id")
@@ -817,31 +823,6 @@ def _write_files_batch(base: str):
     return fn
 
 
-def _decode_with_len_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    try:
-        import PIL.Image  # noqa: F401
-
-        decode = _bmp_decode_pil
-    except ImportError:
-        decode = _bmp_decode_py
-    for pdf in batches:
-        ws, hs, means = [], [], []
-        for payload in pdf["payload"]:
-            w, h, m = decode(bytes(payload))
-            ws.append(w)
-            hs.append(h)
-            means.append(m)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "file_len": pdf["file_len"],
-                "width": pd.Series(ws, dtype="int32"),
-                "height": pd.Series(hs, dtype="int32"),
-                "mean_pixel": pd.Series(means, dtype="float64"),
-            }
-        )
-
-
 def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real multimodal INGEST path, end-to-end: one BMP file per
     document written to a landing zone by distributed workers, then
@@ -852,6 +833,16 @@ def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     form — including ``file_len``, which pins the exact on-disk BMP
     byte count (54-byte header + 4-byte-aligned rows) through the
     write->read roundtrip.
+
+    Deployment contract: ``base`` must be SHARED storage (S3/HDFS/NFS)
+    — the landing write runs on executors and the binaryFile listing on
+    the driver, so a node-local path only works in local mode (this
+    container). On object stores the per-file write uses the store's
+    client the same way; the Spark-side plumbing is unchanged. Stale
+    files: filenames are deterministic per doc_id and content
+    deterministic per text, so re-runs overwrite in place; the builder
+    additionally clears ``base`` up front (driver-visible files — the
+    whole path in local mode and on shared storage alike).
 
     100 TB shape: binaryFile parallelizes by file and prunes by glob;
     small-asset corpora want the files coalesced into larger archives
@@ -889,7 +880,7 @@ def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("length").alias("file_len"),
         F.col("content").alias("payload"),
     )
-    return payloads.mapInPandas(_decode_with_len_batch, _INGEST_SCHEMA)
+    return payloads.mapInPandas(_decoder(("file_len",)), _INGEST_SCHEMA)
 
 
 ORACLE_BINARYFILE_INGEST = f"""

@@ -1048,26 +1048,32 @@ def _pq_codes(emb: DataFrame, cb_one: DataFrame, keep=("vec_id",)) -> DataFrame:
     )
 
 
-def _pq_luts(emb: DataFrame, cb_one: DataFrame) -> DataFrame:
-    """Per-query ADC lookup grid: grid[m+1][code+1] = sqd(q_sub_m, cw)."""
-    return (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb_one))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.transform(
-                    F.filter(F.col("cb"), lambda e: e["m"] == m),
-                    lambda e: _sub_sqd(m, F.col("v"), e["cw"]),
-                ),
-            ).alias("grid"),
-        )
+def _pq_grid_col():
+    """ADC lookup grid over column ``v``: grid[m+1][code+1] = sqd(sub_m, cw)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.filter(F.col("cb"), lambda e: e["m"] == m),
+            lambda e: _sub_sqd(m, F.col("v"), e["cw"]),
+        ),
     )
 
 
-def _pq_adc_topk(coded: DataFrame, luts: DataFrame) -> DataFrame:
-    """ADC scan (4 lookups + ordered-fold adds per candidate) + top-k."""
+def _pq_luts(emb: DataFrame, cb_one: DataFrame) -> DataFrame:
+    """Per-query ADC lookup grid rows (query_id, grid)."""
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb_one))
+        .select(F.col("vec_id").alias("query_id"), _pq_grid_col().alias("grid"))
+    )
+
+
+def _pq_adc_topk(coded: DataFrame, luts: DataFrame, on_cell: bool = False) -> DataFrame:
+    """ADC scan (PQ_M lookups + ordered-fold adds per candidate) + top-k.
+
+    ``on_cell=True`` additionally equi-joins on the IVF cell key (the
+    IVF-PQ shape: a candidate is scored only by the probes that reached
+    its cell)."""
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
@@ -1077,9 +1083,12 @@ def _pq_adc_topk(coded: DataFrame, luts: DataFrame) -> DataFrame:
             F.element_at(F.col("codes"), m + F.lit(1)) + F.lit(1),
         ),
     )
-    scored = coded.join(
-        F.broadcast(luts), F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist"))
+    cond = F.col("vec_id") != F.col("query_id")
+    if on_cell:
+        cond = (coded["cell"] == luts["cell"]) & cond
+    scored = coded.join(F.broadcast(luts), cond).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -1103,29 +1112,43 @@ def _sql_sub_sqd(vexpr: str) -> str:
     return f"list_dot_product({diff}, {diff})"
 
 
-ORACLE_ANN_PQ = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+# the ADC sum is GENERATED from PQ_M (fixed-order left-assoc adds,
+# matching the Spark fold) so changing the subspace count cannot leave
+# the oracles covering only a prefix of the m range
+_SQL_ADC_SUM = "\n         + ".join(
+    f"max(CASE WHEN c.m = {m} THEN ld END)" for m in range(PQ_M)
+)
+
+
+def _sql_pq_cb_codes(src: str, keep: tuple = ()) -> str:
+    """cb + codes CTE text over ``src`` rows (vec_id, v[, *keep]) —
+    the single source of the codebook/encoding SQL shared by every
+    PQ oracle (same lockstep discipline as dedup's _SQL_CANON_STAGES)."""
+    k_outer = "".join(f"{c}, " for c in keep)
+    k_inner = "".join(f"a.{c}, " for c in keep)
+    return f"""ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
 cb AS (
   SELECT ms.m,
-         CAST(list_position({_PQ_SEEDS_LIST}, e.vec_id) - 1 AS INT) AS code,
-         e.v[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cw
-  FROM e, ms WHERE e.vec_id IN ({_PQ_IDS_SQL})),
+         CAST(list_position({_PQ_SEEDS_LIST}, a.vec_id) - 1 AS INT) AS code,
+         a.v[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cw
+  FROM {src} a, ms WHERE a.vec_id IN ({_PQ_IDS_SQL})),
 codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT e.vec_id, cb.m, cb.code, {_sql_sub_sqd('e.v')} AS d,
-           row_number() OVER (PARTITION BY e.vec_id, cb.m
-                              ORDER BY {_sql_sub_sqd('e.v')} ASC, cb.code ASC) AS rn
-    FROM e, cb) WHERE rn = 1),
+  SELECT vec_id, {k_outer}m, code FROM (
+    SELECT a.vec_id, {k_inner}cb.m, cb.code,
+           row_number() OVER (PARTITION BY a.vec_id, cb.m
+                              ORDER BY {_sql_sub_sqd('a.v')} ASC, cb.code ASC) AS rn
+    FROM {src} a, cb) WHERE rn = 1)"""
+
+
+ORACLE_ANN_PQ = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_sql_pq_cb_codes('e')},
 lut AS (
   SELECT q.vec_id AS query_id, cb.m, cb.code, {_sql_sub_sqd('q.v')} AS ld
   FROM e q, cb WHERE q.vec_id < {N_QUERIES}),
 adc AS (
   SELECT l.query_id, c.vec_id AS neighbor_id,
-         max(CASE WHEN c.m = 0 THEN ld END)
-         + max(CASE WHEN c.m = 1 THEN ld END)
-         + max(CASE WHEN c.m = 2 THEN ld END)
-         + max(CASE WHEN c.m = 3 THEN ld END) AS adc_dist
+         {_SQL_ADC_SUM} AS adc_dist
   FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
   WHERE c.vec_id <> l.query_id
   GROUP BY 1, 2),
@@ -1144,13 +1167,33 @@ SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
 # ---------------------------------------------------------------------------
 
 
-def _sqd_full(a, b):
-    """Ordered-fold squared L2 over full vectors (both engines fold the
-    per-element squares left-to-right from 0.0)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+# full-vector squared L2: the ordered fold whose DuckDB bit-parity
+# (list_dot_product of the diff vector) ml.py's kmeans tests pin —
+# import, don't re-implement, so the pinned fold shape has ONE owner
+from tiny_mapreduce_rpc_server_spark.operators.ml import _sq_dist as _sqd_full
+
+
+def _ivf_cents_one(emb: DataFrame) -> DataFrame:
+    """ONE broadcast row holding all IVF centroids sorted by cell id —
+    the shared assignment input of ann_ivf_pq and ann_index_stats."""
+    return (
+        emb.filter(F.col("vec_id").isin(CENTROID_IDS))
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cents"))
+    )
+
+
+def _ranked_cells(v):
+    """(d, cell) structs sorted ascending over the broadcast ``cents``
+    column — head = nearest cell, ties to the lowest cell id."""
+    return F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sqd_full(v, c["cv"]).alias("d"), c["cell"].alias("cell")
+            ),
+        )
     )
 
 
@@ -1179,23 +1222,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents_one = (
-        emb.filter(F.col("vec_id").isin(CENTROID_IDS))
-        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cents"))
-    )
-
-    def _ranked_cells(v):
-        # (d, cell) structs sorted ascending — head = nearest cell
-        return F.array_sort(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    _sqd_full(v, c["cv"]).alias("d"), c["cell"].alias("cell")
-                ),
-            )
-        )
+    cents_one = _ivf_cents_one(emb)
 
     def _cv_of(cell):
         return F.element_at(
@@ -1237,41 +1264,10 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _residual(F.col("v"), F.col("cell")).alias("v"),
         )
     )
-    luts = (
-        probes.join(F.broadcast(cb_one))
-        .select(
-            "query_id",
-            "cell",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.transform(
-                    F.filter(F.col("cb"), lambda e: e["m"] == m),
-                    lambda e: _sub_sqd(m, F.col("v"), e["cw"]),
-                ),
-            ).alias("grid"),
-        )
+    luts = probes.join(F.broadcast(cb_one)).select(
+        "query_id", "cell", _pq_grid_col().alias("grid")
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc
-        + F.element_at(
-            F.element_at(F.col("grid"), m + F.lit(1)),
-            F.element_at(F.col("codes"), m + F.lit(1)) + F.lit(1),
-        ),
-    )
-    scored = coded.join(
-        F.broadcast(luts),
-        (coded["cell"] == luts["cell"]) & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "rnk", "neighbor_id", "adc_dist")
-    )
+    return _pq_adc_topk(coded, luts, on_cell=True)
 
 
 _IVFPQ_CENT_IDS_SQL = ", ".join(str(i) for i in CENTROID_IDS)
@@ -1294,18 +1290,7 @@ assigned AS (
                               ORDER BY {_sql_sqd_full('e.v', 'cents.cv')} ASC,
                                        cents.cell ASC) AS rn
     FROM e, cents) WHERE rn = 1),
-ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
-cb AS (
-  SELECT ms.m,
-         CAST(list_position({_PQ_SEEDS_LIST}, a.vec_id) - 1 AS INT) AS code,
-         a.v[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cw
-  FROM assigned a, ms WHERE a.vec_id IN ({_PQ_IDS_SQL})),
-codes AS (
-  SELECT vec_id, cell, m, code FROM (
-    SELECT a.vec_id, a.cell, cb.m, cb.code,
-           row_number() OVER (PARTITION BY a.vec_id, cb.m
-                              ORDER BY {_sql_sub_sqd('a.v')} ASC, cb.code ASC) AS rn
-    FROM assigned a, cb) WHERE rn = 1),
+{_sql_pq_cb_codes('assigned', ('cell',))},
 probes AS (
   SELECT query_id, cell,
          list_transform(generate_series(1, {DIM}), i -> qv[i] - cv[i]) AS v
@@ -1320,10 +1305,7 @@ lut AS (
   FROM probes p, cb),
 adc AS (
   SELECT l.query_id, c.vec_id AS neighbor_id,
-         max(CASE WHEN c.m = 0 THEN ld END)
-         + max(CASE WHEN c.m = 1 THEN ld END)
-         + max(CASE WHEN c.m = 2 THEN ld END)
-         + max(CASE WHEN c.m = 3 THEN ld END) AS adc_dist
+         {_SQL_ADC_SUM} AS adc_dist
   FROM codes c
   JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
   WHERE c.vec_id <> l.query_id
@@ -1360,23 +1342,9 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents_one = (
-        emb.filter(F.col("vec_id").isin(CENTROID_IDS))
-        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cents"))
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _sqd_full(F.col("v"), c["cv"]).alias("d"), c["cell"].alias("cell")
-            ),
-        )
-    )
     cells = (
-        emb.join(F.broadcast(cents_one))
-        .select(ranked[0]["cell"].alias("k"))
+        emb.join(F.broadcast(_ivf_cents_one(emb)))
+        .select(_ranked_cells(F.col("v"))[0]["cell"].alias("k"))
         .groupBy("k")
         .agg(F.count("*").alias("n"))
         .select(F.lit("ivf_cell").alias("part"), "k", "n")
@@ -1429,18 +1397,7 @@ assigned AS (
 cellbuckets AS (
   SELECT 'ivf_cell' AS part, cell AS k, count(*) AS n
   FROM assigned GROUP BY cell),
-ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
-cb AS (
-  SELECT ms.m,
-         CAST(list_position({_PQ_SEEDS_LIST}, e.vec_id) - 1 AS INT) AS code,
-         e.v[ms.m * {PQ_SUBDIM} + 1 : ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cw
-  FROM e, ms WHERE e.vec_id IN ({_PQ_IDS_SQL})),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT e.vec_id, cb.m, cb.code,
-           row_number() OVER (PARTITION BY e.vec_id, cb.m
-                              ORDER BY {_sql_sub_sqd('e.v')} ASC, cb.code ASC) AS rn
-    FROM e, cb) WHERE rn = 1),
+{_sql_pq_cb_codes('e')},
 codebuckets AS (
   SELECT 'pq_m' || CAST(m AS VARCHAR) AS part, CAST(code AS BIGINT) AS k,
          count(*) AS n

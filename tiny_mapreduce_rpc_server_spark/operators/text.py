@@ -635,6 +635,27 @@ FROM r
 NGRAM_TOP_K = 3
 
 
+def _bigram_pairs(tc, combine):
+    """Adjacent-token pairs of token-array column ``tc``, combined by
+    ``combine(x, y)`` (struct or "x y" string); [] for docs with < 2
+    tokens. Single owner of the zip_with/slice construction every
+    bigram oracle mirrors as t[i] / t[i+1].
+
+    The untyped empty array in ``otherwise`` unifies with whatever the
+    combiner produces (struct or string)."""
+    n = F.size(tc)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
+            combine,
+        ),
+    ).otherwise(F.array())
+
+
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts + per-first-word top-3 continuations — the
     n-gram LM table every classic MapReduce paper builds, Spark-first:
@@ -647,15 +668,9 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     toked = docs.select(P.tokens(F.lower(F.col("text"))).alias("t"))
     tc = F.col("t")
-    n = F.size(tc)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
-            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-        ),
-    ).otherwise(F.array())
+    bigrams = _bigram_pairs(
+        tc, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+    )
     ex = toked.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
     counts = ex.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
@@ -703,15 +718,7 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", P.tokens(F.lower(F.col("text"))).alias("t"))
     tc = F.col("t")
-    n = F.size(tc)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _bigram_pairs(tc, lambda x, y: F.concat(x, F.lit(" "), y))
     occ = toked.select("doc_id", F.explode(bigrams).alias("bg"))
     head = (
         occ.groupBy("bg")
@@ -1161,15 +1168,8 @@ def q_vocab_arrival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # type space keeps minting — the same switch a real pipeline makes
     # when unigram vocab saturates
     toked = docs.select("doc_id", P.tokens(F.lower(F.col("text"))).alias("t"))
-    tc, n = F.col("t"), F.size(F.col("t"))
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tc = F.col("t")
+    bigrams = _bigram_pairs(tc, lambda x, y: F.concat(x, F.lit(" "), y))
     tok = toked.select("doc_id", F.explode(bigrams).alias("w"))
     first = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     mx = docs.agg(F.max("doc_id").alias("max_doc"))
@@ -1422,15 +1422,9 @@ def q_text_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", P.tokens(F.lower(F.col("text"))).alias("t"))
     tc = F.col("t")
-    n = F.size(tc)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(tc, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(tc, 2, F.greatest(n - 1, F.lit(0))),
-            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-        ),
-    ).otherwise(F.array())
+    bigrams = _bigram_pairs(
+        tc, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+    )
     ex = toked.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", "bg.w1", "bg.w2"
     )
