@@ -537,6 +537,18 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # PQ path (same seed codebook construction as ann_pq, over the
+    # derived set). Group-mates share codes, so ADC distances TIE within
+    # a cluster and the id tiebreak picks the lowest-id mates — PQ finds
+    # the right cluster but cannot rank inside it (the measured ~0.2
+    # recall vs ~0.06 isotropic), which is exactly why production PQ
+    # reranks survivors with exact distances (ann_pq's docstring).
+    pv = emb.select("vec_id", F.col("embedding").alias("v"))
+    cb_one = _pq_cb_one(_pq_codebook_entries(pv))
+    pq = _pq_adc_topk(_pq_codes(pv, cb_one), _pq_luts(pv, cb_one)).select(
+        "query_id", "neighbor_id"
+    )
+
     def path_recall(approx: DataFrame, path: str) -> DataFrame:
         a = approx.select("query_id", "neighbor_id", F.lit(1).alias("in_a"))
         j = truth.join(a, ["query_id", "neighbor_id"], "left")
@@ -547,7 +559,11 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("in_a").cast("double") / F.count("*")).alias("recall"),
         )
 
-    return path_recall(lsh, "lsh").unionAll(path_recall(ivf, "ivf"))
+    return (
+        path_recall(lsh, "lsh")
+        .unionAll(path_recall(ivf, "ivf"))
+        .unionAll(path_recall(pq, "pq"))
+    )
 
 
 def _oracle_ann_eval_recall_clustered() -> str:
@@ -606,6 +622,21 @@ ivf AS (SELECT query_id, neighbor_id FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
   FROM isc) WHERE rnk <= {TOP_K}),
+{_sql_pq_cb_codes('e')},
+plut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code, {_sql_sub_sqd('q.v')} AS ld
+  FROM e q, cb WHERE q.vec_id < {N_QUERIES}),
+padc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         {_SQL_ADC_SUM} AS adc_dist
+  FROM codes c JOIN plut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2),
+pq AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+  FROM padc) WHERE rnk <= {TOP_K}),
 jl AS (
   SELECT 'lsh' AS path, count(*) AS n_truth,
          count(a.neighbor_id) AS n_hit,
@@ -617,8 +648,14 @@ ji AS (
          count(a.neighbor_id) AS n_hit,
          count(a.neighbor_id)::DOUBLE / count(*) AS recall
   FROM t LEFT JOIN ivf a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+jp AS (
+  SELECT 'pq' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN pq a
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
-SELECT * FROM jl UNION ALL SELECT * FROM ji
+SELECT * FROM jl UNION ALL SELECT * FROM ji UNION ALL SELECT * FROM jp
 """
 
 
