@@ -1043,3 +1043,20 @@ def test_ann_ivf_pq_assignment_is_broadcast_rowlocal(spark):
     assert "CartesianProduct" not in tree
     assert "SortMergeJoin" not in tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_lm_quality_filter_no_global_ntile(spark):
+    """Round-9 re-plan (verdict-8 #1): tercile assignment must be the
+    range-partitioned rank machinery, never a corpus-cardinality
+    ``ntile OVER (ORDER BY ...)`` — no ntile node and no
+    single-partition exchange anywhere in the plan; the rank window
+    must partition by the range id."""
+    p = plan(spark, _q(spark, "text_lm_quality_filter"))
+    assert "ntile" not in p, p
+    assert "Exchange SinglePartition" not in p, p
+    tree = p.split("\n\n", 1)[0]
+    assert "Window" in tree, p
+    # the rank window's exchange hashes on pid (full-width), and the
+    # row_number spec carries the pid partition key
+    assert "hashpartitioning(pid" in p, p
+    assert "windowspecdefinition(pid" in p, p
