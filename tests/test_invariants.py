@@ -873,3 +873,60 @@ def test_lpa_community_labels_are_member_node_ids(spark):
     assert sum(r.n_members for r in out) == len(nodes)
     assert all(r.community in nodes for r in out)
     assert all(r.min_member <= r.max_member for r in out)
+
+
+def test_ann_pq_rerank_refine_contract(spark):
+    """The refine stage's contract (round-9 verdict #2):
+
+    1. every reranked neighbor came from the ADC candidate pool
+       (rerank REORDERS survivors, it never invents candidates);
+    2. per query the output is TOP_K dense ranks ordered by exact
+       cosine descending (neighbor_id tiebreak);
+    3. on the clustered eval corpus the rerank row's recall must
+       strictly beat plain PQ's and reach the brute-force 1.0 — the
+       documented ADC-tie failure mode is closed, not just moved.
+    """
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+        N_QUERIES,
+        RERANK_R,
+        TOP_K,
+        q_ann_eval_recall_clustered,
+        q_ann_pq,
+        q_ann_pq_rerank,
+        _pq_adc_topk,
+        _pq_cb_one,
+        _pq_codebook_entries,
+        _pq_codes,
+        _pq_luts,
+    )
+    from tiny_mapreduce_rpc_server_spark.sources import load_table
+
+    sf = SF_ORACLE
+    out = q_ann_pq_rerank(spark, sf).collect()
+    assert len(out) == N_QUERIES * TOP_K
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb_one = _pq_cb_one(_pq_codebook_entries(emb))
+    pool = {
+        (r.query_id, r.neighbor_id)
+        for r in _pq_adc_topk(
+            _pq_codes(emb, cb_one), _pq_luts(emb, cb_one), k=RERANK_R
+        ).collect()
+    }
+    by_q = {}
+    for r in out:
+        assert (r.query_id, r.neighbor_id) in pool
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, TOP_K + 1))
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+    recalls = {
+        r.path: r.recall for r in q_ann_eval_recall_clustered(spark, sf).collect()
+    }
+    assert recalls["pq_rerank"] == 1.0
+    assert recalls["pq_rerank"] > recalls["pq"]

@@ -1060,3 +1060,15 @@ def test_lm_quality_filter_no_global_ntile(spark):
     # row_number spec carries the pid partition key
     assert "hashpartitioning(pid" in p, p
     assert "windowspecdefinition(pid" in p, p
+
+
+def test_ann_pq_rerank_broadcasts_candidates_no_smj(spark):
+    """The refine stage must broadcast the Q*R candidate list back over
+    the corpus scan — the corpus side is never shuffled on a join key
+    (no SortMergeJoin, no cartesian product); the two shuffles allowed
+    are the ADC top-R and the final exact top-k windows."""
+    tree = plan(spark, _q(spark, "ann_pq_rerank")).split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "Window" in tree

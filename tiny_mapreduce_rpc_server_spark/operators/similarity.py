@@ -375,6 +375,12 @@ def q_ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(path_recall(q_ann_ivf(spark, sf_dir), "ivf"))
         .unionAll(path_recall(q_ann_pq(spark, sf_dir), "pq"))
         .unionAll(path_recall(q_ann_ivf_pq(spark, sf_dir), "ivfpq"))
+        # the refine stage's honest caveat: on a SMALL corpus RERANK_R
+        # covers a large fraction of N, so this row overstates what a
+        # 100 TB deployment would see (there R/N -> 0 and recall is
+        # bounded by how many true neighbors quantization lets into the
+        # candidate pool); the clustered eval is the structural signal
+        .unionAll(path_recall(q_ann_pq_rerank(spark, sf_dir), "pq_rerank"))
     )
 
 
@@ -385,6 +391,7 @@ lsh AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_LSH})),
 ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF})),
 pq AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_PQ})),
 ivfpq AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF_PQ})),
+pqr AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_PQ_RERANK})),
 jl AS (
   SELECT 'lsh' AS path, count(*) AS n_truth,
          count(a.neighbor_id) AS n_hit,
@@ -408,9 +415,15 @@ jip AS (
          count(a.neighbor_id) AS n_hit,
          count(a.neighbor_id)::DOUBLE / count(*) AS recall
   FROM t LEFT JOIN ivfpq a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+jpr AS (
+  SELECT 'pq_rerank' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN pqr a
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
 SELECT * FROM jl UNION ALL SELECT * FROM ji UNION ALL SELECT * FROM jp
-UNION ALL SELECT * FROM jip
+UNION ALL SELECT * FROM jip UNION ALL SELECT * FROM jpr
 """
 
 
@@ -541,12 +554,27 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived set). Group-mates share codes, so ADC distances TIE within
     # a cluster and the id tiebreak picks the lowest-id mates — PQ finds
     # the right cluster but cannot rank inside it (the measured ~0.2
-    # recall vs ~0.06 isotropic), which is exactly why production PQ
-    # reranks survivors with exact distances (ann_pq's docstring).
+    # recall vs ~0.06 isotropic). The pq_rerank row then measures the
+    # refine stage (q_ann_pq_rerank): exact-cosine rescore of the
+    # top-RERANK_R ADC survivors — its top-TOP_K prefix IS the plain pq
+    # answer, so one ADC scan feeds both rows.
     pv = emb.select("vec_id", F.col("embedding").alias("v"))
     cb_one = _pq_cb_one(_pq_codebook_entries(pv))
-    pq = _pq_adc_topk(_pq_codes(pv, cb_one), _pq_luts(pv, cb_one)).select(
-        "query_id", "neighbor_id"
+    cand_r = (
+        _pq_adc_topk(
+            _pq_codes(pv, cb_one), _pq_luts(pv, cb_one), k=RERANK_R
+        )
+        .select("query_id", "rnk", "neighbor_id")
+        .cache()
+    )
+    pq = cand_r.filter(F.col("rnk") <= TOP_K).select("query_id", "neighbor_id")
+    pqr = topk(
+        emb.join(
+            F.broadcast(cand_r.select("query_id", "neighbor_id")),
+            F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
     )
 
     def path_recall(approx: DataFrame, path: str) -> DataFrame:
@@ -563,6 +591,7 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_recall(lsh, "lsh")
         .unionAll(path_recall(ivf, "ivf"))
         .unionAll(path_recall(pq, "pq"))
+        .unionAll(path_recall(pqr, "pq_rerank"))
     )
 
 
@@ -632,11 +661,23 @@ padc AS (
   FROM codes c JOIN plut l ON l.m = c.m AND l.code = c.code
   WHERE c.vec_id <> l.query_id
   GROUP BY 1, 2),
-pq AS (SELECT query_id, neighbor_id FROM (
+pcand AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+    FROM padc) WHERE rnk <= {RERANK_R}),
+pq AS (SELECT query_id, neighbor_id FROM pcand WHERE rnk <= {TOP_K}),
+prsc AS (
+  SELECT c.query_id, c.neighbor_id, {cossql.format(t='e')} AS cos_sim
+  FROM pcand c
+  JOIN e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id),
+pqr AS (SELECT query_id, neighbor_id FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
-  FROM padc) WHERE rnk <= {TOP_K}),
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM prsc) WHERE rnk <= {TOP_K}),
 jl AS (
   SELECT 'lsh' AS path, count(*) AS n_truth,
          count(a.neighbor_id) AS n_hit,
@@ -654,8 +695,15 @@ jp AS (
          count(a.neighbor_id) AS n_hit,
          count(a.neighbor_id)::DOUBLE / count(*) AS recall
   FROM t LEFT JOIN pq a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+jr AS (
+  SELECT 'pq_rerank' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN pqr a
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
 SELECT * FROM jl UNION ALL SELECT * FROM ji UNION ALL SELECT * FROM jp
+UNION ALL SELECT * FROM jr
 """
 
 
@@ -1105,12 +1153,16 @@ def _pq_luts(emb: DataFrame, cb_one: DataFrame) -> DataFrame:
     )
 
 
-def _pq_adc_topk(coded: DataFrame, luts: DataFrame, on_cell: bool = False) -> DataFrame:
+def _pq_adc_topk(
+    coded: DataFrame, luts: DataFrame, on_cell: bool = False, k: int = TOP_K
+) -> DataFrame:
     """ADC scan (PQ_M lookups + ordered-fold adds per candidate) + top-k.
 
     ``on_cell=True`` additionally equi-joins on the IVF cell key (the
     IVF-PQ shape: a candidate is scored only by the probes that reached
-    its cell)."""
+    its cell). ``k`` is the candidate depth — TOP_K for the direct PQ
+    answer, RERANK_R when the output feeds the exact-rescore refine
+    stage."""
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
@@ -1131,7 +1183,7 @@ def _pq_adc_topk(coded: DataFrame, luts: DataFrame, on_cell: bool = False) -> Da
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "adc_dist")
     )
 
@@ -1195,6 +1247,105 @@ ranked AS (
                             ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
   FROM adc)
 SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+# Rerank candidate depth: how many ADC survivors get the exact rescore.
+# Sized >= the eval corpus's densest cluster occupancy (2000/16 = 125 at
+# sf0.1) so the refine stage can see past PQ's within-cluster ADC ties;
+# production FAISS refine typically uses 4-50x k — the knob trades one
+# exact distance per survivor against recall, never correctness.
+RERANK_R = 128
+
+
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with an exact-rescore refine stage — FAISS's IndexRefine /
+    IVFADC+R composition (Jegou et al. TPAMI'11 §VI): the ADC scan keeps
+    its memory-bounded candidate generation, but the top-RERANK_R ADC
+    survivors per query are re-scored with the EXACT cosine against the
+    raw vectors, and the final top-k ranks on that. This closes the
+    documented PQ failure mode (``ann_eval_recall_clustered``: ADC ties
+    inside a cluster — right cluster, unrankable members, recall 0.20):
+    ties among survivors are broken by true distance, so recall is
+    bounded by candidate coverage, not quantization resolution.
+
+    100 TB shape: stage 1 is ann_pq's single code-column scan (ONE
+    broadcast codebook row, row-local encode, per-query top-R shuffle of
+    Q*R id pairs only). Stage 2 broadcasts the Q*R candidate list (tiny
+    by construction) back over the corpus scan, so only the survivors'
+    raw vectors are ever re-read — on a real lake a vec_id-keyed point
+    lookup; here a second scan pruned to (vec_id, v). The exact rescore
+    is Q*R ordered-fold cosines, row-local; the only shuffle is the
+    final top-k.
+
+    No reference counterpart (SURVEY §2.11 — [EXT]).
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb_one = _pq_cb_one(_pq_codebook_entries(emb))
+    coded = _pq_codes(emb, cb_one)
+    luts = _pq_luts(emb, cb_one)
+    cands = _pq_adc_topk(coded, luts, k=RERANK_R).select(
+        "query_id", "neighbor_id"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        emb.join(F.broadcast(cands), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+_SQL_COS_QV_EV = (
+    "list_dot_product(qv, e.v)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))"
+)
+
+ORACLE_ANN_PQ_RERANK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_sql_pq_cb_codes('e')},
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code, {_sql_sub_sqd('q.v')} AS ld
+  FROM e q, cb WHERE q.vec_id < {N_QUERIES}),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         {_SQL_ADC_SUM} AS adc_dist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+    FROM adc) WHERE rnk <= {RERANK_R}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id, {_SQL_COS_QV_EV} AS cos_sim
+  FROM cand c
+  JOIN e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM rescored)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
@@ -1502,6 +1653,12 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         ORACLE_ANN_PQ,
         ("ext", "similarity", "pq"),
         bench=True,
+    ),
+    QuerySpec(
+        "ann_pq_rerank",
+        q_ann_pq_rerank,
+        ORACLE_ANN_PQ_RERANK,
+        ("ext", "similarity", "pq", "rerank"),
     ),
     QuerySpec(
         "ann_pq_persisted",
