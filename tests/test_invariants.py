@@ -930,3 +930,87 @@ def test_ann_pq_rerank_refine_contract(spark):
     }
     assert recalls["pq_rerank"] == 1.0
     assert recalls["pq_rerank"] > recalls["pq"]
+
+
+def test_registrable_domain_full_size_psl(spark):
+    """Round-9 verdict #3: the PSL machinery at FULL list size. A ~9k-rule
+    synthetic list in the official file format (generated + measured by
+    tools/psl_fullsize_probe.py) goes through load_psl_file(), and all
+    THREE implementations — column-expression cascade, broadcast
+    rule-table join (the hot path), DuckDB SQL generator — must agree
+    host-by-host on hosts that exercise the synthetic rules (1-label
+    TLD, 2-label registry, wildcard, exception), the embedded
+    high-traffic rules (which the synthetic list retains), and the
+    guard rails (IP literal, bare suffix, single label)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.functions import psl
+    from tools.psl_fullsize_probe import synthesize_psl_text, write_synthetic_psl
+
+    path = write_synthetic_psl("/tmp/psl_synthetic_full_test.dat")
+    parsed = psl.load_psl_file(path)
+    n_rules = sum(len(v) for v in parsed.values())
+    assert n_rules > 9000, n_rules
+    # the loader must have dropped the private-domains section
+    assert "ignored.private.example" not in parsed["exact"]
+    assert "ignored-wild.example" not in parsed["wild"]
+
+    hosts = [
+        # synthetic 1-label TLD xa7: registrable = last 2 labels
+        ("a.b.xa7", "b.xa7"),
+        ("xa7", None),  # bare suffix
+        # synthetic 2-label registry co5.xa5: one more label
+        ("www.site.co5.xa5", "site.co5.xa5"),
+        ("co5.xa5", None),  # bare suffix
+        # wildcard *.wk3: any x.wk3 is itself a suffix
+        ("anything.wk3", None),
+        ("site.anything.wk3", "site.anything.wk3"),
+        # exception !city.wk3 beats the wildcard
+        ("city.wk3", "city.wk3"),
+        ("sub.city.wk3", "city.wk3"),
+        # embedded high-traffic rules retained at full size
+        ("deep.sub.example.co.uk", "example.co.uk"),
+        ("a.b.co.jp", "b.co.jp"),
+        ("district.k12.ca.us", "district.k12.ca.us"),
+        # default rule + guards
+        ("blog.example.com", "example.com"),
+        ("localhost", None),
+        ("127.0.0.1", None),
+        ("co.uk", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], ["h"])
+    expr_got = {
+        r.h: r.r
+        for r in df.select(
+            "h", psl.registrable_domain_of_host(F.col("h"), parsed).alias("r")
+        ).collect()
+    }
+    for h, want in hosts:
+        assert expr_got[h] == want, (h, expr_got[h], want)
+    join_got = {
+        r.h: r.registrable_domain
+        for r in psl.with_registrable_domain(df, "h", parsed=parsed).collect()
+    }
+    assert join_got == expr_got, {
+        h: (join_got.get(h), expr_got.get(h))
+        for h, _ in hosts
+        if join_got.get(h) != expr_got.get(h)
+    }
+    con = duckdb.connect()
+    duck_expr = psl.sql_registrable_domain("hlabels", "len(hlabels)", parsed)
+    duck_got = dict(
+        con.execute(
+            "SELECT h, " + duck_expr + " FROM (SELECT h, str_split(h, '.') AS "
+            "hlabels FROM (SELECT unnest($1) AS h))",
+            [[h for h, _ in hosts]],
+        ).fetchall()
+    )
+    assert duck_got == expr_got, {
+        h: (duck_got.get(h), expr_got.get(h))
+        for h, _ in hosts
+        if duck_got.get(h) != expr_got.get(h)
+    }
+    # determinism of the fixture itself (same text every call)
+    assert synthesize_psl_text() == synthesize_psl_text()

@@ -16,10 +16,17 @@ official ``public_suffix_list.dat`` line format (comments, ``*.``
 wildcards, ``!`` exceptions), embedded because this build environment
 has no network access. A production deployment downloads the full file
 and swaps it in via ``load_psl_file(path)`` — the parser, the
-expression builder, and the SQL generator all consume the parsed form,
-so nothing else changes. At the full list's size (~9k rules) the
-membership sets still compile to static ``InSet`` hash lookups
-broadcast inside the plan — per-row cost stays O(1).
+expression builder, the join form, and the SQL generator all take the
+parsed form, so nothing else changes. MEASURED at full size
+(tools/psl_fullsize_probe.py, 9,291 synthetic rules in the official
+format; equality pinned by
+tests/test_invariants.py::test_registrable_domain_full_size_psl):
+per-row cost stays O(1) in both forms (execution flat), but the
+expression form's plan-BUILD grows 12x (0.5 s -> 6.5 s — the inlined
+``InSet`` literals are re-analyzed per query) while the broadcast-join
+form stays flat (~0.6 s, rule-table-size independent). Hot paths must
+use ``with_registrable_domain``; the expression form is for small
+embedded tables and oracle generation.
 
 Scope notes (documented contract, not silent gaps):
 - IDNA/punycode labels match as-is (the PSL ships punycode A-labels;
@@ -401,10 +408,8 @@ def load_psl_file(path: str) -> dict[str, set[str]]:
     return _parse_psl(icann)
 
 
-@lru_cache(maxsize=1)
-def _rules() -> dict[str, dict[int, list[str]]]:
-    """Embedded rules grouped by label count, sorted for determinism."""
-    parsed = _parse_psl(_EMBEDDED_PSL)
+def _by_n(parsed: dict[str, set[str]]) -> dict[str, dict[int, list[str]]]:
+    """Group a parsed rule table by label count, sorted for determinism."""
 
     def by_n(names: set[str]) -> dict[int, list[str]]:
         out: dict[int, list[str]] = {}
@@ -415,19 +420,31 @@ def _rules() -> dict[str, dict[int, list[str]]]:
     return {k: by_n(v) for k, v in parsed.items()}
 
 
+@lru_cache(maxsize=1)
+def _rules() -> dict[str, dict[int, list[str]]]:
+    """Embedded rules grouped by label count, sorted for determinism."""
+    return _by_n(_parse_psl(_EMBEDDED_PSL))
+
+
 # hosts with no registrable domain: v4 dotted-quad / bracketed v6
 _IP_RE = r"^(\d{1,3}(\.\d{1,3}){3}|\[.*\])$"
 
 
-def registrable_domain_of_host(host: Column) -> Column:
+def registrable_domain_of_host(
+    host: Column, parsed: dict[str, set[str]] | None = None
+) -> Column:
     """Registrable domain of a lowercase host column under the PSL
     matching algorithm — longest rule wins, ``!exception`` beats ``*.``
     wildcard beats exact, unlisted TLDs fall back to the default rule
     (the TLD itself is the suffix). NULL (never '') when the host has no
     registrable domain: IP literals, bare public suffixes, single-label
     hosts. Pure codegen'd expressions: split + static-set membership on
-    the last 1..3 labels."""
-    r = _rules()
+    the last 1..3 labels.
+
+    ``parsed`` swaps in a full ``load_psl_file()`` rule table (rules up
+    to 3 labels / wildcard parents up to 2 — the embedded cascade's
+    supported shape); default is the embedded subset."""
+    r = _by_n(parsed) if parsed is not None else _rules()
     labels = F.split(host, r"\.")
     n = F.size(labels)
 
@@ -464,7 +481,9 @@ def registrable_domain_of_host(host: Column) -> Column:
     ).otherwise(F.array_join(F.slice(labels, n - slen, slen + 1), "."))
 
 
-def rule_rows() -> list[tuple[str, int, int, int]]:
+def rule_rows(
+    parsed: dict[str, set[str]] | None = None
+) -> list[tuple[str, int, int, int]]:
     """The rule table in relational form for the broadcast-join lookup:
     (name, pri, rl, slen) where ``name`` is the label sequence a host's
     tail must equal, ``pri`` ranks exception rules above normal ones
@@ -472,7 +491,8 @@ def rule_rows() -> list[tuple[str, int, int, int]]:
     the rule's label count for the longest-rule-wins ordering (a
     wildcard ``*.p`` counts one more than its parent), and ``slen`` is
     the public-suffix label count when this rule prevails."""
-    parsed = _parse_psl(_EMBEDDED_PSL)
+    if parsed is None:
+        parsed = _parse_psl(_EMBEDDED_PSL)
     rows: list[tuple[str, int, int, int]] = []
     for s in sorted(parsed["exact"]):
         k = s.count(".") + 1
@@ -486,7 +506,12 @@ def rule_rows() -> list[tuple[str, int, int, int]]:
     return rows
 
 
-def with_registrable_domain(df, host_col: str, out_col: str = "registrable_domain"):
+def with_registrable_domain(
+    df,
+    host_col: str,
+    out_col: str = "registrable_domain",
+    parsed: dict[str, set[str]] | None = None,
+):
     """DataFrame-level registrable-domain lookup — the 100 TB shape: the
     rule table joins BROADCAST against the host's last-1/2/3 label tails
     (three broadcast hash joins, zero shuffle, no giant per-row CASE),
@@ -503,7 +528,7 @@ def with_registrable_domain(df, host_col: str, out_col: str = "registrable_domai
     when the host has no registrable domain."""
     spark = df.sparkSession
     rules = spark.createDataFrame(
-        rule_rows(), "name string, pri int, rl int, slen int"
+        rule_rows(parsed), "name string, pri int, rl int, slen int"
     )
     host = F.col(host_col)
     labels = F.split(host, r"\.")
@@ -559,13 +584,15 @@ def _sql_in(names: list[str]) -> str:
     return ", ".join("'" + s + "'" for s in names)
 
 
-def sql_registrable_domain(labels: str, n: str) -> str:
+def sql_registrable_domain(
+    labels: str, n: str, parsed: dict[str, set[str]] | None = None
+) -> str:
     """DuckDB expression computing the SAME rule cascade over a
     pre-split label list column ``labels`` (str_split(host, '.')) and
     its length ``n`` — generated from the same parsed rule table as the
     Spark expression, so both engines share one rule set by
     construction."""
-    r = _rules()
+    r = _by_n(parsed) if parsed is not None else _rules()
 
     def lastk(k: int) -> str:
         return f"array_to_string({labels}[{n} - {k - 1}:{n}], '.')"
