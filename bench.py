@@ -3,10 +3,16 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed to completion (collect) so the timing covers the
-whole plan including shuffles. Runs every registered query once to warm
-the JVM/code cache? No — warmup would hide cold-plan cost; we time a
-single cold run per query after one tiny warmup action to amortize
-session startup only.
+whole plan including shuffles.
+
+Drift protocol (round-9 verdict #4): EVERY headliner runs warm
+median-of-3 — one untimed warm run (absorbs per-plan codegen/JIT, the
+dominant single-run noise source: BENCH_r08's 1.33x-vs-baseline read
+came from exactly this class of box drift), then 3 timed runs, median
+reported. Session-level fixed costs (JVM spin-up, parquet-footer reader
+init, first shuffle/SMJ/window codegen, Python worker pool) are
+absorbed once up front. Internal caches are dropped between runs so a
+query that .cache()s never gets warm-cache credit.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ def main() -> None:
     # worker pool for Arrow UDFs. These are per-session fixed costs that
     # would otherwise land entirely on whichever query happens to run
     # first (registry order), making round-over-round per-query deltas
-    # noise. Each query's own plan still runs cold below.
+    # noise.
     spark.range(1).count()
     smallest = os.path.join(sf_dir, "region.parquet")
     if os.path.exists(smallest):
@@ -50,10 +56,7 @@ def main() -> None:
     specs = [s for s in all_queries().values() if s.bench]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # Long queries get median-of-3 so round-over-round deltas are signal,
-    # not run variance; short ones stay single-run (their fixed Spark
-    # job-submission overhead dominates either way).
-    slow_sec = float(os.environ.get("SPARK_GRAFT_MEDIAN_ABOVE_SEC", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for spec in specs:
 
         def run_once():
@@ -69,19 +72,20 @@ def main() -> None:
             return time.perf_counter() - t0, n
 
         try:
-            dt, n = run_once()
-            runs = 1
-            if dt > slow_sec:
-                times = [dt, run_once()[0], run_once()[0]]
-                dt = sorted(times)[1]
-                runs = 3
+            _, n = run_once()  # untimed warm run (plan codegen/JIT)
+            times = sorted(run_once()[0] for _ in range(reps))
+            dt = times[len(times) // 2]
         except Exception as exc:  # one broken query must not kill the bench
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {spec.name}: FAILED {type(exc).__name__}", file=sys.stderr)
             continue
         timings[spec.name] = round(dt, 3)
-        tag = " (median of 3)" if runs == 3 else ""
-        print(f"# {spec.name}: {dt:.3f}s rows~{n}{tag}", file=sys.stderr)
+        spread = times[-1] - times[0]
+        print(
+            f"# {spec.name}: {dt:.3f}s rows~{n} "
+            f"(warm median of {reps}, spread {spread:.3f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -1072,3 +1072,26 @@ def test_ann_pq_rerank_broadcasts_candidates_no_smj(spark):
     assert "SortMergeJoin" not in tree
     assert "BroadcastHashJoin" in tree
     assert "Window" in tree
+
+
+@pytest.mark.parametrize(
+    "name,agg_key",
+    [("text_vocab_coverage", "w#"), ("pareto_report", "o_custkey")],
+)
+def test_small_table_global_windows_sit_above_aggregates(spark, name, agg_key):
+    """Round-9 verdict #6: the two documented small-table global windows
+    (vocabulary curve, customer Pareto) were stage-accounted at sf1* —
+    near-flat over the 1000x probe range (window input is the
+    vocabulary / per-customer aggregate, 310 / 150k rows at sf1*) — so
+    the bound is pinned structurally instead of re-planned: the
+    ordering window must consume the AGGREGATE's output (partial
+    map-side agg collapses the corpus first), never raw corpus rows.
+    In the formatted tree upper operators print first, so the Window
+    must appear ABOVE the keyed HashAggregate feeding it."""
+    p = plan(spark, _q(spark, name))
+    tree = p.split("\n\n", 1)[0]
+    assert "Window" in tree, p
+    assert "partial_" in p, p  # map-side partial aggregation survives
+    w_at = tree.index("Window")
+    agg_at = tree.index("HashAggregate")
+    assert w_at < agg_at, tree
