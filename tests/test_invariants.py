@@ -1014,3 +1014,43 @@ def test_registrable_domain_full_size_psl(spark):
     }
     # determinism of the fixture itself (same text every call)
     assert synthesize_psl_text() == synthesize_psl_text()
+
+
+def test_lpa_converged_fixed_point_contract(spark):
+    """graph_community_lpa_converged's contract (round-9 verdict #7):
+    the loop stops ONLY at a true fixed point, so (1) re-applying the
+    self-vote step to the converged labeling must change nothing (toy
+    graph where plain sync LPA oscillates: a 2-clique swaps forever,
+    self-vote settles); (2) the converged query's output is a valid
+    partition: positive sizes, ordered member bounds, non-empty node
+    universe."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        _lpa_selfvote_step,
+        q_graph_community_lpa_converged,
+    )
+
+    # toy: 2-clique {1,2} + triangle {10,11,12} — plain sync LPA swaps
+    # the 2-clique's labels forever; self-vote must settle
+    e = [(1, 2), (2, 1), (10, 11), (11, 10), (10, 12), (12, 10), (11, 12), (12, 11)]
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(6):
+        labels = _lpa_selfvote_step(edges, labels).localCheckpoint(eager=False)
+    settled = {r.node: r.label for r in labels.collect()}
+    again = {
+        r.node: r.label for r in _lpa_selfvote_step(edges, labels).collect()
+    }
+    assert again == settled, (settled, again)
+    assert settled[1] == settled[2] == 1
+    assert settled[10] == settled[11] == settled[12] == 10
+
+    out = q_graph_community_lpa_converged(spark, "/root/testdata/sf0.001").collect()
+    n_nodes = sum(r.n_members for r in out)
+    assert n_nodes > 0
+    for r in out:
+        assert r.min_member <= r.max_member
+        assert r.n_members >= 1
