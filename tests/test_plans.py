@@ -1095,3 +1095,14 @@ def test_small_table_global_windows_sit_above_aggregates(spark, name, agg_key):
     w_at = tree.index("Window")
     agg_at = tree.index("HashAggregate")
     assert w_at < agg_at, tree
+
+
+def test_ann_ivf_pq_rerank_broadcasts_candidates_no_smj(spark):
+    """IVFADC+R: same discipline as ann_pq_rerank — the Q*R candidate
+    list broadcasts back over the corpus scan; the corpus is never
+    shuffled on a join key (no SortMergeJoin, no cartesian)."""
+    tree = plan(spark, _q(spark, "ann_ivf_pq_rerank")).split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "Window" in tree

@@ -1407,6 +1407,14 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference counterpart (SURVEY §2.11 — [EXT]).
     """
+    _, topk = _ivf_pq_pipeline(spark, sf_dir, TOP_K)
+    return topk
+
+
+def _ivf_pq_pipeline(spark: SparkSession, sf_dir: str, k: int):
+    """The IVFADC stages shared by ``ann_ivf_pq`` (k=TOP_K) and
+    ``ann_ivf_pq_rerank`` (k=RERANK_R, output feeds the exact-rescore
+    refine). Returns (emb, adc_topk)."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1455,7 +1463,48 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts = probes.join(F.broadcast(cb_one)).select(
         "query_id", "cell", _pq_grid_col().alias("grid")
     )
-    return _pq_adc_topk(coded, luts, on_cell=True)
+    return emb, _pq_adc_topk(coded, luts, on_cell=True, k=k)
+
+
+def q_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R — the full composition of Jegou et al. TPAMI'11 §VI and
+    FAISS's ``IVFPQR``: coarse cells bound the candidate set, residual
+    PQ bounds per-candidate cost/memory, and the top-RERANK_R ADC
+    survivors per query get an exact-cosine rescore against the RAW
+    vectors before the final top-k. Completes the rerank story started
+    by ``ann_pq_rerank``: recall becomes bounded by candidate coverage
+    (cells probed x R), not quantization resolution.
+
+    100 TB shape: stages 1-2 are ``ann_ivf_pq``'s single coded-column
+    scan (broadcast centroid row + codebook row, cell-keyed ADC join);
+    the refine broadcasts the Q*R candidate id list back over one
+    pruned corpus scan (a vec_id point lookup on a real lake) and the
+    exact rescore is Q*R row-local ordered-fold cosines.
+
+    No reference counterpart (SURVEY §2.11 — [EXT]).
+    """
+    emb, cands = _ivf_pq_pipeline(spark, sf_dir, RERANK_R)
+    cands = cands.select("query_id", "neighbor_id")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        emb.join(F.broadcast(cands), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
 
 
 _IVFPQ_CENT_IDS_SQL = ", ".join(str(i) for i in CENTROID_IDS)
@@ -1505,6 +1554,28 @@ ranked AS (
   FROM adc)
 SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
 """
+
+
+# IVFADC+R oracle: the SAME CTE chain as ORACLE_ANN_IVF_PQ (single
+# owner — derived by swapping the final cut), candidates kept to
+# RERANK_R, then exact-cosine rescore on the raw vectors
+ORACLE_ANN_IVF_PQ_RERANK = ORACLE_ANN_IVF_PQ.replace(
+    f"SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}",
+    f""", cand AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_R}),
+qr AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+resc AS (
+  SELECT c.query_id, c.neighbor_id, {_SQL_COS_QV_EV} AS cos_sim
+  FROM cand c
+  JOIN e ON e.vec_id = c.neighbor_id
+  JOIN qr ON qr.query_id = c.query_id),
+rr AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM resc)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM rr WHERE rnk <= {TOP_K}""",
+)
 
 
 def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,6 +1730,7 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         q_ann_pq_rerank,
         ORACLE_ANN_PQ_RERANK,
         ("ext", "similarity", "pq", "rerank"),
+        bench=True,
     ),
     QuerySpec(
         "ann_pq_persisted",
@@ -1671,6 +1743,12 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         q_ann_ivf_pq,
         ORACLE_ANN_IVF_PQ,
         ("ext", "similarity", "pq", "ivf"),
+    ),
+    QuerySpec(
+        "ann_ivf_pq_rerank",
+        q_ann_ivf_pq_rerank,
+        ORACLE_ANN_IVF_PQ_RERANK,
+        ("ext", "similarity", "pq", "ivf", "rerank"),
     ),
     QuerySpec(
         "ann_index_stats",
