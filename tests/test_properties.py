@@ -123,3 +123,139 @@ def test_cluster_pair_candidates_drop_zero_norm():
     # finite anti-parallel pair is a normal BLAS reject
     assert (2, 3) not in pairs, pairs
     assert set(out["cluster"]) == {7}
+
+
+@given(
+    n=st.integers(min_value=0, max_value=10_000),
+    k=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_closed_form_ntile_matches_sql_spec(n, k):
+    """The round-9 lm-quality re-plan assigns ntile buckets in closed
+    form from (rank, N, k) instead of a global window. Property: for
+    any N and k, the formula reproduces the SQL-standard ntile spec —
+    the first N mod k buckets take ceil(N/k) rows, the rest floor(N/k);
+    buckets are dense, non-decreasing, and sized exactly."""
+    q, r = divmod(n, k)
+
+    def bucket(rn: int) -> int:
+        # the exact expression q_text_lm_quality_filter compiles
+        if rn <= r * (q + 1):
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - 1 - r * (q + 1)) // max(q, 1) + 1
+
+    buckets = [bucket(rn) for rn in range(1, n + 1)]
+    assert buckets == sorted(buckets)
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    # SQL spec: first (n mod k) buckets have q+1 rows, the rest q
+    for b in range(1, min(k, n) + 1 if q == 0 else k + 1):
+        want = (q + 1) if b <= r else q
+        if want:
+            assert sizes[b] == want, (n, k, b, sizes[b], want)
+    # no bucket beyond k, no gaps among used buckets
+    if n:
+        used = sorted(sizes)
+        assert used[0] == 1 and used[-1] <= k
+        assert used == list(range(1, used[-1] + 1))
+
+
+def _psl_reference(host: str, rules: dict) -> "str | None":
+    """Independent pure-Python PSL matcher (publicsuffix.org algorithm)
+    for cross-checking the Spark/DuckDB implementations: longest
+    matching rule wins, exception beats wildcard beats exact, unlisted
+    TLD -> 1-label default; NULL for IPs / bare suffixes / 1-label."""
+    import re as _re
+
+    if _re.match(r"^(\d{1,3}(\.\d{1,3}){3}|\[.*\])$", host) or host == "":
+        return None
+    labels = host.split(".")
+    n = len(labels)
+    slen = 1
+    # exceptions first (suffix = name minus leftmost label)
+    for k in (2, 3):
+        if n >= k and ".".join(labels[-k:]) in rules["exc"]:
+            slen = k - 1
+            break
+    else:
+        if n >= 3 and ".".join(labels[-3:]) in rules["exact"]:
+            slen = 3
+        elif n >= 2 and ".".join(labels[-2:]) in rules["wild"]:
+            slen = 3
+        elif n >= 2 and ".".join(labels[-2:]) in rules["exact"]:
+            slen = 2
+        elif n >= 1 and labels[-1] in rules["wild"]:
+            slen = 2
+    if n <= slen:
+        return None
+    return ".".join(labels[-(slen + 1):])
+
+
+def test_psl_implementations_match_reference_on_random_rules(spark):
+    """Property (fixed seeds, batched into one Spark job per form): for
+    randomized rule tables in the official PSL format and hosts built
+    from those rules, the column-expression form, the broadcast-join
+    form, and the DuckDB SQL generator all equal an independent
+    pure-Python reference implementation of the publicsuffix.org
+    algorithm."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.functions import psl
+
+    rng = random.Random(20260816)
+    tlds = [f"t{i}" for i in range(30)]
+    exact2 = [f"co{i}.{rng.choice(tlds)}" for i in range(40)]
+    exact3 = [f"k{i}.{rng.choice(exact2)}" for i in range(10)]
+    wild = [f"w{i}" for i in range(8)] + [f"p{i}.{rng.choice(tlds)}" for i in range(6)]
+    exc = [f"city.{w}" for w in wild[:6]]
+    text = "\n".join(
+        tlds + exact2 + exact3 + [f"*.{w}" for w in wild] + [f"!{e}" for e in exc]
+    )
+    parsed = psl._parse_psl(text)
+    rules = {k: set(v) for k, v in parsed.items()}
+
+    hosts = []
+    pool = tlds + exact2 + exact3 + wild + exc + ["unlisted"]
+    for _ in range(300):
+        base = rng.choice(pool)
+        depth = rng.randint(0, 3)
+        prefix = ".".join(f"x{rng.randint(0, 9)}" for _ in range(depth))
+        hosts.append(f"{prefix}.{base}" if prefix else base)
+    hosts += ["127.0.0.1", "localhost", ""]
+    hosts = sorted(set(h for h in hosts if h))
+
+    want = {h: _psl_reference(h, rules) for h in hosts}
+
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    expr_got = {
+        r.h: r.r
+        for r in df.select(
+            "h", psl.registrable_domain_of_host(F.col("h"), parsed).alias("r")
+        ).collect()
+    }
+    assert expr_got == want, {
+        h: (expr_got[h], want[h]) for h in hosts if expr_got[h] != want[h]
+    }
+    join_got = {
+        r.h: r.registrable_domain
+        for r in psl.with_registrable_domain(df, "h", parsed=parsed).collect()
+    }
+    assert join_got == want, {
+        h: (join_got[h], want[h]) for h in hosts if join_got[h] != want[h]
+    }
+    con = duckdb.connect()
+    duck_expr = psl.sql_registrable_domain("hlabels", "len(hlabels)", parsed)
+    duck_got = dict(
+        con.execute(
+            "SELECT h, " + duck_expr + " FROM (SELECT h, str_split(h, '.') AS "
+            "hlabels FROM (SELECT unnest($1) AS h))",
+            [hosts],
+        ).fetchall()
+    )
+    assert duck_got == want, {
+        h: (duck_got[h], want[h]) for h in hosts if duck_got[h] != want[h]
+    }
