@@ -58,6 +58,12 @@ FLOAT_SHUFFLE_QUERIES = [
     "ann_pq_persisted",
     "ann_ivf_pq",
     "text_lm_quality_filter",
+    # round-9 additions: the rerank queries derive exact cosines through
+    # broadcast joins + a top-k shuffle; the converged LPA's round count
+    # and labels must not depend on the shuffle layout
+    "ann_pq_rerank",
+    "ann_ivf_pq_rerank",
+    "graph_community_lpa_converged",
 ]
 
 _SHUF = "spark.sql.shuffle.partitions"
