@@ -62,6 +62,7 @@ FLOAT_SHUFFLE_QUERIES = [
     # broadcast joins + a top-k shuffle; the converged LPA's round count
     # and labels must not depend on the shuffle layout
     "ann_pq_rerank",
+    "ann_pq_rerank_persisted",
     "ann_ivf_pq_rerank",
     "graph_community_lpa_converged",
 ]

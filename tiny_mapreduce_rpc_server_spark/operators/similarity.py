@@ -1717,6 +1717,69 @@ def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_topk(stored_codes, luts)
 
 
+def q_ann_pq_rerank_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_rerank`` with the WHOLE serving index persisted — the
+    FAISS ``IndexRefine`` deployment shape: the stored state is the
+    codebook, the encoded codes, AND the raw-vector refine store (the
+    refine stage's point-lookup table; in FAISS the refine index holds
+    the full vectors next to the compressed ones). Probe reads ONLY the
+    three stored tables plus fresh query vectors: stored codes drive
+    the ADC top-RERANK_R, the candidate id list broadcasts over the
+    stored refine table for the exact rescore — no live corpus input
+    anywhere. Shares ``ORACLE_ANN_PQ_RERANK``, so the hash comparison
+    proves stored-probe == in-plan derivation end to end.
+
+    100 TB notes: the refine store is the corpus's float column keyed
+    by vec_id — on a real lake a point-lookup-friendly layout (bucketed
+    or sorted by vec_id) so the Q*R candidate fetch is file-pruned, not
+    a full scan."""
+    import os as _os
+    import tempfile as _tempfile
+
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tempfile.gettempdir(), f"tmrs_pqr_index_{sf}")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb_entries = _pq_codebook_entries(emb)
+    # ---- build: train + encode + refine-store writes ----
+    cb_entries.write.mode("overwrite").parquet(base + "/codebook")
+    _pq_codes(emb, _pq_cb_one(cb_entries)).write.mode("overwrite").parquet(
+        base + "/codes"
+    )
+    emb.write.mode("overwrite").parquet(base + "/vectors")
+    # ---- probe: stored tables + fresh query vectors only ----
+    stored_cb_one = _pq_cb_one(spark.read.parquet(base + "/codebook"))
+    stored_codes = spark.read.parquet(base + "/codes")
+    stored_vecs = spark.read.parquet(base + "/vectors")
+    luts = _pq_luts(emb, stored_cb_one)
+    cands = _pq_adc_topk(stored_codes, luts, k=RERANK_R).select(
+        "query_id", "neighbor_id"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        stored_vecs.join(
+            F.broadcast(cands), F.col("vec_id") == F.col("neighbor_id")
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
 SIMILARITY_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "ann_pq",
@@ -1737,6 +1800,12 @@ SIMILARITY_QUERIES: list[QuerySpec] = [
         q_ann_pq_persisted,
         ORACLE_ANN_PQ,
         ("ext", "similarity", "pq", "lakehouse"),
+    ),
+    QuerySpec(
+        "ann_pq_rerank_persisted",
+        q_ann_pq_rerank_persisted,
+        ORACLE_ANN_PQ_RERANK,
+        ("ext", "similarity", "pq", "rerank", "lakehouse"),
     ),
     QuerySpec(
         "ann_ivf_pq",
