@@ -930,6 +930,17 @@ def test_ann_pq_rerank_refine_contract(spark):
     }
     assert recalls["pq_rerank"] == 1.0
     assert recalls["pq_rerank"] > recalls["pq"]
+    # coverage sweep (round-9 verdict #3): recall must be monotone in R
+    # and saturate at the full RERANK_R point — the R/N caveat measured
+    assert (
+        recalls["pq_rerank_r16"]
+        <= recalls["pq_rerank_r64"]
+        <= recalls["pq_rerank"]
+    ), recalls
+    assert recalls["pq_rerank_r16"] < 1.0, (
+        "r16 below cluster occupancy should truncate recall; if this "
+        "saturates the sweep no longer exercises the coverage bound"
+    )
 
 
 def test_registrable_domain_full_size_psl(spark):

