@@ -13,6 +13,24 @@ reported. Session-level fixed costs (JVM spin-up, parquet-footer reader
 init, first shuffle/SMJ/window codegen, Python worker pool) are
 absorbed once up front. Internal caches are dropped between runs so a
 query that .cache()s never gets warm-cache credit.
+
+Window-immune 2x gate (round-10 verdict #1): per-round engine totals
+drift with WHEN the bench runs (BENCH_r09 read 1.57x the recorded
+engine baseline on unchanged plans; the judge's solo re-measure halved
+the three worst rows). So the gate no longer compares two columns
+measured in different windows: for the PAIRED_SENTINELS below, the SAME
+run also times each query's registered DuckDB oracle under the
+identical warm-median-of-3 protocol and emits
+``paired: {name: {engine_sec, oracle_sec, ratio}}`` — a ratio measured
+inside one drift window, immune to it by construction. BASELINE.md's
+gate paragraph reads these ratios, not absolute cells.
+
+Contamination sentinel (round-10 verdict #5): NOTES' "never bench on a
+busy box" discipline is now machine-checked — the JSON carries
+``loadavg_start``/``loadavg_end`` and stamps ``contaminated: true``
+when the 1-min load average exceeds half the cores before the run
+starts (the observed contaminated trial read 78.5 s vs 42.4 s solo),
+so a hot-window driver artifact self-identifies.
 """
 
 from __future__ import annotations
@@ -29,10 +47,50 @@ from pyspark.sql import functions as F
 from tiny_mapreduce_rpc_server_spark import get_spark, release_caches
 from tiny_mapreduce_rpc_server_spark.registry import all_queries
 
+# Sentinels for the paired engine-vs-oracle ratio: span the plan
+# classes the gate cares about — the two weak-flagged rows whose
+# absolute readings drifted across rounds (dedup_embedding,
+# contamination_check), a bucketed ANN probe (ann_ivf), the flagship
+# work-dominated banded join where the engine must stay far ahead
+# (dedup_minhash_lsh), and two overhead-dominated relational/text rows
+# (q9_product_profit, text_tf_idf) where DuckDB's in-process scan is
+# expected to win on absolute time at test SF.
+PAIRED_SENTINELS = [
+    "dedup_embedding",
+    "contamination_check",
+    "ann_ivf",
+    "dedup_minhash_lsh",
+    "q9_product_profit",
+    "text_tf_idf",
+]
+
+
+def _median_of(reps: int, fn) -> tuple[float, float]:
+    """One untimed warm call, then ``reps`` timed; (median, spread)."""
+    fn()
+    times = sorted(_timed(fn) for _ in range(reps))
+    return times[len(times) // 2], times[-1] - times[0]
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    loadavg_start = list(os.getloadavg())
+    ncpu = os.cpu_count() or 1
+    contaminated = loadavg_start[0] > 0.5 * ncpu
+    if contaminated:
+        print(
+            f"# WARNING contaminated window: 1-min load {loadavg_start[0]:.1f} "
+            f"on {ncpu} CPUs before start — treat absolute timings as "
+            "inflated; the paired ratios remain comparable",
+            file=sys.stderr,
+        )
     spark = get_spark("bench")
     # Absorb SESSION startup (not per-plan warmup): JVM spin-up, first
     # parquet-footer reader init, first shuffle exchange, and the Python
@@ -87,6 +145,47 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Paired engine-vs-oracle ratios, measured in THIS run's drift
+    # window. The engine cell reuses the median just measured above (same
+    # session, minutes apart at most); the oracle cell runs the exact
+    # registered DuckDB SQL under the identical warm-median-of-3
+    # protocol, in-process (DuckDB is the single-node baseline engine —
+    # one process, no JVM, same box, same parquet).
+    import duckdb
+
+    from tiny_mapreduce_rpc_server_spark.sources import TABLES, table_path
+
+    by_name = {s.name: s for s in specs}
+    paired: dict[str, dict[str, float]] = {}
+    for name in PAIRED_SENTINELS:
+        spec = by_name.get(name)
+        if spec is None or spec.oracle is None or name not in timings:
+            continue
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{table_path(sf_dir, t)}')"
+            )
+        try:
+            o_med, o_spread = _median_of(reps, lambda: con.execute(spec.oracle).fetchall())
+        except Exception as exc:
+            print(f"# paired {name}: oracle FAILED {type(exc).__name__}", file=sys.stderr)
+            continue
+        finally:
+            con.close()
+        e_sec = timings[name]
+        paired[name] = {
+            "engine_sec": e_sec,
+            "oracle_sec": round(o_med, 3),
+            "ratio": round(e_sec / o_med, 3) if o_med > 0 else float("inf"),
+        }
+        print(
+            f"# paired {name}: engine {e_sec:.3f}s vs oracle {o_med:.3f}s "
+            f"= ratio {paired[name]['ratio']} (oracle spread {o_spread:.3f}s)",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_sec",
@@ -94,6 +193,21 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "paired": paired,
+        # one in-window aggregate: sum(engine)/sum(oracle) over the
+        # sentinels — the single number the 2x gate reads
+        "paired_aggregate_ratio": (
+            round(
+                sum(p["engine_sec"] for p in paired.values())
+                / max(sum(p["oracle_sec"] for p in paired.values()), 1e-9),
+                3,
+            )
+            if paired
+            else None
+        ),
+        "loadavg_start": [round(v, 2) for v in loadavg_start],
+        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+        "contaminated": contaminated,
     }
     if errors:
         payload["errors"] = errors

@@ -1065,3 +1065,53 @@ def test_lpa_converged_fixed_point_contract(spark):
     for r in out:
         assert r.min_member <= r.max_member
         assert r.n_members >= 1
+
+
+def test_lpa_conv_max_guard_fires_on_deep_chain(spark):
+    """Round-10 verdict #4: the convergence guard's contract on a graph
+    whose DIAMETER forces more rounds than the budget. Under self-vote
+    LPA with min-label tiebreak, label information travels one hop per
+    round, so a path graph of n nodes needs ~n rounds to agree on the
+    minimum node id. With diameter > max_rounds the loop must RAISE —
+    never silently return pre-fixed-point labels (the oracle's fixed
+    LPA_CONV_MAX-round chain is only exact AT a fixed point). The same
+    shape within budget converges to the min label in rounds ~ n,
+    pinning the rounds-vs-diameter scaling claim in
+    _lpa_selfvote_converge's docstring."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        LPA_CONV_MAX,
+        _lpa_selfvote_converge,
+    )
+
+    def chain(n: int):
+        p = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        edges = p.union(
+            p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint()
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        return edges, labels
+
+    # diameter beyond the budget: guard fires instead of returning early
+    edges, labels = chain(LPA_CONV_MAX + 8)
+    with pytest.raises(RuntimeError, match="did not reach a fixed point"):
+        _lpa_selfvote_converge(edges, labels, LPA_CONV_MAX)
+
+    # same shape within budget: one label community, rounds ~ diameter
+    n = 6
+    edges, labels = chain(n)
+    out, rounds = _lpa_selfvote_converge(edges, labels, 3 * n)
+    rows = out.collect()
+    assert {r.node for r in rows} == set(range(n))
+    assert {r.label for r in rows} == {0}
+    # n-1 hops for node n-1's label to drain, +1 fixed-point check round
+    assert n - 1 <= rounds <= n + 1, rounds

@@ -1055,7 +1055,37 @@ def q_graph_community_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(LPA_CONV_MAX):
+    labels, _ = _lpa_selfvote_converge(edges, labels, LPA_CONV_MAX)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+def _lpa_selfvote_converge(
+    edges: DataFrame, labels: DataFrame, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """Drive self-vote LPA rounds to a TRUE fixed point; return
+    ``(labels, rounds_taken)``.
+
+    The guard contract (round-10 verdict #4): if ``max_rounds`` passes
+    without a fixed point this RAISES — it never silently returns
+    pre-fixed-point labels, because the registered oracle is a fixed
+    ``LPA_CONV_MAX``-round chain that is only exact AT a fixed point
+    (post-convergence rounds are no-ops; pre-convergence ones are not).
+
+    Round-count scaling (pinned by
+    tests/test_invariants.py::test_lpa_conv_max_guard_fires_on_deep_chain):
+    under self-vote with min-label tiebreak, label information travels
+    ONE hop per round, so rounds ~ graph diameter. A path graph of
+    n nodes needs n-1 rounds (the measured fixture), while the
+    co-purchase graph's per-order cliques give it a small effective
+    diameter — 5-7 rounds at sf0.001 through sf1*. A deployment on a
+    long-chain-shaped graph must size max_rounds to its diameter or the
+    guard fires by design.
+    """
+    for rnd in range(1, max_rounds + 1):
         prev = labels
         stepped = (
             _lpa_selfvote_step(edges, prev)
@@ -1068,13 +1098,9 @@ def q_graph_community_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFra
         changed = stepped.filter("ch").count()
         labels = stepped.drop("ch")
         if changed == 0:
-            return labels.groupBy(F.col("label").alias("community")).agg(
-                F.count("*").alias("n_members"),
-                F.min("node").alias("min_member"),
-                F.max("node").alias("max_member"),
-            )
+            return labels, rnd
     raise RuntimeError(
-        f"self-vote LPA did not reach a fixed point in {LPA_CONV_MAX} rounds"
+        f"self-vote LPA did not reach a fixed point in {max_rounds} rounds"
     )
 
 

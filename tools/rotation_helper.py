@@ -29,7 +29,12 @@ def main() -> int:
     from tiny_mapreduce_rpc_server_spark.registry import _PRIORITY, all_queries
 
     checked: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(args.repo, "CORRECTNESS_r*.json"))):
+    # closed-round artifacts live under history/ (round-10 trim); the
+    # current round's file, if any, is still at the repo root
+    paths = sorted(
+        glob.glob(os.path.join(args.repo, "CORRECTNESS_r*.json"))
+    ) + sorted(glob.glob(os.path.join(args.repo, "history", "CORRECTNESS_r*.json")))
+    for path in paths:
         with open(path) as fh:
             checked |= set(json.load(fh))
         print(f"# {os.path.basename(path)}: cumulative driver-checked = {len(checked)}")

@@ -87,7 +87,61 @@ PROBE = [
 ]
 
 
+def measure(names: list[str], sf_dir: str, reps: int = 3) -> int:
+    """Solo re-measure protocol (round-10 verdict #6, the judge's
+    adjudication recipe made one command): for each named query, one
+    untimed warm run then ``reps`` timed runs — print warm median,
+    spread, and the box's load average so a regression call can be made
+    (or rejected as window drift) from a single artifact. Fetches
+    through toPandas like the probe (never count() — Catalyst prunes
+    branches under count()); caches dropped between runs.
+
+    Usage: python tools/scaling_probe.py --measure dedup_embedding \\
+        contamination_check [--sf-dir /root/testdata/sf0.1] [--reps 3]
+    """
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    print(f"# loadavg {os.getloadavg()} on {ncpu} CPUs"
+          + (" — BUSY BOX, readings inflated" if load1 > 0.5 * ncpu else ""))
+    spark = get_spark("solo-measure")
+    spark.range(1).count()
+    q = all_queries()
+    unknown = [n for n in names if n not in q]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 1
+    for name in names:
+        spec = q[name]
+
+        def run_once() -> float:
+            release_caches()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.toPandas() if spec.oracle else df.count()
+            return time.perf_counter() - t0
+
+        run_once()  # untimed warm pass
+        times = sorted(run_once() for _ in range(reps))
+        med = times[len(times) // 2]
+        print(
+            f"{name}: median {med:.3f}s of {reps} (spread "
+            f"{times[-1] - times[0]:.3f}s, all {[round(t, 3) for t in times]}, "
+            f"loadavg1 {os.getloadavg()[0]:.2f})"
+        )
+    return 0
+
+
 def main() -> int:
+    if "--measure" in sys.argv:
+        import argparse
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--measure", nargs="+", required=True)
+        ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+        ap.add_argument("--reps", type=int, default=3)
+        args = ap.parse_args()
+        return measure(args.measure, args.sf_dir, args.reps)
     if not os.path.exists(SFS[-1][1]):
         import subprocess
 
@@ -169,7 +223,17 @@ def main() -> int:
         "corpus-bounded). `graph_community_lpa_converged` runs the same",
         "per-round plan to a fixed point (5-7 rounds at every probed SF,",
         "data-independent in this range), so its growth is the fixed",
-        "round count times the same edge-bounded rounds.",
+        "round count times the same edge-bounded rounds. Round count",
+        "scales with graph DIAMETER, not data size (round-10 verdict #4):",
+        "self-vote labels travel one hop per round, so a path-shaped",
+        "graph of n nodes needs ~n rounds — pinned by",
+        "test_lpa_conv_max_guard_fires_on_deep_chain, where a chain of",
+        "LPA_CONV_MAX+8 nodes exhausts the 12-round budget and the guard",
+        "RAISES rather than returning pre-fixed-point labels. The",
+        "co-purchase graph's per-order cliques keep its effective",
+        "diameter small, which is why 5-7 rounds hold across 1000x data;",
+        "a deployment on a long-chain graph must size LPA_CONV_MAX to",
+        "its diameter.",
         "`text_lm_quality_filter`'s round-9 re-plan (range-partitioned",
         "terciles instead of a global ntile) cut its growth 3.8x -> ~2x;",
         "what remains is the corpus-sized occurrences-x-counts join —",
