@@ -145,3 +145,20 @@ def test_scan_estimate_models_packing_and_bytes_per_core(spark, tmp_path):
     est_s = _estimated_scan_partitions(single)
     act_s = single.rdd.getNumPartitions()
     assert abs(est_s - act_s) <= max(2, act_s // 2), (est_s, act_s)
+
+
+def test_paired_sentinels_are_oracle_backed_bench_queries():
+    """bench.py's paired gate silently skips a sentinel whose name no
+    longer resolves to an oracle-backed bench query (deliberate
+    fault-tolerance at run time) — so pin the wiring here instead: every
+    PAIRED_SENTINELS entry must exist in the registry, be a bench
+    headliner, and carry a DuckDB oracle."""
+    import bench
+    from tiny_mapreduce_rpc_server_spark.registry import all_queries
+
+    q = all_queries()
+    assert len(bench.PAIRED_SENTINELS) >= 4
+    for name in bench.PAIRED_SENTINELS:
+        assert name in q, name
+        assert q[name].bench, f"{name} is not a bench headliner"
+        assert q[name].oracle, f"{name} has no oracle to pair against"
