@@ -178,7 +178,10 @@ def main() -> None:
         paired[name] = {
             "engine_sec": e_sec,
             "oracle_sec": round(o_med, 3),
-            "ratio": round(e_sec / o_med, 3) if o_med > 0 else float("inf"),
+            # clamp the denominator: a 0-second oracle is impossible
+            # (perf_counter delta), but float("inf") would emit
+            # non-standard JSON ("Infinity") and break strict parsers
+            "ratio": round(e_sec / max(o_med, 1e-9), 3),
         }
         print(
             f"# paired {name}: engine {e_sec:.3f}s vs oracle {o_med:.3f}s "
