@@ -1079,7 +1079,8 @@ def _lpa_selfvote_converge(
     tests/test_invariants.py::test_lpa_conv_max_guard_fires_on_deep_chain):
     under self-vote with min-label tiebreak, label information travels
     ONE hop per round, so rounds ~ graph diameter. A path graph of
-    n nodes needs n-1 rounds (the measured fixture), while the
+    n nodes needs ~n rounds (n-1 hops for the min label to drain plus
+    the fixed-point check round; the test pins n-1..n+1), while the
     co-purchase graph's per-order cliques give it a small effective
     diameter — 5-7 rounds at sf0.001 through sf1*. A deployment on a
     long-chain-shaped graph must size max_rounds to its diameter or the

@@ -1344,7 +1344,7 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties among survivors are broken by true distance, so recall is
     bounded by candidate coverage, not quantization resolution. That
     coverage bound is MEASURED, not asserted: the clustered eval's
-    ``pq_rerank_r{{16,64}}`` sweep rows (``RERANK_SWEEP_RS``) read
+    ``pq_rerank_r{16,64}`` sweep rows (``RERANK_SWEEP_RS``) read
     0.48/1.00/1.00 at sf0.01 and 0.08/0.66/1.00 at sf0.1 for
     R=16/64/128 — recall saturates exactly when R reaches the densest
     cluster's occupancy, the sizing rule for choosing R at deployment.
