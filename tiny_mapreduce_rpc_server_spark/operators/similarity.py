@@ -1323,9 +1323,9 @@ RERANK_R = 128
 # recall at each R, so the R/N coverage caveat is a measured curve (the
 # eval emits a pq_rerank_r{R} row per point below RERANK_R; RERANK_R
 # itself is the pq_rerank row). Measured on the clustered corpus,
-# sf0.01 / sf0.1: r16 -> 0.48 / 0.08 (R far below cluster occupancy —
+# sf0.01 / sf0.1: r16 -> 0.48 / 0.08 (R below cluster occupancy —
 # ADC ties truncate the pool inside the right cluster), r64 -> 1.00 /
-# 0.66 (covers sf0.01's ~12-member clusters fully, sf0.1's ~125 only
+# 0.66 (covers sf0.01's ~31-member clusters fully, sf0.1's ~125 only
 # halfway), r128 = pq_rerank -> 1.00 / 1.00 (covers the densest cluster
 # at both SFs). Recall rises with R and saturates exactly when R
 # reaches cluster occupancy — the sizing rule a deployment applies to
