@@ -19,18 +19,20 @@ drift with WHEN the bench runs (BENCH_r09 read 1.57x the recorded
 engine baseline on unchanged plans; the judge's solo re-measure halved
 the three worst rows). So the gate no longer compares two columns
 measured in different windows: for the PAIRED_SENTINELS below, the SAME
-run also times each query's registered DuckDB oracle under the
-identical warm-median-of-3 protocol and emits
-``paired: {name: {engine_sec, oracle_sec, ratio}}`` — a ratio measured
-inside one drift window, immune to it by construction. BASELINE.md's
-gate paragraph reads these ratios, not absolute cells.
+run RE-TIMES the engine query and its registered DuckDB oracle
+back-to-back (both warm median-of-3, seconds apart — ADVICE r10 closed
+the minutes-wide gap the old reuse-the-headliner-median pairing left)
+and emits ``paired: {name: {engine_sec, oracle_sec, ratio}}`` — a ratio
+measured inside one drift window. BASELINE.md's gate paragraph reads
+these ratios, not absolute cells.
 
 Contamination sentinel (round-10 verdict #5): NOTES' "never bench on a
 busy box" discipline is now machine-checked — the JSON carries
 ``loadavg_start``/``loadavg_end`` and stamps ``contaminated: true``
-when the 1-min load average exceeds half the cores before the run
-starts (the observed contaminated trial read 78.5 s vs 42.4 s solo),
-so a hot-window driver artifact self-identifies.
+when the 1-min load average exceeds half the cores at EITHER end of
+the run (ADVICE r10: a contaminator that starts mid-bench only shows
+in the end sample; the observed contaminated trial read 78.5 s vs
+42.4 s solo), so a hot-window driver artifact self-identifies.
 """
 
 from __future__ import annotations
@@ -52,9 +54,13 @@ from tiny_mapreduce_rpc_server_spark.registry import all_queries
 # absolute readings drifted across rounds (dedup_embedding,
 # contamination_check), a bucketed ANN probe (ann_ivf), the flagship
 # work-dominated banded join where the engine must stay far ahead
-# (dedup_minhash_lsh), and two overhead-dominated relational/text rows
+# (dedup_minhash_lsh), two overhead-dominated relational/text rows
 # (q9_product_profit, text_tf_idf) where DuckDB's in-process scan is
-# expected to win on absolute time at test SF.
+# expected to win on absolute time at test SF, plus (round-11 verdict
+# #3) the iterative-CC-loop headliner (dedup_simhash_clusters — the
+# slowest bench row, previously unrepresented plan class) and two
+# work-heavy SCALING growers (dedup_semantic cluster-bounded pairing,
+# total_order_sort range-partitioned global sort).
 PAIRED_SENTINELS = [
     "dedup_embedding",
     "contamination_check",
@@ -62,6 +68,9 @@ PAIRED_SENTINELS = [
     "dedup_minhash_lsh",
     "q9_product_profit",
     "text_tf_idf",
+    "dedup_simhash_clusters",
+    "dedup_semantic",
+    "total_order_sort",
 ]
 
 
@@ -146,11 +155,15 @@ def main() -> None:
         )
 
     # Paired engine-vs-oracle ratios, measured in THIS run's drift
-    # window. The engine cell reuses the median just measured above (same
-    # session, minutes apart at most); the oracle cell runs the exact
-    # registered DuckDB SQL under the identical warm-median-of-3
-    # protocol, in-process (DuckDB is the single-node baseline engine —
-    # one process, no JVM, same box, same parquet).
+    # window. Round-11 (ADVICE r10): the engine cell is RE-TIMED here,
+    # back-to-back with its oracle — the headliner median above can be
+    # minutes of heavy Spark load away from the oracle pass, and
+    # BASELINE.md's own data showed per-sentinel ratios swinging ~7x
+    # across that gap. Each sentinel now runs engine warm-median-of-3
+    # immediately followed by oracle warm-median-of-3, so the pair
+    # shares one drift window for real. The oracle runs the exact
+    # registered DuckDB SQL in-process (DuckDB is the single-node
+    # baseline engine — one process, no JVM, same box, same parquet).
     import duckdb
 
     from tiny_mapreduce_rpc_server_spark.sources import TABLES, table_path
@@ -161,34 +174,49 @@ def main() -> None:
         spec = by_name.get(name)
         if spec is None or spec.oracle is None or name not in timings:
             continue
+
+        def engine_once(spec=spec):
+            release_caches()
+            spark.catalog.clearCache()
+            len(spec.fn(spark, sf_dir).collect())
+
         con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{table_path(sf_dir, t)}')"
-            )
         try:
-            o_med, o_spread = _median_of(reps, lambda: con.execute(spec.oracle).fetchall())
+            # view creation inside the try (ADVICE r10): a missing
+            # parquet at a custom SPARK_GRAFT_SF_DIR degrades to a
+            # per-sentinel skip instead of aborting the whole bench
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{table_path(sf_dir, t)}')"
+                )
+            e_med, e_spread = _median_of(reps, engine_once)
+            o_med, o_spread = _median_of(
+                reps, lambda: con.execute(spec.oracle).fetchall()
+            )
         except Exception as exc:
-            print(f"# paired {name}: oracle FAILED {type(exc).__name__}", file=sys.stderr)
+            print(f"# paired {name}: FAILED {type(exc).__name__}", file=sys.stderr)
             continue
         finally:
             con.close()
-        e_sec = timings[name]
         paired[name] = {
-            "engine_sec": e_sec,
+            "engine_sec": round(e_med, 3),
             "oracle_sec": round(o_med, 3),
             # clamp the denominator: a 0-second oracle is impossible
             # (perf_counter delta), but float("inf") would emit
             # non-standard JSON ("Infinity") and break strict parsers
-            "ratio": round(e_sec / max(o_med, 1e-9), 3),
+            "ratio": round(e_med / max(o_med, 1e-9), 3),
         }
         print(
-            f"# paired {name}: engine {e_sec:.3f}s vs oracle {o_med:.3f}s "
-            f"= ratio {paired[name]['ratio']} (oracle spread {o_spread:.3f}s)",
+            f"# paired {name}: engine {e_med:.3f}s vs oracle {o_med:.3f}s "
+            f"= ratio {paired[name]['ratio']} "
+            f"(spreads e={e_spread:.3f}s o={o_spread:.3f}s; "
+            f"headliner median was {timings[name]:.3f}s)",
             file=sys.stderr,
         )
 
+    loadavg_end = list(os.getloadavg())
+    contaminated_end = loadavg_end[0] > 0.5 * ncpu
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_sec",
@@ -209,8 +237,17 @@ def main() -> None:
             else None
         ),
         "loadavg_start": [round(v, 2) for v in loadavg_start],
-        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
-        "contaminated": contaminated,
+        "loadavg_end": [round(v, 2) for v in loadavg_end],
+        # contamination judged on BOTH ends (ADVICE r10): a process that
+        # starts mid-bench shows up in loadavg_end even when the pre-run
+        # sample was clean. NOTE: bench's own Spark work contributes to
+        # loadavg_end — the threshold stays at half the cores because the
+        # 32-thread local session rarely sustains >16 runnable threads
+        # across the 1-min window at test SF; a genuinely contaminated
+        # box (second Spark session / test run) pushes well past it.
+        "contaminated": contaminated or contaminated_end,
+        "contaminated_start": contaminated,
+        "contaminated_end": contaminated_end,
     }
     if errors:
         payload["errors"] = errors

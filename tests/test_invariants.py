@@ -937,10 +937,19 @@ def test_ann_pq_rerank_refine_contract(spark):
         <= recalls["pq_rerank_r64"]
         <= recalls["pq_rerank"]
     ), recalls
-    assert recalls["pq_rerank_r16"] < 1.0, (
-        "r16 below cluster occupancy should truncate recall; if this "
-        "saturates the sweep no longer exercises the coverage bound"
-    )
+    # data-dependent (ADVICE r10): truncation at R=16 only holds when the
+    # densest eval cluster exceeds 16 members — true at the default
+    # sf0.01 (~31/cluster) but not at e.g. sf0.001 (~3/cluster), where
+    # r16 covers every cluster fully and recall legitimately saturates.
+    # Derive the expectation from measured occupancy instead of assuming.
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import EVAL_GROUPS
+
+    n_vec = load_table(spark, sf, "embeddings").count()
+    if n_vec / EVAL_GROUPS > 16:
+        assert recalls["pq_rerank_r16"] < 1.0, (
+            "r16 below cluster occupancy should truncate recall; if this "
+            "saturates the sweep no longer exercises the coverage bound"
+        )
 
 
 def test_registrable_domain_full_size_psl(spark):

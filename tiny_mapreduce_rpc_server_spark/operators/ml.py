@@ -758,6 +758,8 @@ ML_QUERIES.append(
         q_dedup_semantic,
         ORACLE_DEDUP_SEMANTIC,
         ("ext", "ml", "dedup", "embedding", "clustering"),
+        bench=True,  # round-11 paired-gate sentinel: work-heavy
+        # cluster-bounded pairing (SCALING grower class, 8.5x at sf1*)
     )
 )
 

@@ -624,15 +624,11 @@ def _oracle_ann_eval_recall_clustered() -> str:
         f"+ {EVAL_EPS} * ((vec_id * {DIM} + d) % {_EVAL_MOD} * {P.C2} % {_EVAL_MOD} / {_EVAL_MOD} - 0.5)"
         f") AS v FROM (SELECT vec_id FROM embeddings)"
     )
-    cossql = (
-        "list_dot_product(qv, {t}.v)"
-        " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product({t}.v, {t}.v)))"
-    )
     return f"""
 WITH e AS ({e}),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
 tsc AS (
-  SELECT query_id, e.vec_id AS neighbor_id, {cossql.format(t='e')} AS cos_sim
+  SELECT query_id, e.vec_id AS neighbor_id, {_sql_cos('qv', 'e.v')} AS cos_sim
   FROM q JOIN e ON e.vec_id <> q.query_id),
 t AS (SELECT query_id, neighbor_id FROM (
   SELECT query_id, neighbor_id,
@@ -643,7 +639,7 @@ eb AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e),
 qb AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM eb
        WHERE vec_id < {N_QUERIES}),
 lsc AS (
-  SELECT query_id, eb.vec_id AS neighbor_id, {cossql.format(t='eb')} AS cos_sim
+  SELECT query_id, eb.vec_id AS neighbor_id, {_sql_cos('qv', 'eb.v')} AS cos_sim
   FROM qb JOIN eb ON eb.bucket = qb.qbucket AND eb.vec_id <> qb.query_id),
 lsh AS (SELECT query_id, neighbor_id FROM (
   SELECT query_id, neighbor_id,
@@ -665,7 +661,7 @@ cells AS (SELECT vec_id, v, cent_id AS cell FROM assigned WHERE crnk = 1),
 probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS probe_cell
            FROM assigned WHERE vec_id < {N_QUERIES} AND crnk <= {N_PROBE}),
 isc AS (
-  SELECT query_id, cells.vec_id AS neighbor_id, {cossql.format(t='cells')} AS cos_sim
+  SELECT query_id, cells.vec_id AS neighbor_id, {_sql_cos('qv', 'cells.v')} AS cos_sim
   FROM probes JOIN cells
     ON cells.cell = probes.probe_cell AND cells.vec_id <> probes.query_id),
 ivf AS (SELECT query_id, neighbor_id FROM (
@@ -691,7 +687,7 @@ pcand AS (
     FROM padc) WHERE rnk <= {RERANK_R}),
 pq AS (SELECT query_id, neighbor_id FROM pcand WHERE rnk <= {TOP_K}),
 prsc AS (
-  SELECT c.query_id, c.neighbor_id, {cossql.format(t='e')} AS cos_sim
+  SELECT c.query_id, c.neighbor_id, {_sql_cos('qv', 'e.v')} AS cos_sim
   FROM pcand c
   JOIN e ON e.vec_id = c.neighbor_id
   JOIN q ON q.query_id = c.query_id),
@@ -739,10 +735,7 @@ def _sweep_ctes() -> str:
             continue
         parts.append(f""",
 prsc{r_cap} AS (
-  SELECT c.query_id, c.neighbor_id,
-         list_dot_product(qv, e.v)
-           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
-           AS cos_sim
+  SELECT c.query_id, c.neighbor_id, {_sql_cos('qv', 'e.v')} AS cos_sim
   FROM pcand c
   JOIN e ON e.vec_id = c.neighbor_id
   JOIN q ON q.query_id = c.query_id

@@ -669,6 +669,8 @@ FORMAT_QUERIES = [
         q_total_order_sort,
         ORACLE_TOTAL_ORDER_SORT,
         ("layout", "sort", "scale"),
+        bench=True,  # round-11 paired-gate sentinel: the work-heavy
+        # range-partitioned global sort (SCALING grower class)
     ),
     QuerySpec(
         "layout_zorder",
