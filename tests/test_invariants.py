@@ -1124,3 +1124,33 @@ def test_lpa_conv_max_guard_fires_on_deep_chain(spark):
     assert {r.label for r in rows} == {0}
     # n-1 hops for node n-1's label to drain, +1 fixed-point check round
     assert n - 1 <= rounds <= n + 1, rounds
+
+
+def test_dedup_eval_embedding_bands(spark):
+    """Round-11 verdict #1: the bucketed embedding-dedup path's recall is
+    a MEASURED quantity with the structure the docstrings claim — the
+    bucketed pair set is a subset of the exact one, near-identical pairs
+    (cosine >= 0.9) survive bucketing far better than the moderate
+    COSINE_DUP band, and the isotropic corpus is an honest negative
+    (no high band at all; low-threshold recall poor)."""
+    from tiny_mapreduce_rpc_server_spark.operators.dedup import (
+        q_dedup_eval_embedding,
+    )
+
+    rows = {r.corpus: r for r in q_dedup_eval_embedding(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"isotropic", "clustered"}
+    for r in rows.values():
+        # subset property: every bucketed pair passed the same exact
+        # cosine filter the exact path applies, so it must be in truth
+        assert r.n_common == r.n_bucketed, r
+        assert r.n_common <= r.n_exact and r.n_common_high <= r.n_exact_high, r
+    iso, clu = rows["isotropic"], rows["clustered"]
+    # clustered space: the near-identical band (what the 100 TB
+    # auto-switch targets) survives bucketing; the moderate band splits
+    assert clu.n_exact_high > 0
+    assert clu.recall_high > clu.recall
+    assert clu.recall_high > 0.8, clu
+    assert clu.recall < 0.5, clu
+    # isotropic corpus: honest negative control
+    assert iso.n_exact_high == 0 and iso.recall_high is None, iso
+    assert iso.recall is None or iso.recall < 0.2, iso

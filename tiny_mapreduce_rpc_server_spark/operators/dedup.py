@@ -1011,6 +1011,13 @@ DEDUP_EMB_BROADCAST_MAX_ROWS = 1_000_000
 # Dense (arrow_batch_rows x build_cols) score block cap: 256 MB float64.
 _MAX_SCORE_BLOCK_BYTES = 1 << 28
 
+# The "true near-dup" band for dedup_eval_embedding's recall_high: pairs
+# at cosine >= 0.9 are the near-identical documents a dedup pipeline
+# exists to delete — measured separately from recall at the low
+# COSINE_DUP threshold, because sign-LSH keeps close pairs together far
+# more reliably than 66-degree-apart ones.
+COSINE_NEAR_IDENTICAL = 0.9
+
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= COSINE_DUP.
@@ -1022,6 +1029,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     - larger: LSH-bucketed candidates (``_dedup_embedding_bucketed``) —
       no driver-side collect anywhere; same exact cosine verify, with the
       documented recall trade of sign-random-projection bucketing.
+
+    That recall trade is MEASURED by ``dedup_eval_embedding`` (round-11
+    verdict #1): vs the exact path the bucketed path recalls 0.88 of
+    near-identical pairs (cosine >= 0.9, clustered space — the regime
+    the auto-switch targets) but only 0.28 of all pairs at the
+    COSINE_DUP=0.4 contract threshold on a clustered space and 0.02-0.04
+    on the isotropic corpus; see that query's docstring for the full
+    table and the deployment rule.
 
     The registered oracle is the exact all-pairs SQL, which is the
     contract of the broadcast path (the one exercised at test SFs); the
@@ -1193,6 +1208,138 @@ FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {COSINE_DUP}
+"""
+
+
+def q_dedup_eval_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the sign-LSH BUCKETED embedding-dedup path measured
+    against the exact broadcast path — on BOTH the real (isotropic)
+    corpus and a deterministically clustered derivation (round-11
+    verdict #1: the bucketed path is the one ``q_dedup_embedding``'s
+    auto-switch ALWAYS takes at 100 TB, and until this query its only
+    oracle was implementation-equality, blind to the near-dup pairs the
+    bucketing splits).
+
+    Two rows (corpus = 'isotropic' | 'clustered'), each the exact
+    pair-set vs bucketed pair-set confusion summary at TWO thresholds:
+    the engine's COSINE_DUP=0.4 contract (n_exact/n_bucketed/n_common/
+    recall) and the near-identical band cosine >= COSINE_NEAR_IDENTICAL
+    =0.9 (n_exact_high/n_common_high/recall_high — the pairs a dedup
+    pipeline exists to delete). Bucketed pairs are a SUBSET of exact
+    pairs by construction (same exact-cosine verify on a candidate
+    subset), so n_common == n_bucketed and precision is identically 1 —
+    recall is the measured quantity.
+
+    Measured (sf0.01 / sf0.1, N_PLANES=8):
+
+    - isotropic recall 0.017 / 0.042 (1-of-59, 39-of-920); the corpus
+      has ZERO cosine>=0.9 pairs, so recall_high is NULL there.
+    - clustered recall 0.284 / 0.289 — most qualifying pairs in even a
+      clustered space sit in the moderate-cosine band the hyperplanes
+      split (a 0.4-cosine pair is ~66 degrees apart; each of 8 planes
+      separates it with p ~ 0.37).
+    - clustered recall_high 0.881 / 0.882 — near-identical pairs DO
+      survive bucketing (at cosine ~0.99 each plane splits with
+      p ~ 0.03), which is the regime the 100 TB auto-switch actually
+      targets.
+
+    Deployment rule: the bucketed path is an honest substitute for the
+    broadcast path only for near-identical duplicates; a low-threshold
+    sweep over an isotropic space must use banded MinHash (text) or the
+    exact path. Mirrors the ``ann_eval_recall`` /
+    ``ann_eval_recall_clustered`` bracket, but for the dedup candidate
+    set instead of top-k neighbors."""
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+        clustered_eval_embeddings,
+    )
+
+    def eval_on(emb: DataFrame, label: str) -> DataFrame:
+        exact = _dedup_embedding_broadcast(spark, emb).select(
+            "vec_a", "vec_b", F.col("cos_sim").alias("cos_e")
+        )
+        buck = _dedup_embedding_bucketed(emb).select(
+            "vec_a", "vec_b", F.lit(1).alias("in_b")
+        )
+        hi = F.col("cos_e") >= COSINE_NEAR_IDENTICAL
+        hit = F.col("in_b").isNotNull()
+        j = exact.join(buck, ["vec_a", "vec_b"], "full")
+        return j.agg(
+            F.lit(label).alias("corpus"),
+            F.count("cos_e").alias("n_exact"),
+            F.count("in_b").alias("n_bucketed"),
+            F.count(F.when(F.col("cos_e").isNotNull() & hit, 1)).alias("n_common"),
+            F.count(F.when(hi, 1)).alias("n_exact_high"),
+            F.count(F.when(hi & hit, 1)).alias("n_common_high"),
+        ).select(
+            "corpus",
+            "n_exact",
+            "n_bucketed",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
+            "n_exact_high",
+            "n_common_high",
+            F.when(
+                F.col("n_exact_high") > 0,
+                F.col("n_common_high").cast("double") / F.col("n_exact_high"),
+            ).alias("recall_high"),
+        )
+
+    iso = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    clu = clustered_eval_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    return eval_on(iso, "isotropic").unionAll(eval_on(clu, "clustered"))
+
+
+def _oracle_dedup_eval_embedding() -> str:
+    from tiny_mapreduce_rpc_server_spark.operators.similarity import (
+        _sql_bucket,
+        sql_clustered_eval_embeddings,
+    )
+
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+        "* sqrt(list_dot_product(b.v, b.v)))"
+    )
+
+    def block(src: str, label: str) -> str:
+        # src is referenced by both the all-pairs and the bucketed CTE:
+        # MATERIALIZED stops DuckDB's 2^n CTE re-inlining
+        return f"""
+{label}_bkt AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM {src}),
+{label}_e AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {cos} AS c
+  FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {COSINE_DUP}),
+{label}_b AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM {label}_bkt a JOIN {label}_bkt b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {COSINE_DUP}),
+{label}_r AS (
+  SELECT '{label}' AS corpus,
+         count(*) FILTER (WHERE e.va IS NOT NULL) AS n_exact,
+         count(*) FILTER (WHERE b.va IS NOT NULL) AS n_bucketed,
+         count(*) FILTER (WHERE e.va IS NOT NULL AND b.va IS NOT NULL)
+           AS n_common,
+         count(*) FILTER (WHERE e.va IS NOT NULL AND b.va IS NOT NULL)::DOUBLE
+           / count(*) FILTER (WHERE e.va IS NOT NULL) AS recall,
+         count(*) FILTER (WHERE e.c >= {COSINE_NEAR_IDENTICAL})
+           AS n_exact_high,
+         count(*) FILTER (WHERE e.c >= {COSINE_NEAR_IDENTICAL}
+                          AND b.va IS NOT NULL) AS n_common_high,
+         CASE WHEN count(*) FILTER (WHERE e.c >= {COSINE_NEAR_IDENTICAL}) > 0
+              THEN count(*) FILTER (WHERE e.c >= {COSINE_NEAR_IDENTICAL}
+                                    AND b.va IS NOT NULL)::DOUBLE
+                   / count(*) FILTER (WHERE e.c >= {COSINE_NEAR_IDENTICAL})
+              END AS recall_high
+  FROM {label}_e e FULL JOIN {label}_b b ON e.va = b.va AND e.vb = b.vb)"""
+
+    return f"""
+WITH isotropic_src AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+clustered_src AS MATERIALIZED ({sql_clustered_eval_embeddings()}),
+{block("isotropic_src", "isotropic")},
+{block("clustered_src", "clustered")}
+SELECT * FROM isotropic_r UNION ALL SELECT * FROM clustered_r
 """
 
 
@@ -1490,6 +1637,12 @@ DEDUP_QUERIES: list[QuerySpec] = [
         q_dedup_embedding_bucketed,
         _oracle_dedup_embedding_bucketed(),
         ("ext", "dedup", "embedding"),
+    ),
+    QuerySpec(
+        "dedup_eval_embedding",
+        q_dedup_eval_embedding,
+        _oracle_dedup_eval_embedding(),
+        ("ext", "dedup", "embedding", "eval"),
     ),
     QuerySpec("dedup_minhash_ml", q_dedup_minhash_ml, None, ("ext", "dedup", "ml")),
 ]

@@ -443,20 +443,16 @@ EVAL_EPS = 0.05
 _EVAL_MOD = 1013
 
 
-def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the LSH-bucketed and IVF paths on a CLUSTERED embedding
-    space — the positive control for ``ann_eval_recall``'s negative
-    result on the isotropic corpus.
-
-    The clustered set is derived in-plan from the corpus vec_ids with
-    integer arithmetic both engines reproduce bit-for-bit: group
-    g = vec_id % EVAL_GROUPS, vector = base(g) + EVAL_EPS * noise(vec_id)
-    where base/noise components are modular-arithmetic doubles (the
-    ``_plane`` construction). Within a group, vectors are near-identical
-    (cosine ~1), so ground-truth neighbors are group-mates; a bucketed
-    path earns its recall by keeping groups together. Same plan shapes
-    as the corpus-table paths: broadcast queries/centroids, no shuffle
-    until the per-query top-k."""
+def clustered_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically CLUSTERED eval corpus (vec_id, embedding),
+    derived in-plan from the corpus vec_ids with integer arithmetic both
+    engines reproduce bit-for-bit: group g = vec_id % EVAL_GROUPS,
+    vector = base(g) + EVAL_EPS * noise(vec_id) where base/noise
+    components are modular-arithmetic doubles (the ``_plane``
+    construction). Within a group, vectors are near-identical
+    (cosine ~1). Shared by ``ann_eval_recall_clustered`` and
+    ``dedup_eval_embedding`` so both evals measure the SAME clustered
+    space; ``sql_clustered_eval_embeddings`` is the DuckDB twin."""
     ids = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id")
     dseq = F.sequence(F.lit(0), F.lit(DIM - 1))
     g = F.col("vec_id") % EVAL_GROUPS
@@ -469,12 +465,37 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             _EVAL_MOD
         ) - 0.5
 
-    emb = ids.select(
+    return ids.select(
         "vec_id",
         F.transform(dseq, lambda d: _base(d) + F.lit(EVAL_EPS) * _noise(d)).alias(
             "embedding"
         ),
     )
+
+
+def sql_clustered_eval_embeddings() -> str:
+    """DuckDB derivation of the clustered eval corpus — the exact SQL
+    twin of ``clustered_eval_embeddings`` (one shared string so the two
+    eval oracles can never diverge)."""
+    return (
+        f"SELECT vec_id, list_transform(generate_series(0, {DIM - 1}), d -> "
+        f"((vec_id % {EVAL_GROUPS}) * {DIM} + d) * {P.C1} % {_EVAL_MOD} / {_EVAL_MOD} - 0.5 "
+        f"+ {EVAL_EPS} * ((vec_id * {DIM} + d) % {_EVAL_MOD} * {P.C2} % {_EVAL_MOD} / {_EVAL_MOD} - 0.5)"
+        f") AS v FROM (SELECT vec_id FROM embeddings)"
+    )
+
+
+def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH-bucketed and IVF paths on a CLUSTERED embedding
+    space — the positive control for ``ann_eval_recall``'s negative
+    result on the isotropic corpus.
+
+    The clustered set comes from ``clustered_eval_embeddings``: within a
+    group, vectors are near-identical (cosine ~1), so ground-truth
+    neighbors are group-mates; a bucketed path earns its recall by
+    keeping groups together. Same plan shapes as the corpus-table paths:
+    broadcast queries/centroids, no shuffle until the per-query top-k."""
+    emb = clustered_eval_embeddings(spark, sf_dir)
     emb = emb.localCheckpoint(eager=False)  # 3 consumers, derive once
 
     def topk(scored: DataFrame) -> DataFrame:
@@ -618,12 +639,7 @@ def q_ann_eval_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ann_eval_recall_clustered() -> str:
-    e = (
-        f"SELECT vec_id, list_transform(generate_series(0, {DIM - 1}), d -> "
-        f"((vec_id % {EVAL_GROUPS}) * {DIM} + d) * {P.C1} % {_EVAL_MOD} / {_EVAL_MOD} - 0.5 "
-        f"+ {EVAL_EPS} * ((vec_id * {DIM} + d) % {_EVAL_MOD} * {P.C2} % {_EVAL_MOD} / {_EVAL_MOD} - 0.5)"
-        f") AS v FROM (SELECT vec_id FROM embeddings)"
-    )
+    e = sql_clustered_eval_embeddings()
     return f"""
 WITH e AS ({e}),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
