@@ -1127,3 +1127,54 @@ def test_ann_ivf_pq_rerank_broadcasts_candidates_no_smj(spark):
     assert "SortMergeJoin" not in tree
     assert "BroadcastHashJoin" in tree
     assert "Window" in tree
+
+
+def test_plan_fingerprints_registry_wide(spark):
+    """Round-11 verdict #2: the ~30 hand-written pins above cover the
+    headliners; this gate diffs EVERY registered query's normalized
+    physical operator tree against PLAN_FINGERPRINTS.json, so a silent
+    Catalyst strategy flip anywhere in the registry fails a test instead
+    of surfacing as a maskable bench delta. An intentional re-plan must
+    regenerate the file in the same commit:
+
+        python tools/dump_plans.py --fingerprints
+
+    Trees are normalized (plan/expression ids stripped) and captured at
+    the fixed FP_SF_DIR, so they are stable across sessions, shuffle
+    partition counts, and rounds — verified by two full back-to-back
+    generations diffing to zero."""
+    import json
+
+    from tools.dump_plans import FP_PATH, FP_SF_DIR, fingerprint_all
+
+    stored = json.load(open(FP_PATH))
+    assert stored["sf_dir"] == FP_SF_DIR
+    live = fingerprint_all(spark, FP_SF_DIR)
+    stored_trees = stored["trees"]
+    missing = sorted(set(live) - set(stored_trees))
+    stale = sorted(set(stored_trees) - set(live))
+    assert not missing, (
+        f"queries with no stored fingerprint (regenerate the file): {missing}"
+    )
+    assert not stale, f"stored fingerprints for unregistered queries: {stale}"
+    drifted = {
+        name: (stored_trees[name], tree)
+        for name, tree in live.items()
+        if tree != stored_trees[name]
+    }
+    if drifted:
+        import difflib
+
+        msgs = []
+        for name, (old, new) in sorted(drifted.items())[:5]:
+            diff = "\n".join(
+                difflib.unified_diff(
+                    old.splitlines(), new.splitlines(),
+                    "stored", "live", lineterm="", n=1,
+                )
+            )
+            msgs.append(f"--- {name} ---\n{diff}")
+        raise AssertionError(
+            f"{len(drifted)} quer{'y' if len(drifted) == 1 else 'ies'} "
+            f"re-planned: {sorted(drifted)}\n\n" + "\n\n".join(msgs)
+        )
