@@ -8,12 +8,25 @@ undersells the engine. This probe re-runs a data-dominated subset at the
 is multithreaded; both sides get all cores). Appends a section to
 SCALING.md.
 
-Usage: python tools/scale_showdown.py
+Round-11 verdict #5: besides the SCALING.md prose section, each run
+also writes a machine-readable ``SHOWDOWN_r{N}.json`` at the repo root
+(same shape as BENCH_r{N}.json's paired block: per-query
+engine_sec/oracle_sec/ratio plus loadavg and a contamination stamp) so
+cross-round 10x-data comparisons are diffable. The round number is
+inferred from the newest CORRECTNESS_r{N}.json at the root (the
+current round's artifacts land at root; the tool runs before the
+driver closes the round, so newest+1 is the active round) — override
+with --round.
+
+Usage: python tools/scale_showdown.py [--round N]
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 import time
 
@@ -67,7 +80,21 @@ PROBE = [
 ]
 
 
+def _infer_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
 def main() -> int:
+    rnd = _infer_round()
+    if "--round" in sys.argv:
+        rnd = int(sys.argv[sys.argv.index("--round") + 1])
+    loadavg_start = list(os.getloadavg())
+    ncpu = os.cpu_count() or 1
     sf_dir = os.path.join(_REPO, ".scale_replica", "sf1")
     if not os.path.exists(sf_dir):
         import subprocess
@@ -96,6 +123,7 @@ def main() -> int:
     q[PROBE[0]].fn(spark, sf_dir).toPandas()
     spark.catalog.clearCache()
     rows = []
+    detail: dict[str, dict] = {}
     for name in PROBE:
         spec = q[name]
         # engine: best-of-3 cold-cache (drop one-time codegen; the first
@@ -163,6 +191,13 @@ def main() -> int:
                 break
         assert n_eng == n_ora, f"{name}: row count diverged {n_eng} vs {n_ora}"
         rows.append((name, eng, ora, ora / eng if eng > 0 else float("nan")))
+        detail[name] = {
+            "engine_sec": round(eng, 3),
+            "oracle_sec": round(ora, 3),
+            "ratio": round(eng / max(ora, 1e-9), 3),
+            "rows": n_eng,
+            "protocol": "parquet_sink" if sink else "arrow_fetch",
+        }
         print(f"# {name}: engine {eng:.2f}s oracle {ora:.2f}s "
               f"({rows[-1][3]:.1f}x) [{n_eng} rows]", file=sys.stderr, flush=True)
 
@@ -259,6 +294,32 @@ def main() -> int:
     with open(md, "w") as f:
         f.write(head + "\n".join(lines))
     print("wrote showdown section to SCALING.md")
+
+    loadavg_end = list(os.getloadavg())
+    out = os.path.join(_REPO, f"SHOWDOWN_r{rnd}.json")
+    payload = {
+        "metric": "sf1_showdown_total_sec",
+        "value": round(te, 3),
+        "unit": "sec",
+        "sf": "1*",
+        "sf_dir": sf_dir,
+        "queries": detail,
+        "engine_total_sec": round(te, 3),
+        "oracle_total_sec": round(to, 3),
+        # sum(engine)/sum(oracle), same orientation as bench.py's
+        # paired_aggregate_ratio (<1 = engine faster in aggregate)
+        "aggregate_ratio": round(te / max(to, 1e-9), 3),
+        "aggregate_speedup": round(to / max(te, 1e-9), 3),
+        "loadavg_start": [round(v, 2) for v in loadavg_start],
+        "loadavg_end": [round(v, 2) for v in loadavg_end],
+        "contaminated": (
+            loadavg_start[0] > 0.5 * ncpu or loadavg_end[0] > 0.5 * ncpu
+        ),
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out}")
     return 0
 
 
