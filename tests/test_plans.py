@@ -1163,6 +1163,31 @@ def test_plan_fingerprints_registry_wide(spark):
         if tree != stored_trees[name]
     }
     if drifted:
+        # second look before failing: a REAL re-plan (code change)
+        # reproduces deterministically; a transient artifact of 470
+        # prior tests sharing this session (leftover lazy cache entry,
+        # an executed-stage node that materialized mid-explain) does
+        # not. Observed once in three full-suite runs before this
+        # guard; standalone generation is deterministic (three runs
+        # diff to zero).
+        import tools.dump_plans as dp
+
+        spark.catalog.clearCache()
+        retried = {}
+        for name in drifted:
+            from tiny_mapreduce_rpc_server_spark import release_caches
+
+            release_caches()
+            spark.catalog.clearCache()
+            retried[name] = dp.operator_tree(
+                spark, all_queries()[name].fn(spark, FP_SF_DIR)
+            )
+        drifted = {
+            name: (stored_trees[name], tree)
+            for name, tree in retried.items()
+            if tree != stored_trees[name]
+        }
+    if drifted:
         import difflib
 
         msgs = []
@@ -1174,10 +1199,16 @@ def test_plan_fingerprints_registry_wide(spark):
                 )
             )
             msgs.append(f"--- {name} ---\n{diff}")
-        raise AssertionError(
+        report = (
             f"{len(drifted)} quer{'y' if len(drifted) == 1 else 'ies'} "
             f"re-planned: {sorted(drifted)}\n\n" + "\n\n".join(msgs)
         )
+        # full diff to a file too: pytest truncates long assertion
+        # messages in summary output, and a drift seen once in a long
+        # suite run must stay diagnosable after the session is gone
+        with open("/tmp/plan_fingerprint_drift.log", "w") as fh:
+            fh.write(report)
+        raise AssertionError(report)
 
 
 def test_asof_join_sliced_windows_are_slice_partitioned(spark):
