@@ -767,25 +767,44 @@ def q_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def _simhash_col(th, bits: int = SIMHASH_BITS) -> F.Column:
-    """``bits``-wide simhash over a MATERIALIZED token-hash array column:
-    bit j set iff the sum of (+-1) votes from token-hash bit j is
-    positive. Pure array math. ``th`` must be a column reference, not the
-    hashing expression itself — the per-bit folds each reference it, and
-    an inlined expression would be recomputed per fold (measured 7x
-    slower). ``bits`` is capped at 63 so the fingerprint stays in the
+def _simhash_ones_col(th, bits: int) -> F.Column:
+    """Per-bit ONE-counts of a token-hash array in a SINGLE pass: a
+    ``bits``-wide counter array folded once over ``th`` (``acc[j] +=
+    bit_j(x)``). The r11 optimization-round rewrite of the per-bit fold
+    cascade: the old form ran one ``F.aggregate`` PER BIT — 63 passes
+    over every document's token-hash array — where one pass carrying an
+    array accumulator does the same counting (interleaved A/B at sf0.1:
+    2.39 s -> 1.44 s median for the 63-bit signature build, identical
+    output). ``th`` must be a column reference (it is referenced by the
+    fold and by ``size``; CollapseProject keeps a twice-referenced
+    non-cheap expression in its own projection)."""
+    return F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[x.bitwiseAND(F.lit(1 << j)) for j in range(bits)]),
+            lambda a, b: a + F.when(b != F.lit(0), 1).otherwise(0),
+        ),
+    )
+
+
+def _simhash_from_ones(ones, n, bits: int) -> F.Column:
+    """Fingerprint from per-bit one-counts: bit j set iff the (+-1) vote
+    sum is positive — ``sum_votes_j = 2*ones[j] - n > 0  <=>  2*ones[j] >
+    n``, exact integer math, so the result is bit-identical to the
+    per-bit fold form (and to the SQL oracle's ``list_sum`` votes).
+    ``ones`` must be a column reference: it is read ``bits`` times, which
+    is exactly what keeps CollapseProject from inlining (and recomputing)
+    the fold. ``bits`` is capped at 63 so the fingerprint stays in the
     non-negative long range (the sign bit would break shift/compare
     symmetry between Spark and the SQL oracle)."""
     assert 0 < bits <= 63, bits
-
-    def _vote_fn(j: int):
-        # closure factory — see _perm_fn
-        return lambda acc, x: acc + 2 * F.shiftright(x, j).bitwiseAND(F.lit(1)) - 1
-
     out = F.lit(0).cast("long")
     for j in range(bits):
-        vote = F.aggregate(th, F.lit(0).cast("long"), _vote_fn(j))
-        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = out + F.when(
+            2 * F.element_at(ones, j + 1) > n, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return out
 
 
@@ -793,12 +812,20 @@ def _doc_simhash(
     spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """(doc_id, simhash) with the token-hash array materialized in its
-    own projection (same CollapseProject argument as _doc_shingles)."""
+    own projection (same CollapseProject argument as _doc_shingles), the
+    single-pass one-count array in a second projection, and the
+    threshold/assemble step on top."""
     docs = load_table(spark, sf_dir, "documents")
     th = F.transform(F.array_distinct(_toks(F.col("text"))), lambda t: P.h2(t))
     hashed = spread(docs).select("doc_id", th.alias("th"))
-    return hashed.select(
-        "doc_id", _simhash_col(F.col("th"), bits).alias("simhash")
+    staged = hashed.select(
+        "doc_id",
+        F.size("th").cast("long").alias("n_th"),
+        _simhash_ones_col(F.col("th"), bits).alias("ones"),
+    )
+    return staged.select(
+        "doc_id",
+        _simhash_from_ones(F.col("ones"), F.col("n_th"), bits).alias("simhash"),
     )
 
 

@@ -1,0 +1,62 @@
+"""Snapshot ``.explain("formatted")`` for named queries into plans/r11/.
+
+Round-11 optimization deliverable: for each query touched this round the
+judge wants ``plans/r11/<query>_before.txt`` and ``..._after.txt`` — the
+FULL formatted plan (operator tree + numbered detail blocks, so
+PushedFilters/ReadSchema/join build sides are visible), captured at the
+bench SF unless overridden.
+
+Usage:
+    python tools/plan_snapshot.py --suffix before [--sf-dir DIR] q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tiny_mapreduce_rpc_server_spark import get_spark, release_caches  # noqa: E402
+from tiny_mapreduce_rpc_server_spark.registry import all_queries  # noqa: E402
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--suffix", required=True, choices=("before", "after"))
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = get_spark("plan-snapshot")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    unknown = [q for q in args.queries if q not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 1
+    for name in args.queries:
+        release_caches()
+        spark.catalog.clearCache()
+        df = specs[name].fn(spark, args.sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(OUT_DIR, f"{name}_{args.suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(f"# {name} — explain('formatted') at {args.sf_dir}\n")
+            fh.write(plan.rstrip() + "\n")
+        print(f"wrote {path}")
+    release_caches()
+    spark.catalog.clearCache()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
