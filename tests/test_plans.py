@@ -925,51 +925,51 @@ def test_boilerplate_removal_text_never_hash_shuffled(spark):
     assert n_hash >= 2, p
 
 
-def test_dedup_semantic_two_phase_cluster_bounded(spark):
-    """SemDeDup's quadratic stage must be BOUNDED BY CLUSTER and run
-    two-phase: a per-cluster Arrow-batched candidate matmul
-    (FlatMapGroupsInPandas over the cluster key), then the exact
-    ordered-fold cosine ONLY on the candidate pairs via equi-joins —
-    never an interpreted fold over the full pair set, never a corpus
-    cartesian. The assignment subtree is cached so the two Lloyd
-    iterations run once, not once per consumer branch."""
-    import re as _re
-
+def test_dedup_semantic_fused_kernel_cluster_bounded(spark):
+    """SemDeDup's quadratic stage must be BOUNDED BY CLUSTER and fully
+    FUSED (r11 optimization round): one FlatMapGroupsInPandas over the
+    cluster key does candidate scoring, exact-threshold verify, AND the
+    keep/drop accounting — only K accounting rows leave it, so nothing
+    sits above the kernel but the adaptive root. No re-score joins, no
+    N-row assignment cache, no corpus cartesian. The K-row
+    BroadcastNestedLoopJoin BELOW the kernel is the documented K=8
+    Lloyd assign (broadcast side is the K centroid rows, never data)."""
     p = plan(spark, _q(spark, "dedup_semantic"))
     assert "CartesianProduct" not in p, p
-    # phase 1: per-cluster candidate generation, Arrow-batched
-    assert "FlatMapGroupsInPandas" in p, p
-    # phase 2: exact re-score joins are equi-joins on the ids
-    assert _re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p
-    # the pinned assignment feeds candidate generation, both re-score
-    # sides, and the membership rollup: the Lloyd subtree (and its
-    # K-row BroadcastNestedLoopJoin assign steps) appears only inside
-    # the single cached relation, not once per consumer
-    assert p.count("InMemoryTableScan") >= 4, p
     tree = p.split("\n\n", 1)[0]  # the operator tree, before node details
-    assert "BroadcastNestedLoopJoin" not in tree.split(
-        "InMemoryTableScan", 1
-    )[0].split("InMemoryRelation", 1)[0], p
+    assert "FlatMapGroupsInPandas" in tree, p
+    # fused: everything above the kernel is join-free — the old shape's
+    # exact-re-score equi-joins and N-row rollup join are gone
+    above = tree.split("FlatMapGroupsInPandas", 1)[0]
+    assert "Join" not in above, p
+    # single consumer: the assignment is not cached anywhere
+    assert "InMemoryTableScan" not in tree, p
 
 
 def test_dedup_semantic_scaled_assignment_not_row_exploded(spark):
     """The scalable-K SemDeDup variant must NOT assign via the N x K
     broadcast-join + window shape (fine for K=8, fatal for K=50k): the
     assignment is a MapInPandas scan against the broadcast centroid
-    matrix, the pairing is per-cluster FlatMapGroupsInPandas over ~N/64
-    groups, and the exact re-scores are equi-joins. No cartesian, no
-    BroadcastNestedLoopJoin anywhere, and the pinned assignment feeds
-    its four consumers from cache."""
+    matrix, and the pairing + accounting is the fused per-cluster
+    FlatMapGroupsInPandas kernel over ~N/64 groups (r11 optimization
+    round). No cartesian, no BroadcastNestedLoopJoin anywhere, no joins,
+    no cache — one cluster exchange is the only data movement."""
     import re as _re
 
     p = plan(spark, _q(spark, "dedup_semantic_scaled"))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "MapInPandas" in p, p
-    assert "FlatMapGroupsInPandas" in p, p
-    assert _re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p
-    # assigned feeds pairing + two exact re-score sides + the rollup
-    assert p.count("InMemoryTableScan") >= 4, p
+    tree = p.split("\n\n", 1)[0]
+    assert "FlatMapGroupsInPandas" in tree, p
+    # r11 fused shape: scan -> (local spread) -> MapInPandas assign ->
+    # ONE cluster exchange -> fused kernel. No joins anywhere, no cache,
+    # and exactly one hash exchange (the unavoidable cluster shuffle) —
+    # the old candidate shuffle + re-score joins + rollup join are gone.
+    assert "Join" not in tree, p
+    assert "InMemoryTableScan" not in tree, p
+    n_hash_exchange = len(_re.findall(r"hashpartitioning", p))
+    assert n_hash_exchange == 1, (n_hash_exchange, p)
 
 
 def test_dedup_url_canonical_pure_jvm_partial_agg(spark):

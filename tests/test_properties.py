@@ -94,35 +94,85 @@ def test_zorder_expression_interleaves_exactly(x, y):
     assert (back_x, back_y) == (x, y)
 
 
-def test_cluster_pair_candidates_drop_zero_norm():
-    """Zero-norm contract (settled round 7): a zero-norm vector's cosine
-    is undefined — the DuckDB oracle's division by zero yields NULL and
-    ``NULL >= t`` DROPS the pair, while ANSI Spark (the driver's vanilla
-    default) would THROW if such a pair reached the exact cosine. The
-    BLAS kernel's NaN scores (0 * inf) compare False against the margin,
-    so pairs touching a zero-norm row are EXCLUDED in the candidate
-    phase — matching the oracle and never tripping ANSI division."""
+def test_cluster_rollup_drops_zero_norm():
+    """Zero-norm contract (settled round 7; kernel fused in the r11
+    optimization round): a zero-norm vector's cosine is undefined — the
+    DuckDB oracle's division by zero yields NULL and ``NULL >= t`` DROPS
+    the pair, while ANSI Spark (the driver's vanilla default) would
+    THROW if such a pair were cosine'd. The fused kernel's NaN BLAS
+    scores (0 * inf) compare False against both the margin and the
+    certainty band, so a zero-norm row is never dropped and never
+    reaches the exact fold — matching the oracle and never tripping
+    ANSI division."""
     import pandas as pd
 
     from tiny_mapreduce_rpc_server_spark.operators.ml import (
         SEMANTIC_DUP,
-        _cluster_pair_candidates,
+        _cluster_rollup,
     )
 
-    fn = _cluster_pair_candidates(SEMANTIC_DUP - 1e-9)
+    fn = _cluster_rollup(SEMANTIC_DUP - 1e-9, SEMANTIC_DUP)
     pdf = pd.DataFrame(
         {"vec_id": [1, 2, 3, 4],
          "v": [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [1.0, 1e-9]]}
     )
     out = fn((7,), pdf)
-    pairs = set(zip(out["vec_a"], out["vec_b"]))
-    # the zero-norm row pairs with NOTHING
-    assert not any(1 in p for p in pairs), pairs
-    # finite near-parallel pair still found
-    assert (2, 4) in pairs, pairs
-    # finite anti-parallel pair is a normal BLAS reject
-    assert (2, 3) not in pairs, pairs
-    assert set(out["cluster"]) == {7}
+    assert list(out["cluster"]) == [7]
+    assert list(out["n_members"]) == [4]
+    # exactly one drop: vec 4 (near-parallel to lower-id vec 2). The
+    # zero-norm vec 1 pairs with nothing (would otherwise drop 2, 3 and
+    # 4 if its NaN scores leaked through), and the anti-parallel (2, 3)
+    # pair is a normal BLAS reject.
+    assert list(out["n_dropped"]) == [1]
+    assert list(out["n_kept"]) == [3]
+
+
+def test_cluster_rollup_uncertainty_band_exact_fold():
+    """The fused kernel's certainty-band shortcut must agree with the
+    exact sequential fold AT the threshold: a pair whose exact cosine is
+    exactly SEMANTIC_DUP (inside the 2e-9 uncertainty band, where BLAS
+    cannot decide) is dropped by the >= contract, and a pair just below
+    the band is kept."""
+    import pandas as pd
+
+    from tiny_mapreduce_rpc_server_spark.operators.ml import (
+        SEMANTIC_DUP,
+        _cluster_rollup,
+    )
+
+    import math
+
+    fn = _cluster_rollup(SEMANTIC_DUP - 1e-9, SEMANTIC_DUP)
+    # v2 is built so its exact-fold cosine against v1 lands within a few
+    # ulps of the threshold (2/5 up to norm rounding): the BLAS score
+    # falls inside the [t-1e-9, t+1e-9) uncertainty band and the exact
+    # fold decides. The test computes the expected verdict with the SAME
+    # reference fold (sequential products/adds, correctly-rounded
+    # sqrt/multiply/divide — the oracle's list_dot_product semantics) so
+    # it is robust to the rounding direction of sqrt(21)**2.
+    v1, v2 = [1.0, 0.0], [2.0, math.sqrt(21.0)]
+
+    def fold_cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for x in b:
+            nb += x * x
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    assert abs(fold_cos(v1, v2) - SEMANTIC_DUP) < 1e-12  # in the band
+    expected = 1 if fold_cos(v1, v2) >= SEMANTIC_DUP else 0
+    pdf = pd.DataFrame(
+        {"vec_id": [1, 2, 3],
+         # vec 3 sits far below the band: kept
+         "v": [v1, v2, [-1.0, 0.0]]}
+    )
+    out = fn((0,), pdf)
+    assert list(out["n_members"]) == [3]
+    assert list(out["n_dropped"]) == [expected], out
+    assert list(out["n_kept"]) == [3 - expected]
 
 
 @given(

@@ -559,109 +559,127 @@ ML_QUERIES = [
 SEMANTIC_DUP = 0.4
 
 
-def _cluster_pair_candidates(margin: float):
-    """applyInPandas kernel factory: within-cluster candidate pairs via a
-    blocked float64 BLAS matmul, shared by ``dedup_semantic`` (fixed K)
-    and ``dedup_semantic_scaled`` (K ~ N / SEED_STRIDE).
+_SEM_ROLLUP_SCHEMA = "cluster long, n_members long, n_dropped long, n_kept long"
 
-    Margin contract: ``margin = SEMANTIC_DUP - 1e-9`` assumes BLAS-vs-
-    ordered-fold cosine disagreement stays under 1e-9. The float64 dot
-    error is bounded by ~d*eps*|a||b| (all same-sign products after
-    normalization, no cancellation), so the cosine error is <= ~3*d*eps
-    ~= 4e-14 at d=64 and the 1e-9 margin holds for d up to ~1e6; for
-    wider embeddings widen the margin proportionally to d.
+
+def _cluster_rollup(margin: float, threshold: float):
+    """applyInPandas kernel factory: the ENTIRE per-cluster SemDeDup
+    accounting — blocked-BLAS candidate scoring, exact-threshold verify,
+    keep/drop counting — in one pass over the cluster group. Shared by
+    all three SemDeDup variants (fixed-K, scaled-K, two-level).
+
+    r11 optimization-round shape (guide §1.2 "fix the distributed
+    algorithm", §2.3/§2.4): the previous two-stage form emitted candidate
+    PAIRS from this kernel and re-scored them with the ordered-fold
+    cosine via TWO equi-joins against the full N-row assignment — so the
+    assignment had to be cached (`_pin`) and the embedding payload
+    crossed two more exchanges just to recompute cosines the kernel had
+    already (approximately) computed. The group handed to applyInPandas
+    IS the whole cluster, so the exact decision can be made in place and
+    only K accounting rows ever leave the kernel. The joins, the N-row
+    cache, and the candidate shuffle all disappear.
+
+    Exactness contract (same as `_exact_voronoi`): the BLAS cosine
+    differs from the oracle's sequential-fold cosine by < 1e-9 (float64
+    dot error ~d*eps*|a||b| after normalization => cosine error
+    <= ~3*d*eps ~= 4e-14 at d=64; the 1e-9 band holds to d ~ 1e6 — widen
+    both constants proportionally for wider embeddings). So a BLAS score
+    >= threshold + 1e-9 is a CERTAIN drop, < threshold - 1e-9 (the
+    candidate margin) a certain keep, and only scores inside the 2e-9
+    uncertainty band are re-scored with the exact sequential fold
+    (bit-identical to Spark's `F.aggregate` cosine and DuckDB's
+    list_dot_product: same left-to-right product/add sequence, same
+    correctly-rounded sqrt/multiply/divide) — in practice zero to a
+    handful of pairs, so the interpreted fold never touches the
+    candidate volume.
 
     Zero-norm rows: a zero-norm vector's cosine is undefined — DuckDB's
     division by zero yields NULL and ``NULL >= t`` DROPS the pair, while
-    ANSI Spark (the driver's vanilla default) would THROW in the exact
-    phase. The convergent contract is exclusion: the BLAS phase's NaN
-    scores (0 * inf) compare False against the margin, so pairs touching
-    a zero-norm row never reach the exact phase — matching the oracle's
-    NULL-drop exactly and never tripping ANSI division. Pinned by
-    tests/test_properties.py::test_cluster_pair_candidates_drop_zero_norm.
+    ANSI Spark (the driver's vanilla default) would THROW if such a pair
+    were cosine'd. The convergent contract is exclusion: the BLAS
+    phase's NaN scores (0 * inf) compare False against the margin, so
+    pairs touching a zero-norm row are never dropped and never reach the
+    exact fold — matching the oracle's NULL-drop exactly. Pinned by
+    tests/test_properties.py::test_cluster_rollup_drops_zero_norm.
+
+    Counting rule (unchanged): a member is DROPPED iff some lower-id
+    member of the same cluster has cosine >= threshold with it;
+    n_dropped = |distinct dropped members|.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    def _candidates(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    certain = threshold + 1e-9
+
+    def _rollup(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+
+        def out(nd: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"cluster": np.array([key[0]], dtype="int64"),
+                 "n_members": np.array([n], dtype="int64"),
+                 "n_dropped": np.array([nd], dtype="int64"),
+                 "n_kept": np.array([n - nd], dtype="int64")}
+            )
+
+        if n < 2:
+            return out(0)
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         mat = np.array([np.asarray(x, dtype="float64") for x in pdf["v"]])
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"cluster": np.empty(0, "int64"),
-                 "vec_a": np.empty(0, "int64"),
-                 "vec_b": np.empty(0, "int64")}
-            )
         with np.errstate(invalid="ignore", divide="ignore"):
             inv = 1.0 / np.sqrt((mat * mat).sum(axis=1))
+        # exact-fold state, built lazily: only rows that hit the 2e-9
+        # uncertainty band ever materialize a Python list / exact norm
+        lists: dict[int, list] = {}
+        norms: dict[int, float] = {}
+
+        def lst(i: int) -> list:
+            cached = lists.get(i)
+            if cached is None:
+                cached = mat[i].tolist()
+                lists[i] = cached
+            return cached
+
+        def nrm(i: int) -> float:
+            cached = norms.get(i)
+            if cached is None:
+                s = 0.0
+                for x in lst(i):
+                    s += x * x
+                cached = math.sqrt(s)
+                norms[i] = cached
+            return cached
+
+        dropped: set[int] = set()
         # block the (step x n) score matrix to 256 MB so a huge cluster
         # can't blow the worker (same budget as dedup_embedding)
-        step = max(1, (1 << 28) // (8 * len(ids)))
-        out_a, out_b = [], []
-        for lo in range(0, len(ids), step):
-            hi = min(lo + step, len(ids))
+        step = max(1, (1 << 28) // (8 * n))
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
             with np.errstate(invalid="ignore", divide="ignore"):
                 s = (mat[lo:hi] @ mat.T) * inv[lo:hi, None] * inv[None, :]
-                # NaN scores (zero-norm rows) compare False: dropped, by
-                # contract (see docstring)
-                hit = (s >= margin) & (ids[lo:hi, None] < ids[None, :])
-            ai, bi = np.nonzero(hit)
-            out_a.append(ids[lo:hi][ai])
-            out_b.append(ids[bi])
-        va = np.concatenate(out_a) if out_a else np.empty(0, "int64")
-        vb = np.concatenate(out_b) if out_b else np.empty(0, "int64")
-        return pd.DataFrame(
-            {"cluster": np.full(len(va), key[0], dtype="int64"),
-             "vec_a": va, "vec_b": vb}
-        )
+                lower = ids[lo:hi, None] < ids[None, :]
+                # NaN scores (zero-norm rows) compare False everywhere:
+                # excluded, by contract (see docstring)
+                sure = (s >= certain) & lower
+                band = (s >= margin) & ~(s >= certain) & lower
+            dropped.update(np.nonzero(sure.any(axis=0))[0].tolist())
+            for a, b in zip(*np.nonzero(band)):
+                gb = int(b)
+                if gb in dropped:
+                    continue
+                ga = lo + int(a)
+                la, lb = lst(ga), lst(gb)
+                d = 0.0
+                for x, y in zip(la, lb):
+                    d += x * y
+                if d / (nrm(ga) * nrm(gb)) >= threshold:
+                    dropped.add(gb)
+        return out(len(dropped))
 
-    return _candidates
-
-
-def _semantic_rollup(assigned: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact re-score of candidate pairs + per-cluster keep/drop
-    accounting, shared by all three SemDeDup variants. ``assigned`` must
-    carry (vec_id, v, cluster); the exact ordered-fold cosine is
-    bit-identical to the oracle's sequential list_dot_product.
-
-    r11 optimization-round shape (guide §2.3 "aggregate before you
-    shuffle", §2.4): the old form LEFT-JOINed the full N-row membership
-    against the dropped set on (cluster, vec_id) and then aggregated —
-    an N-row Exchange + SortMergeJoin whose only purpose was counting.
-    Every (cluster, vec_b) the re-score emits IS an assigned membership
-    row (candidates are generated within an assigned cluster group), so
-    the same accounting is two partial aggregates joined at K rows:
-    per-cluster member counts and per-cluster distinct-dropped counts.
-    The N-row shuffle disappears (SortMergeJoin LeftOuter over N rows ->
-    K-row aggregate join, AQE-broadcast at test SFs; interleaved A/B at
-    sf0.1, median of 4: dedup_semantic 6.38 s -> 4.11 s, _scaled 3.03 ->
-    3.21 s i.e. within noise — the win is the removed N-row exchange,
-    which the 100 TB shape cares about more than sf0.1 does). Counting
-    semantics are unchanged: DISTINCT vec_b per cluster == the old
-    distinct-then-flag-then-sum."""
-    from tiny_mapreduce_rpc_server_spark.functions import cosine
-
-    ea = assigned.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("ea"))
-    eb = assigned.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("eb"))
-    drops = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("cluster", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= SEMANTIC_DUP)
-        .groupBy("cluster")
-        .agg(F.count_distinct("vec_b").alias("_nd"))
-    )
-    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
-    nd = F.coalesce(F.col("_nd"), F.lit(0).cast("long"))
-    # no broadcast hint: both sides are K-row aggregates (K ~ N/64 in the
-    # scaled variant can reach 1e8 at 100 TB); AQE picks broadcast at
-    # test SFs from the runtime sizes and SMJ stays safe past the cap
-    return members.join(drops, "cluster", "left").select(
-        "cluster",
-        "n_members",
-        nd.alias("n_dropped"),
-        (F.col("n_members") - nd).alias("n_kept"),
-    )
+    return _rollup
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,17 +699,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the two Lloyd iterations are corpus scans against K
     broadcast centroid rows (same contract as q_kmeans_lloyd); the
     pairing stage runs per cluster, quadratic only within a cluster,
-    as a two-phase score (the ``dedup_embedding`` pattern): a blocked
-    float64 BLAS matmul inside ``applyInPandas`` generates candidate
-    pairs above a 1e-9-margin threshold, then ONLY the candidates get
+    inside the fused ``_cluster_rollup`` kernel: a blocked float64 BLAS
+    matmul scores the group, scores past the certainty band drop
+    outright, only the ~zero pairs inside the 2e-9 uncertainty band get
     the exact ordered-fold cosine (bit-identical to the oracle's
-    sequential list_dot_product) and the exact-threshold filter — the
-    interpreted per-pair fold never touches the full quadratic set
-    (53 s -> ~6 s at the 10x replica). At real scale K grows with the
-    corpus (the paper uses 50k clusters for LAION) so cluster sizes —
-    and each applyInPandas group — stay bounded; K is fixed at the
-    oracle-tractable 8 here and the assign/update steps are
-    K-independent scans.
+    sequential list_dot_product) — the interpreted per-pair fold never
+    touches the full quadratic set (53 s -> ~6 s at the 10x replica for
+    the two-phase split; the r11 fusion additionally removes the
+    candidate shuffle, the N-row assignment cache, and both re-score
+    joins). At real scale K grows with the corpus (the paper uses 50k
+    clusters for LAION) so cluster sizes — and each applyInPandas
+    group — stay bounded; K is fixed at the oracle-tractable 8 here and
+    the assign/update steps are K-independent scans.
 
     No reference counterpart (SURVEY §2.11 — [EXT] training-pipeline
     operator).
@@ -703,18 +722,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
     a2 = _assign(emb, _update(_assign(emb, cent0)))
-    # the assignment feeds three consumers (candidate generation, the
-    # exact re-score joins, the membership rollup); pin it so the two
-    # Lloyd iterations run once, not three times (released via
-    # release_caches(), same contract as the dedup candidate sets)
-    from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
-
-    a2 = _pin(a2)
-    cand = a2.groupBy("cluster").applyInPandas(
-        _cluster_pair_candidates(SEMANTIC_DUP - 1e-9),
-        "cluster long, vec_a long, vec_b long",
+    # single consumer (r11 optimization round): the fused kernel does
+    # candidate scoring, exact verify, and accounting per cluster group,
+    # so the assignment is computed once with no cache and nothing but K
+    # accounting rows leaves the pairing stage
+    return a2.groupBy("cluster").applyInPandas(
+        _cluster_rollup(SEMANTIC_DUP - 1e-9, SEMANTIC_DUP), _SEM_ROLLUP_SCHEMA
     )
-    return _semantic_rollup(a2, cand)
 
 # reuses the kmeans CTE chain, but a2 carries v so the within-cluster
 # pairing can compute cosine
@@ -876,10 +890,10 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
       id. Parallelism = input partitions, NOT K; no N x K row explosion
       (the broadcast-join + window _assign shape materializes N*K rows,
       fine for K=8, fatal for K=50k).
-    - **Pairing**: the shared ``_cluster_pair_candidates`` two-phase
-      kernel, now over ~N/64 groups — pairing parallelism scales with
-      the corpus and per-group pair volume is ~SEED_STRIDE^2 bounded on
-      average instead of (N/8)^2.
+    - **Pairing**: the shared ``_cluster_rollup`` fused kernel, now over
+      ~N/64 groups — pairing parallelism scales with the corpus and
+      per-group pair volume is ~SEED_STRIDE^2 bounded on average instead
+      of (N/8)^2; only K accounting rows leave the stage.
 
     Memory contract: the broadcast centroid matrix is (N/64) x d
     float64. At the paper's LAION regime (50k x 768) that is ~300 MB —
@@ -905,15 +919,12 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort_values("cluster")
     )
     assigned = _exact_voronoi(spark, emb, cents)
-    # feeds pairing + two exact re-score joins + the membership rollup
-    from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
-
-    assigned = _pin(assigned)
-    cand = assigned.groupBy("cluster").applyInPandas(
-        _cluster_pair_candidates(SEMANTIC_DUP - 1e-9),
-        "cluster long, vec_a long, vec_b long",
+    # single consumer (r11 optimization round): the fused kernel makes
+    # the exact per-cluster decision in place — no cache, no re-score
+    # joins, only ~N/64 accounting rows leave the pairing stage
+    return assigned.groupBy("cluster").applyInPandas(
+        _cluster_rollup(SEMANTIC_DUP - 1e-9, SEMANTIC_DUP), _SEM_ROLLUP_SCHEMA
     )
-    return _semantic_rollup(assigned, cand)
 
 
 # Same accounting CTE as ORACLE_DEDUP_SEMANTIC, but the centroid set is
@@ -1083,9 +1094,8 @@ def q_dedup_semantic_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
       O(N x sqrt(K)) rows — the IVF balance point — where the
       single-level broadcast-join formulation is O(N x K) and the
       broadcast is O(K).
-    - pairing + accounting reuse the shared SemDeDup kernels
-      (``_cluster_pair_candidates`` / ``_semantic_rollup``) over ~N/64
-      bounded-size clusters.
+    - pairing + accounting reuse the shared fused SemDeDup kernel
+      (``_cluster_rollup``) over ~N/64 bounded-size clusters.
 
     At the fixtures: sf0.01 has K=8 fines -> f=3 -> 3 cells; sf0.1 has
     K=31 -> f=6 -> 6 cells; at the paper's 50k clusters f=224 -> ~224
@@ -1130,14 +1140,11 @@ def q_dedup_semantic_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cluster")
     )
-    from tiny_mapreduce_rpc_server_spark.operators.dedup import _pin
-
-    assigned = _pin(assigned)
-    cand = assigned.groupBy("cluster").applyInPandas(
-        _cluster_pair_candidates(SEMANTIC_DUP - 1e-9),
-        "cluster long, vec_a long, vec_b long",
+    # single consumer (r11 optimization round): fused kernel, see
+    # _cluster_rollup — no assignment cache, no re-score joins
+    return assigned.groupBy("cluster").applyInPandas(
+        _cluster_rollup(SEMANTIC_DUP - 1e-9, SEMANTIC_DUP), _SEM_ROLLUP_SCHEMA
     )
-    return _semantic_rollup(assigned, cand)
 
 
 def _sql_sq_dist(a: str, b: str) -> str:
