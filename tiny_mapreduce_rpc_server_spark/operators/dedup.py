@@ -1081,17 +1081,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Exact all-pairs cosine >= COSINE_DUP, broadcast flavor.
 
-    Two-phase exact all-pairs, the idiomatic Spark brute-force pattern:
-
-    1. *Candidates* — broadcast the (small) embedding matrix to every
-       executor and score each partition's rows against it with a blocked
-       float64 BLAS matmul inside ``mapInPandas``. A 1e-9 threshold
-       margin absorbs the summation-order difference between BLAS and an
-       ordered fold, so no true pair is lost.
-    2. *Exact re-score* — join the (tiny) candidate set back to the
-       vectors and recompute cosine as ordered ``F.aggregate`` folds,
-       bit-identical to the oracle's list_dot_product over DOUBLE[];
-       final filter at the exact threshold.
+    One fused pass, the idiomatic Spark brute-force pattern (r11
+    optimization round — guide §1.2, §2.4, §4.2): broadcast the (small)
+    embedding matrix to every executor and score each partition's rows
+    against it with a blocked float64 BLAS matmul inside ``mapInPandas``;
+    BLAS hits above a 1e-9 threshold margin (which absorbs the
+    summation-order difference between BLAS and an ordered fold, so no
+    true pair is lost) are then re-scored IN THE KERNEL with the exact
+    sequential fold — the same left-to-right product/add sequence with
+    correctly-rounded sqrt/multiply/divide as the oracle's
+    list_dot_product over DOUBLE[], bit-identical — and emitted with the
+    exact cosine at the exact threshold. The previous two-stage form
+    shipped the candidate pairs out of the kernel, persisted + counted
+    them (an extra eager job), and joined them back to the vectors twice
+    to recompute the cosine as ``F.aggregate`` folds; the fused kernel
+    produces the identical rows in a single corpus scan with no joins
+    and no candidate materialization (per-pair exact-fold cost is
+    O(output), and output IS the near-dup pair list).
 
     Memory contract: the broadcast side must fit executor memory (same
     as any broadcast join — ~0.5 GB at the 1M-row switch point), and the
@@ -1099,6 +1105,8 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
     materializes at most ``_MAX_SCORE_BLOCK_BYTES`` (256 MB) regardless
     of N — an unblocked (arrow_batch x N) matrix would be ~80 GB per
     10k-row batch at N=1M."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -1109,32 +1117,60 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
         inv_norms = 1.0 / np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids_np, mat, inv_norms))
     margin = COSINE_DUP - 1e-9
+    threshold = COSINE_DUP
     # closure-captured (pickled by value into the workers), so tests can
     # shrink it to force the multi-chunk path at small SFs
     block_bytes = _MAX_SCORE_BLOCK_BYTES
 
-    def _candidates(batches):
+    def _pairs(batches):
         b_ids, b_mat, b_inv = bc.value
         # zero-norm rows: cosine is undefined — the oracle's division by
         # zero yields NULL and NULL >= t DROPS the pair, while ANSI Spark
-        # would THROW if such a pair reached the exact cosine. The NaN
-        # BLAS scores (0 * inf) compare False against the margin, so
-        # those pairs are excluded here, matching the oracle's NULL-drop
+        # would THROW if such a pair were cosine'd. The NaN BLAS scores
+        # (0 * inf) compare False against the margin, so those pairs are
+        # excluded before the exact fold, matching the oracle's NULL-drop
         # (pinned by test_zero_norm_embedding_pairs_are_excluded)
         n_build = b_mat.shape[0]
+        # exact-fold caches for the build side, populated on demand:
+        # only rows that actually appear in a candidate pay the list
+        # conversion / exact-norm fold, so memory stays O(output rows)
+        b_lists: dict[int, list] = {}
+        b_norms: dict[int, float] = {}
+
+        def b_lst(j: int) -> list:
+            cached = b_lists.get(j)
+            if cached is None:
+                cached = b_mat[j].tolist()
+                b_lists[j] = cached
+            return cached
+
+        def b_nrm(j: int) -> float:
+            cached = b_norms.get(j)
+            if cached is None:
+                s = 0.0
+                for x in b_lst(j):
+                    s += x * x
+                cached = math.sqrt(s)
+                b_norms[j] = cached
+            return cached
+
         for pb in batches:
             a_ids = pb["vec_id"].to_numpy(dtype="int64")
             a_mat = np.array([np.asarray(v, dtype="float64") for v in pb["embedding"]])
             if len(a_ids) == 0 or n_build == 0:
                 yield pd.DataFrame(
-                    {"vec_a": np.empty(0, "int64"), "vec_b": np.empty(0, "int64")}
+                    {"vec_a": np.empty(0, "int64"),
+                     "vec_b": np.empty(0, "int64"),
+                     "cos_sim": np.empty(0, "float64")}
                 )
                 continue
             with np.errstate(invalid="ignore", divide="ignore"):
                 a_inv = 1.0 / np.sqrt((a_mat * a_mat).sum(axis=1))
+            a_lists: dict[int, list] = {}
+            a_norms: dict[int, float] = {}
+            out_a, out_b, out_c = [], [], []
             # worst-case per-step scores block: len(a_ids) * step * 8 bytes
             step = max(1, block_bytes // (8 * len(a_ids)))
-            out_a, out_b = [], []
             for lo in range(0, n_build, step):
                 hi = min(lo + step, n_build)
                 with np.errstate(invalid="ignore", divide="ignore"):
@@ -1146,23 +1182,35 @@ def _dedup_embedding_broadcast(spark: SparkSession, emb: DataFrame) -> DataFrame
                     hit = (scores >= margin) & (
                         a_ids[:, None] < b_ids[None, lo:hi]
                     )
-                ai, bi = np.nonzero(hit)
-                out_a.append(a_ids[ai])
-                out_b.append(b_ids[lo:hi][bi])
+                for ai, bi in zip(*np.nonzero(hit)):
+                    ia, ib = int(ai), lo + int(bi)
+                    la = a_lists.get(ia)
+                    if la is None:
+                        la = a_mat[ia].tolist()
+                        a_lists[ia] = la
+                    na = a_norms.get(ia)
+                    if na is None:
+                        s = 0.0
+                        for x in la:
+                            s += x * x
+                        na = math.sqrt(s)
+                        a_norms[ia] = na
+                    lb = b_lst(ib)
+                    d = 0.0
+                    for x, y in zip(la, lb):
+                        d += x * y
+                    cos = d / (na * b_nrm(ib))
+                    if cos >= threshold:
+                        out_a.append(a_ids[ia])
+                        out_b.append(b_ids[ib])
+                        out_c.append(cos)
             yield pd.DataFrame(
-                {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+                {"vec_a": np.asarray(out_a, dtype="int64"),
+                 "vec_b": np.asarray(out_b, dtype="int64"),
+                 "cos_sim": np.asarray(out_c, dtype="float64")}
             )
 
-    cand = emb.mapInPandas(_candidates, schema="vec_a long, vec_b long")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
-        _bounded_broadcast(cand).join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_DUP)
-    )
+    return emb.mapInPandas(_pairs, schema="vec_a long, vec_b long, cos_sim double")
 
 
 ORACLE_DEDUP_EMBEDDING = f"""
