@@ -786,30 +786,45 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS/NOT EXISTS shape with shipdate-vs-orderdate lateness standing
     in for the absent commit/receipt dates.
 
-    Rewrite: one per-order aggregate computes (distinct suppliers,
-    distinct late suppliers) — turning the two correlated EXISTS probes
-    into a single groupBy — then late lines join the qualifying orders
-    (nsupp > 1, nlate = 1). Each EXISTS becomes part of one shuffle on
-    orderkey instead of a per-row probe."""
+    Rewrite (r11 optimization round — guide §1.2 "fix the distributed
+    algorithm", §2.3 "aggregate before you shuffle", §2.4): ONE pass over
+    lineitem⋈orders. The old form computed that join twice (once for the
+    per-order distinct-counting aggregate, once for the late-lines side)
+    and re-shuffled the full late-line set through a LeftSemi join on
+    orderkey. Instead, aggregate to (orderkey, suppkey) granularity
+    first — per-supplier late-line counts, partial-aggregated map-side —
+    then per order: supplier count, late-supplier count, and (via
+    conditional max over what is a singleton set when nlate = 1) the
+    lone late supplier and its late-line count. Qualifying orders
+    (nsupp > 1, nlate = 1) then roll up per supplier on K-row
+    aggregates; the fact table is scanned and shuffled exactly once, no
+    distinct Expand, no semi-join. Equivalence: numwait = count of late
+    lines of the single late supplier over qualifying orders = the sum
+    of that supplier's per-order late-line counts."""
     orders_f = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
     li = load_table(spark, sf_dir, "lineitem")
-    lines = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
-        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lines = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(is_late, 1)).alias("n_late")
     )
-    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate"),
+    late_supp = F.when(F.col("n_late") > 0, F.col("l_suppkey"))
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("nsupp"),
+        F.count(late_supp).alias("nlate"),
+        F.max(late_supp).alias("late_supp"),
+        F.max(F.when(F.col("n_late") > 0, F.col("n_late"))).alias("late_lines"),
     )
     waiting = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        lines.filter(F.col("is_late"))
-        .join(waiting, F.col("l_orderkey") == waiting.ok, "left_semi")
-        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        waiting.groupBy(F.col("late_supp").alias("lsk"))
+        .agg(F.sum("late_lines").alias("nw"))
+        .join(supp, F.col("lsk") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("nw").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 
