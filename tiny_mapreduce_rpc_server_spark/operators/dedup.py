@@ -481,6 +481,29 @@ WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= {JACCARD_VERIFY}
 # ---------------------------------------------------------------------------
 
 
+def _minhash_sig_col(th) -> F.Column:
+    """All N_HASHES minhash minima in ONE fold over the token-hash array:
+    an N_HASHES-wide accumulator updated per element (``acc[i] =
+    least(acc[i], perm_i(x))``) instead of one ``transform`` +
+    ``array_min`` pass PER PERMUTATION — the same single-pass rewrite as
+    ``_simhash_ones_col`` (r11 opt #1), killing 16 array traversals and
+    16 intermediate array allocations per row. Init is M2 (every perm
+    value is ``% M2`` < M2, so it acts as +inf); a doc with zero shingles
+    folds to all-M2 where ``array_min(transform(empty))`` was NULL — its
+    band keys then self-bucket, but such docs have jaccard NULL against
+    anything, so the verified output is unchanged (the oracle gate pins
+    this). ``th`` must be a column reference (CollapseProject)."""
+    return F.aggregate(
+        th,
+        F.array_repeat(F.lit(P.M2).cast("long"), N_HASHES),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[P.perm(i, x) for i in range(N_HASHES)]),
+            lambda m, p: F.least(m, p),
+        ),
+    )
+
+
 def _band_keys(ds: DataFrame) -> DataFrame:
     """(doc_id, bk) LSH band-bucket keys of a shingled corpus: per-row
     minhash signature (array math, no shuffle), then the 4 band keys
@@ -488,17 +511,11 @@ def _band_keys(ds: DataFrame) -> DataFrame:
     carries an 8-byte key, never the shingle arrays."""
     th = F.transform(F.col("shingles"), lambda s: P.h1(s))
     sigs = ds.select("doc_id", th.alias("th"))
-
-    def _perm_fn(i: int):
-        # closure factory (a `lambda x, i=i:` default would break PySpark's
-        # higher-order-function arity introspection)
-        return lambda x: P.perm(i, x)
-
+    staged = sigs.select("doc_id", _minhash_sig_col(F.col("th")).alias("mhs"))
     mh = [
-        F.array_min(F.transform(F.col("th"), _perm_fn(i))).alias(f"mh{i}")
-        for i in range(N_HASHES)
+        F.element_at(F.col("mhs"), i + 1).alias(f"mh{i}") for i in range(N_HASHES)
     ]
-    sigs = sigs.select("doc_id", *mh)
+    sigs = staged.select("doc_id", *mh)
     bands = F.array(
         *[
             F.struct(
