@@ -130,6 +130,38 @@ def test_components_converge_on_high_diameter_chain(spark):
     assert {r["component"] for r in comp} == {0}
 
 
+def test_cc_local_matches_distributed_loop(spark, monkeypatch):
+    """The size-gated single-task union-find (r11 optimization round)
+    must be label-identical to the distributed min-label loop — on long
+    keys AND string keys (er_canonical_merge's graphs are name strings,
+    where min = lexicographic), across chains (the pointer-jumping
+    class), stars, and disjoint singleton edges."""
+    import tiny_mapreduce_rpc_server_spark.operators.graph as G
+
+    edges = (
+        [(i, i + 1) for i in range(50)]  # 51-node chain
+        + [(1000, 1000 + k) for k in range(1, 6)]  # star
+        + [(7000, 7001), (9000, 9005)]  # disjoint pairs
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    spairs = spark.createDataFrame(
+        [("beta", "gamma"), ("alpha", "beta"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+
+    def labels(df):
+        return {(r.doc_id, r.component) for r in G.propagate_components(df).collect()}
+
+    new_long, new_str = labels(pairs), labels(spairs)
+    monkeypatch.setattr(G, "CC_LOCAL_MAX_EDGES", -1)  # force the loop
+    assert labels(pairs) == new_long
+    assert labels(spairs) == new_str
+    assert new_str == {
+        ("alpha", "alpha"), ("beta", "alpha"), ("gamma", "alpha"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
 def test_spread_is_noop_with_enough_partitions(spark):
     """spread() must widen a narrow scan to session parallelism and be a
     structural no-op (same object, no added shuffle) when the input

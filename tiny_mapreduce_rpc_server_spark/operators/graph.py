@@ -54,6 +54,61 @@ from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 _MAX_ROUNDS = 20
 
+# Single-task union-find gate: below this many edges the whole pair list
+# provably fits in ONE task's memory (2M (long,long) rows ~ 32 MB — the
+# same constant class as dedup.BROADCAST_PAIR_BOUND) and the iterative
+# loop's per-round scheduler cost dominates the actual work, so CC runs
+# as one mapInPandas over coalesce(1). Above the gate the distributed
+# O(log diameter) loop below is unchanged. The edge count is read off
+# the already-materialized localCheckpoint, so the gate costs one
+# metadata-cheap job, exactly like _bounded_broadcast's count.
+CC_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _cc_local(base: DataFrame) -> DataFrame:
+    """Connected components of a SMALL materialized edge list in one
+    executor task: union-find with path compression, then min node id
+    per root — semantics identical to the min-label fixpoint (component
+    = min id in the component; Python string comparison is code-point
+    order, which equals Spark's UTF8 binary ordering, so string-keyed
+    graphs like er_canonical_merge match too). One Spark job, zero
+    shuffles, no driver-side data (the fold runs in the executor)."""
+    import pandas as pd
+
+    def kernel(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        best: dict = {}
+        for n in parent:
+            r = find(n)
+            m = best.get(r)
+            if m is None or n < m:
+                best[r] = n
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"doc_id": nodes, "component": [best[find(n)] for n in nodes]}
+        )
+
+    t = base.schema["src"].dataType.simpleString()
+    return base.coalesce(1).mapInPandas(kernel, f"doc_id {t}, component {t}")
+
 
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) for every doc in at least one near-dup pair;
@@ -75,6 +130,17 @@ def propagate_components(pairs: DataFrame) -> DataFrame:
     base = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).localCheckpoint()
+    # Size-gated single-task fast path (r11 optimization round): on a
+    # small pair list — 53k edges for the sf0.1 signature graph — the
+    # loop below converges in a handful of rounds but pays ~1 s of
+    # scheduler/checkpoint overhead PER ROUND, which dominated the
+    # slowest bench row (dedup_simhash_clusters: the CC loop was 4.5 s
+    # of its 7.5 s). Below CC_LOCAL_MAX_EDGES the whole edge list goes
+    # through one union-find task instead (identical labels; the count
+    # reads the partitions localCheckpoint just materialized). Above
+    # the gate — the 100 TB dup-heavy-crawl case — nothing changes.
+    if base.count() <= CC_LOCAL_MAX_EDGES:
+        return _cc_local(base)
     edges = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
