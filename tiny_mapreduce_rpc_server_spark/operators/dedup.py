@@ -410,12 +410,23 @@ def _shingle_intersections(spark: SparkSession, sf_dir: str):
     """Shared candidate pipeline for the set-overlap dedup family
     (jaccard + containment): DF-capped inverted index on 8-byte shingle
     hashes, pair intersection counts, per-doc set sizes joined on. Returns
-    (pairs-with-sizes DataFrame [doc_a, doc_b, i, na, nb], sizes DF)."""
-    ds = _pin(_doc_shingles(spark, sf_dir))
-    sizes = ds.select("doc_id", F.size("shingles").alias("n"))
-    ex = ds.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("s")
+    (pairs-with-sizes DataFrame [doc_a, doc_b, i, na, nb], sizes DF).
+
+    The pinned table holds xxhash64(shingle) ARRAYS, not the shingle
+    strings (r11 optimization round): the cached subtree feeds four
+    Generate branches (a-side, b-side, and the rare-filter under each),
+    and hashing once at cache build instead of once per branch removes
+    three re-hash passes AND shrinks the cached rows to 8 bytes/shingle
+    (set sizes are preserved — transform keeps array length). Same
+    accepted-collision contract as before (the join key was already the
+    hash; the oracle intersects strings)."""
+    ds = _pin(
+        _doc_shingles(spark, sf_dir).select(
+            "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+        )
     )
+    sizes = ds.select("doc_id", F.size("hs").alias("n"))
+    ex = ds.select("doc_id", F.explode("hs").alias("s"))
     rare = (
         ex.groupBy("s").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
