@@ -1491,20 +1491,29 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # cache: the shingle computation feeds both the benchmark-set build
-    # and the training-side probe — without it the corpus tokenizes twice
-    ds = _pin(_doc_shingles(spark, sf_dir).join(docs, "doc_id"))
-    # probe on xxhash64(shingle): 8-byte broadcast keys (same collision
-    # argument as q_dedup_ngram_jaccard)
+    # and the training-side probe — without it the corpus tokenizes
+    # twice. The pin holds xxhash64(shingle) ARRAYS, not the strings
+    # (r11 optimization round, same rewrite as _shingle_intersections):
+    # hashing happens once at cache build, the cached rows shrink to
+    # 8 bytes/shingle, and both branches explode longs. Probe keys are
+    # the same 8-byte hashes as before (collision argument as in
+    # q_dedup_ngram_jaccard).
+    ds = _pin(
+        _doc_shingles(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+        )
+    )
     bench = (
         ds.filter(F.col("source") == "src0")
-        .select(F.explode("shingles").alias("s"))
-        .select(F.xxhash64("s").alias("s"))
+        .select(F.explode("hs").alias("s"))
         .distinct()
     )
     train = ds.filter(F.col("source") != "src0")
-    ex = train.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("s")
-    )
+    ex = train.select("doc_id", F.explode("hs").alias("s"))
     shared = (
         ex.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
