@@ -719,7 +719,19 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", P.tokens(F.lower(F.col("text"))).alias("t"))
     tc = F.col("t")
     bigrams = _bigram_pairs(tc, lambda x, y: F.concat(x, F.lit(" "), y))
-    occ = toked.select("doc_id", F.explode(bigrams).alias("bg"))
+    # Key the occurrence stream on xxhash64(bigram) instead of the
+    # bigram string (r11 optimization round): the head aggregate's
+    # map-side-combined shuffle then carries 8-byte keys instead of
+    # ~15-byte strings, and the head join probes on longs. Same
+    # accepted-collision contract as dedup_ngram_jaccard (the oracle
+    # groups the strings). NOT pinned: one row per corpus token makes
+    # the stream corpus-scale — caching it would be the 100 TB hazard
+    # the boilerplate pin rule warns about (its seg stream is 1/32 of
+    # tokens; this one is 1:1), so the tokenize runs once per consumer.
+    occ = toked.select(
+        "doc_id",
+        F.explode(F.transform(bigrams, lambda bg: F.xxhash64(bg))).alias("bg"),
+    )
     head = (
         occ.groupBy("bg")
         .agg(F.count("*").alias("cnt"))
