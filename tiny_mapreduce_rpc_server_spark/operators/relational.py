@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from tiny_mapreduce_rpc_server_spark.functions import davg, dsum, ntz_epoch_us
 from tiny_mapreduce_rpc_server_spark.operators.mapreduce import word_count
-from tiny_mapreduce_rpc_server_spark.sources import load_table
+from tiny_mapreduce_rpc_server_spark.sources import load_table, spread
 from tiny_mapreduce_rpc_server_spark.spec import QuerySpec
 
 # Decimal cast used for oracle-exact double sums (keep in sync with
@@ -179,8 +179,18 @@ FROM lineitem GROUP BY l_returnflag
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 adapted to the synthetic schema: the canonical multi-agg
-    scan. Filter + pruned columns push down to the parquet scan."""
-    li = load_table(spark, sf_dir, "lineitem")
+    scan. Filter + pruned columns push down to the parquet scan.
+
+    The scan goes through ``spread`` (r11 optimization round): the sf*
+    lineitem is one parquet file -> 3 input splits, so the eight
+    decimal aggregates ran on 3 of the session's cores; the round-robin
+    fan-out buys full-width partial aggregation (alternating A/B at
+    sf0.1: 1.84 -> 1.44 s median of 5) and is a structural no-op at
+    real scale where the scan has >= parallelism splits. The join-heavy
+    TPC-H queries (q9 measured 1.11 -> 1.92 s) deliberately do NOT
+    spread — an extra exchange ahead of AQE's broadcast planning costs
+    more than the scan width buys."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
