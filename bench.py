@@ -26,13 +26,28 @@ and emits ``paired: {name: {engine_sec, oracle_sec, ratio}}`` — a ratio
 measured inside one drift window. BASELINE.md's gate paragraph reads
 these ratios, not absolute cells.
 
-Contamination sentinel (round-10 verdict #5): NOTES' "never bench on a
-busy box" discipline is now machine-checked — the JSON carries
-``loadavg_start``/``loadavg_end`` and stamps ``contaminated: true``
-when the 1-min load average exceeds half the cores at EITHER end of
-the run (ADVICE r10: a contaminator that starts mid-bench only shows
-in the end sample; the observed contaminated trial read 78.5 s vs
-42.4 s solo), so a hot-window driver artifact self-identifies.
+Contamination sentinel (round-10 verdict #5, TIGHTENED round-12
+verdict #1): NOTES' "never bench on a busy box" discipline is
+machine-checked — the JSON carries ``loadavg_start``/``loadavg_end``
+and stamps ``contaminated: true`` when the window looks hot. The r11
+failure mode: the threshold was cores/2 = 16, BENCH_r11 ran at loadavg
+~9 end-to-end, stamped clean, and the driver's PERF gate read 21
+phantom regressions off headliner cells that the same run's paired
+re-times contradicted by up to 4.8x. Round-12 fixes (both additive):
+
+- the START threshold is now an absolute 4.0 (the box is expected
+  idle before a bench; every clean r10/r11 run started at 0.1-0.6,
+  the hot r11 window at 9.3). The END threshold stays cores/2
+  because the bench's OWN closing work legitimately pushes the 1-min
+  load to ~4-5 on 32 cores.
+- each paired sentinel also emits ``drift_ratio`` = headliner median
+  / paired re-timed engine median (same code, same run, minutes
+  apart), plus the top-level ``drift_ratio_median``. Calibration on
+  the r11 artifacts: clean windows read 1.04 / 1.10, the hot window
+  1.81 (per-cell up to 4.8) — so ``drift_ratio_median > 1.5`` also
+  stamps ``contaminated: true``: a window that inflated the
+  headliner phase relative to the paired phase self-identifies even
+  when the loadavg samples at the two ends missed it.
 """
 
 from __future__ import annotations
@@ -96,7 +111,9 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     loadavg_start = list(os.getloadavg())
     ncpu = os.cpu_count() or 1
-    contaminated = loadavg_start[0] > 0.5 * ncpu
+    # absolute threshold (r12): the box must be IDLE before a bench run;
+    # min() keeps tiny-core boxes on the old relative rule
+    contaminated = loadavg_start[0] > min(4.0, 0.5 * ncpu)
     if contaminated:
         print(
             f"# WARNING contaminated window: 1-min load {loadavg_start[0]:.1f} "
@@ -218,6 +235,10 @@ def main() -> None:
             # (perf_counter delta), but float("inf") would emit
             # non-standard JSON ("Infinity") and break strict parsers
             "ratio": round(e_med / max(o_med, 1e-9), 3),
+            # headliner cell vs this re-timed cell: same code, same run,
+            # minutes apart — the per-sentinel window-drift witness
+            # (r12 verdict #1)
+            "drift_ratio": round(timings[name] / max(e_med, 1e-9), 3),
         }
         print(
             f"# paired {name}: engine {e_med:.3f}s vs oracle {o_med:.3f}s "
@@ -229,6 +250,14 @@ def main() -> None:
 
     loadavg_end = list(os.getloadavg())
     contaminated_end = loadavg_end[0] > 0.5 * ncpu
+    # median headliner-vs-paired drift across the sentinels: >1.5 means
+    # the headliner phase ran in a measurably hotter window than the
+    # paired phase of the SAME run (clean r11 windows read 1.04/1.10,
+    # the hot one 1.81) — stamp the run contaminated so the driver's
+    # cross-round per-query deltas are not read as plan changes
+    drifts = sorted(p["drift_ratio"] for p in paired.values())
+    drift_median = drifts[len(drifts) // 2] if drifts else None
+    contaminated_drift = drift_median is not None and drift_median > 1.5
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_sec",
@@ -250,16 +279,20 @@ def main() -> None:
         ),
         "loadavg_start": [round(v, 2) for v in loadavg_start],
         "loadavg_end": [round(v, 2) for v in loadavg_end],
-        # contamination judged on BOTH ends (ADVICE r10): a process that
-        # starts mid-bench shows up in loadavg_end even when the pre-run
-        # sample was clean. NOTE: bench's own Spark work contributes to
-        # loadavg_end — the threshold stays at half the cores because the
-        # 32-thread local session rarely sustains >16 runnable threads
-        # across the 1-min window at test SF; a genuinely contaminated
-        # box (second Spark session / test run) pushes well past it.
-        "contaminated": contaminated or contaminated_end,
+        # contamination judged on BOTH ends (ADVICE r10) AND on the
+        # within-run drift witness (r12 verdict #1): a process that
+        # starts mid-bench shows up in loadavg_end or — even if it dies
+        # before the end sample — in the headliner-vs-paired drift.
+        # NOTE: bench's own Spark work contributes to loadavg_end — that
+        # threshold stays at half the cores because the 32-thread local
+        # session rarely sustains >16 runnable threads across the 1-min
+        # window at test SF; a genuinely contaminated box (second Spark
+        # session / test run) pushes well past it.
+        "contaminated": contaminated or contaminated_end or contaminated_drift,
         "contaminated_start": contaminated,
         "contaminated_end": contaminated_end,
+        "contaminated_drift": contaminated_drift,
+        "drift_ratio_median": drift_median,
     }
     if errors:
         payload["errors"] = errors
