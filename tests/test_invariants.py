@@ -162,6 +162,65 @@ def test_cc_local_matches_distributed_loop(spark, monkeypatch):
     }
 
 
+def test_cc_local_near_gate_graph(spark):
+    """r12 (round-11 verdict #2/ADVICE): the numpy union-find kernel must
+    stay correct AND memory-sane on a graph near the CC_LOCAL_MAX_EDGES
+    boundary shape — 200k edges of 100-node chain segments (the
+    pointer-jumping worst case: maximal diameter per component) with a
+    closed-form expected labeling (component = floor(id/100)*100)."""
+    from pyspark.sql import functions as F
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        propagate_components,
+    )
+
+    n = 200_000
+    pairs = (
+        spark.range(n)
+        .filter(F.col("id") % 100 != 99)  # break the chain every 100 ids
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    got = propagate_components(pairs).toPandas()
+    assert len(got) == n  # every id 0..n-1 is an endpoint of some edge
+    assert (got["component"] == (got["doc_id"] // 100) * 100).all()
+
+
+def test_bpe_local_matches_distributed_loop(spark, monkeypatch):
+    """r12: the single-task greedy BPE kernel (incremental pair counts)
+    must produce the identical merge table AND final vocab accounting as
+    the distributed per-round argmax loop — same counts, same
+    (count DESC, lhs, rhs) tie-breaks, same left-to-right replace."""
+    import tiny_mapreduce_rpc_server_spark.operators.chunking as C
+
+    sf = "/root/testdata/sf0.001"
+
+    def merges(df):
+        return [tuple(r) for r in df.collect()]
+
+    new_m = merges(C.q_bpe_train_merges(spark, sf))
+    new_e = C.q_bpe_encode(spark, sf).collect()
+    monkeypatch.setattr(C, "BPE_LOCAL_MAX_TYPES", -1)  # force the loop
+    assert merges(C.q_bpe_train_merges(spark, sf)) == new_m
+    assert C.q_bpe_encode(spark, sf).collect() == new_e
+    assert len(new_m) == C.BPE_MERGE_ROUNDS
+
+
+def test_cc_local_rejects_null_endpoints(spark):
+    """The kernel's non-null contract (ADVICE r11): a null endpoint must
+    raise, not silently float-key the components."""
+    import pytest
+
+    from tiny_mapreduce_rpc_server_spark.operators.graph import (
+        propagate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, None)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(Exception, match="null edge endpoint"):
+        propagate_components(pairs).collect()
+
+
 def test_spread_is_noop_with_enough_partitions(spark):
     """spread() must widen a narrow scan to session parallelism and be a
     structural no-op (same object, no added shuffle) when the input
