@@ -139,6 +139,20 @@ BPE_MERGE_ROUNDS = 6
 # lineage-truncation cadence for the merge loop (see _bpe_train)
 _BPE_CHECKPOINT_EVERY = 4
 
+# Single-task trainer gate (r12, same pattern as graph.CC_LOCAL_MAX_EDGES):
+# below this many word TYPES the whole greedy merge loop runs as ONE
+# executor-side kernel (_bpe_train_local) instead of BPE_MERGE_ROUNDS
+# driver-round argmax jobs — the per-round scheduler floor (~0.3-0.4 s)
+# dominated the benched trainer, whose type table is thousands of rows.
+# The kernel maintains pair counts INCREMENTALLY (retract/re-add only the
+# words containing the merged pair — the same delta rule bpe_train_scaled
+# proves equal to full recount), so its cost is ~1.3x one counting pass
+# over the type table; at the gate that is a few hundred ms and well
+# under the distributed loop's 6-round scheduler cost. Above the gate —
+# real-corpus vocabularies are word TYPES, which can reach tens of
+# millions — the distributed loop below is unchanged.
+BPE_LOCAL_MAX_TYPES = 200_000
+
 # Symbol-boundary markers for the merge-string representation. A word is
 # stored as "[t][h][e]"; merging (l, r) is then the LITERAL replacement
 # "[l][r]" -> "[lr]", whose occurrences can never share characters, so
@@ -162,31 +176,121 @@ def _bpe_word_freq(spark: SparkSession, sf_dir: str):
     )
 
 
+def _bpe_vocab0(wf: DataFrame) -> DataFrame:
+    """Initial symbol table: every word as its bracket representation."""
+    return wf.select(
+        "w",
+        F.regexp_replace("w", "(.)", f"{_BPE_L}$1{_BPE_R}").alias("s"),
+        "cnt",
+    )
+
+
+def _bpe_train_local(vocab: DataFrame, mode: str) -> DataFrame:
+    """The greedy merge loop in ONE executor task over a SMALL (gated)
+    word-type table — the same single-task pattern as graph._cc_local.
+
+    Exactness vs the distributed loop: counts are Python ints (exact,
+    and equal to the long sums), the argmax tie-break is min over
+    (-total, (lhs, rhs)) = (count DESC, lhs ASC, rhs ASC) with Python
+    code-point string order = Spark UTF8 binary order, and
+    ``str.replace`` is the same left-to-right non-overlapping rule as
+    Spark's ``replace`` and DuckDB's (module constants _BPE_L/_BPE_R
+    make occurrences non-overlapping by construction). Pair counts are
+    maintained incrementally — retract the affected words' old pairs,
+    re-add their new ones, DROP zero entries (a recount would not
+    contain them) — which is the delta rule ``q_bpe_train_scaled``
+    certifies equal to full recounting via the shared oracle.
+
+    ``mode``: "merges" yields the merge table (the q_bpe_train_merges
+    output contract); "vocab" yields the final (w, s, cnt) symbol table
+    (what q_bpe_encode aggregates)."""
+    import pandas as pd
+
+    def pairs_of(s: str):
+        sym = s[1:-1].split(_BPE_R + _BPE_L)
+        return [(sym[i], sym[i + 1]) for i in range(len(sym) - 1)]
+
+    def kernel(batches):
+        ws: list = []
+        ss: list = []
+        cs: list = []
+        for pdf in batches:
+            ws.extend(pdf["w"])
+            ss.extend(pdf["s"])
+            cs.extend(int(c) for c in pdf["cnt"])
+        tot: dict = {}
+        for s, c in zip(ss, cs):
+            for p in pairs_of(s):
+                tot[p] = tot.get(p, 0) + c
+        merges: list[tuple[int, str, str, str, int]] = []
+        for step in range(1, BPE_MERGE_ROUNDS + 1):
+            if not tot:
+                break
+            (lhs, rhs), total = min(
+                tot.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((step, lhs, rhs, lhs + rhs, total))
+            pat = f"{_BPE_L}{lhs}{_BPE_R}{_BPE_L}{rhs}{_BPE_R}"
+            rep = f"{_BPE_L}{lhs}{rhs}{_BPE_R}"
+            for i, s in enumerate(ss):
+                if pat not in s:
+                    continue
+                c = cs[i]
+                for p in pairs_of(s):
+                    q = tot[p] - c
+                    if q > 0:
+                        tot[p] = q
+                    else:
+                        del tot[p]
+                s2 = s.replace(pat, rep)
+                ss[i] = s2
+                for p in pairs_of(s2):
+                    tot[p] = tot.get(p, 0) + c
+        if mode == "merges":
+            yield pd.DataFrame(
+                merges,
+                columns=["step", "lhs", "rhs", "merged", "pair_count"],
+            )
+        else:
+            yield pd.DataFrame({"w": ws, "s": ss, "cnt": cs})
+
+    schema = (
+        "step int, lhs string, rhs string, merged string, pair_count bigint"
+        if mode == "merges"
+        else "w string, s string, cnt bigint"
+    )
+    return vocab.coalesce(1).mapInPandas(kernel, schema)
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training: ``BPE_MERGE_ROUNDS`` greedy merges.
 
     The classic trainer loop (Sennrich et al. 2016), Spark-shaped:
 
-    - ONE corpus pass builds the (word, count) table; it is cached and
-      every round runs over word types weighted by count — the standard
-      trick that makes BPE training corpus-size-independent after the
-      first pass.
-    - Each round is a single partial/final hash aggregation over the
-      adjacent-symbol pairs of the type table (key space bounded by
-      |vocab|^2 but in practice tiny), and the argmax winner — an
-      aggregated SCALAR, like a k-means loss — is collected and folded
-      into the next round's plan as literals, keeping the per-round
-      lineage linear instead of exponentially branching.
+    - ONE corpus pass builds the (word, count) table; it is materialized
+      (localCheckpoint) and every round runs over word types weighted by
+      count — the standard trick that makes BPE training
+      corpus-size-independent after the first pass.
+    - Below ``BPE_LOCAL_MAX_TYPES`` word types the whole merge loop runs
+      as one executor-side kernel (``_bpe_train_local``) — one job
+      instead of one argmax job per round; the gate count reads the
+      partitions the localCheckpoint just materialized.
+    - Above the gate, each round is a single partial/final hash
+      aggregation over the adjacent-symbol pairs of the type table (key
+      space bounded by |vocab|^2 but in practice tiny), and the argmax
+      winner — an aggregated SCALAR, like a k-means loss — is collected
+      and folded into the next round's plan as literals, keeping the
+      per-round lineage linear instead of exponentially branching.
     - Ties break on (count DESC, lhs ASC, rhs ASC) so training is fully
-      deterministic; counts are exact integers.
+      deterministic; counts are exact integers. Both paths implement
+      exactly this rule (same oracle).
 
     Output: one row per merge step — the learned merge table.
     """
-    wf = _bpe_word_freq(spark, sf_dir).cache()
-    try:
-        _, merges = _bpe_train(wf)
-    finally:
-        wf.unpersist()
+    wf = _bpe_word_freq(spark, sf_dir).localCheckpoint(eager=False)
+    if wf.count() <= BPE_LOCAL_MAX_TYPES:
+        return _bpe_train_local(_bpe_vocab0(wf), "merges")
+    _, merges = _bpe_train(wf)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )
@@ -357,27 +461,29 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol segmentation); a corpus-scale encode is then a broadcast join
     of that table onto the token stream, so the expensive part stays
     vocabulary-sized. Aggregates are integer-exact; the single
-    chars-per-token division is one IEEE op."""
-    wf = _bpe_word_freq(spark, sf_dir).cache()
-    try:
+    chars-per-token division is one IEEE op. The trainer is the same
+    size-gated loop as q_bpe_train_merges (single-task kernel under
+    BPE_LOCAL_MAX_TYPES word types, distributed rounds above)."""
+    wf = _bpe_word_freq(spark, sf_dir).localCheckpoint(eager=False)
+    if wf.count() <= BPE_LOCAL_MAX_TYPES:
+        vocab = _bpe_train_local(_bpe_vocab0(wf), "vocab")
+    else:
         vocab, _ = _bpe_train(wf)
-        sym = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\]\[")
-        row = (
-            vocab.select(
-                "cnt",
-                F.length("w").alias("nc"),
-                F.size(sym).alias("n_syms"),
-            )
-            .agg(
-                F.count("*").alias("n_word_types"),
-                F.sum("cnt").alias("total_words"),
-                F.sum(F.col("nc") * F.col("cnt")).alias("total_chars"),
-                F.sum(F.col("n_syms") * F.col("cnt")).alias("total_tokens"),
-            )
-            .collect()[0]
+    sym = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\]\[")
+    row = (
+        vocab.select(
+            "cnt",
+            F.length("w").alias("nc"),
+            F.size(sym).alias("n_syms"),
         )
-    finally:
-        wf.unpersist()
+        .agg(
+            F.count("*").alias("n_word_types"),
+            F.sum("cnt").alias("total_words"),
+            F.sum(F.col("nc") * F.col("cnt")).alias("total_chars"),
+            F.sum(F.col("n_syms") * F.col("cnt")).alias("total_tokens"),
+        )
+        .collect()[0]
+    )
     out = spark.createDataFrame(
         [
             (

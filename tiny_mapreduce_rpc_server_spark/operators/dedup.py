@@ -947,7 +947,15 @@ def _simhash_sig_pairs(sh: DataFrame, block_spec) -> DataFrame:
     (graph.q_dedup_simhash_clusters), which consume this SMALL set in
     opposite ways: one multiplies it into doc pairs, one rolls it into
     cluster accounting without ever materializing a doc pair."""
-    sigs = sh.select("simhash").distinct()
+    return _sig_pairs_of_distinct(sh.select("simhash").distinct(), block_spec)
+
+
+def _sig_pairs_of_distinct(sigs: DataFrame, block_spec) -> DataFrame:
+    """``_simhash_sig_pairs`` over an ALREADY-DISTINCT ``simhash`` column
+    (r12: the cluster rollup derives its signature set from a pinned
+    groupBy(simhash) aggregate, whose keys are distinct by construction —
+    routing it here skips a second full exchange over the signature
+    table)."""
     blocks = F.array(
         *[
             F.struct(
@@ -970,7 +978,7 @@ def _simhash_sig_pairs(sh: DataFrame, block_spec) -> DataFrame:
     # parallelism: AQE sizes by input bytes, this stage's cost is
     # candidate pairs.
     ex = ex.repartition(
-        sh.sparkSession.sparkContext.defaultParallelism, "blk_id", "blk_key"
+        sigs.sparkSession.sparkContext.defaultParallelism, "blk_id", "blk_key"
     )
     a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -159,32 +159,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, probe the 2 nearest cells per query, exact-score only
     those candidates.
 
-    100 TB shape: the centroid table is tiny and broadcast twice (cell
-    assignment + query probing), so the corpus is scanned once with no
-    shuffle until the final per-query top-k; candidate count scales with
-    nprobe/ncells, not corpus size. Unlike LSH buckets, cells adapt to
-    the data's density around the chosen centroids."""
+    100 TB shape: ALL centroids travel as ONE broadcast row (the
+    ``_ivf_cents_one`` pattern ann_ivf_pq proved out), so cell
+    assignment is row-local — rank the 16 (csim, cell) structs inside
+    the row — and the corpus is scanned with NO shuffle until the final
+    per-query top-k; candidate count scales with nprobe/ncells, not
+    corpus size. (The r11 form cross-joined the corpus against the
+    16-row centroid table and ranked with a row_number window
+    partitioned by vec_id — a 16N-row exchange carrying the full
+    embedding payload, executed twice: once under the cell side, once
+    under the broadcast probe side. r12 removes both.) Ranking
+    semantics are bit-identical to that window: ``sort_array`` DESC
+    over struct(csim, -cell) orders by csim DESC then cell ASC with
+    the same NaN-largest / NULL-last double ordering, and each csim is
+    the same ordered-fold cosine over the same values. Unlike LSH
+    buckets, cells adapt to the data's density around the chosen
+    centroids."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id").isin(CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    cents_one = (
+        emb.filter(F.col("vec_id").isin(CENTROID_IDS))
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("cents"))
     )
-    sim = cosine(F.col("embedding"), F.col("cv"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assigned = (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cent_id", sim.alias("csim"))
-        .withColumn("crnk", F.row_number().over(w_assign))
+    # (csim, -cell) structs sorted DESC == csim DESC, cell ASC — the
+    # exact order the old per-(vec, cent) row_number window used
+    ranked = F.sort_array(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine(F.col("embedding"), c["cv"]).alias("csim"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        ),
+        asc=False,
     )
-    cells = assigned.filter(F.col("crnk") == 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    assigned = emb.join(F.broadcast(cents_one)).select(
+        "vec_id", "embedding", ranked.alias("rc")
     )
-    probes = (
-        assigned.filter((F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= N_PROBE))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("cent_id").alias("probe_cell"),
-        )
+    cells = assigned.select(
+        "vec_id",
+        "embedding",
+        (-F.col("rc")[0]["negcell"]).alias("cell"),
+    )
+    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice("rc", 1, N_PROBE), lambda s: -s["negcell"]
+            )
+        ).alias("probe_cell"),
     )
     cos = cosine(F.col("qv"), F.col("embedding"))
     scored = (

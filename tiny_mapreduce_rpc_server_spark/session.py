@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan CACHED subtrees too (default false): a pinned
+        # aggregate otherwise materializes at the static shuffle width —
+        # spark.sql.shuffle.partitions tiny partitions that every
+        # consumer then scans as separate tasks. With AQE allowed,
+        # cached exchanges coalesce by BYTES exactly like uncached ones
+        # (scale-adaptive, not a local-mode tweak). Measured r12 on
+        # dedup_simhash_clusters' K-row signature pin: 3.46 s -> 2.72 s
+        # median (order-balanced A/B); no cached-plan consumer in this
+        # repo depends on cache output partitioning.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(DEFAULT_MAX_PARTITION_BYTES))
