@@ -1,7 +1,7 @@
-"""Snapshot ``.explain("formatted")`` for named queries into plans/r11/.
+"""Snapshot ``.explain("formatted")`` for named queries into plans/r12/.
 
 Round-11 optimization deliverable: for each query touched this round the
-judge wants ``plans/r11/<query>_before.txt`` and ``..._after.txt`` — the
+judge wants ``plans/r12/<query>_before.txt`` and ``..._after.txt`` — the
 FULL formatted plan (operator tree + numbered detail blocks, so
 PushedFilters/ReadSchema/join build sides are visible), captured at the
 bench SF unless overridden.
@@ -22,7 +22,7 @@ from tiny_mapreduce_rpc_server_spark import get_spark, release_caches  # noqa: E
 from tiny_mapreduce_rpc_server_spark.registry import all_queries  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
 )
 
 
