@@ -205,6 +205,41 @@ def test_bpe_local_matches_distributed_loop(spark, monkeypatch):
     assert len(new_m) == C.BPE_MERGE_ROUNDS
 
 
+def test_simhash_kernel_matches_fold(spark):
+    """r12: the vectorized Arrow vote-count kernel must be bit-identical
+    to the retained JVM fold — on the real corpus at BOTH bit widths and
+    on synthetic edge rows (null token array, empty array, single token,
+    negative hash values exercising arithmetic-shift bit extraction)."""
+    import tiny_mapreduce_rpc_server_spark.operators.dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    for bits in (D.SIMHASH_BITS, D.SIMHASH_WIDE_BITS):
+        got = {
+            (r.doc_id, r.simhash)
+            for r in D._doc_simhash(spark, sf, bits).collect()
+        }
+        docs = D.load_table(spark, sf, "documents")
+        th = F.transform(
+            F.array_distinct(D._toks(F.col("text"))), lambda t: D.P.h2(t)
+        )
+        hashed = docs.select("doc_id", th.alias("th"))
+        ref = {
+            (r.doc_id, r.simhash)
+            for r in D._simhash_fold(hashed, bits).collect()
+        }
+        assert got == ref and len(got) > 0
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, []), (3, [5]), (4, [-5, 7, -9, 3]), (5, [1, 2, 4])],
+        "doc_id long, th array<long>",
+    )
+    for bits in (31, 63):
+        got = sorted(D._simhash_kernel(edge, bits).collect())
+        ref = sorted(D._simhash_fold(edge, bits).collect())
+        assert got == ref
+        assert got[0]["simhash"] == 0 and got[1]["simhash"] == 0
+
+
 def test_cc_local_rejects_null_endpoints(spark):
     """The kernel's non-null contract (ADVICE r11): a null endpoint must
     raise, not silently float-key the components."""

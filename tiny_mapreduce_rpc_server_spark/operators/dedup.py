@@ -836,16 +836,14 @@ def _simhash_from_ones(ones, n, bits: int) -> F.Column:
     return out
 
 
-def _doc_simhash(
-    spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
-) -> DataFrame:
-    """(doc_id, simhash) with the token-hash array materialized in its
-    own projection (same CollapseProject argument as _doc_shingles), the
-    single-pass one-count array in a second projection, and the
-    threshold/assemble step on top."""
-    docs = load_table(spark, sf_dir, "documents")
-    th = F.transform(F.array_distinct(_toks(F.col("text"))), lambda t: P.h2(t))
-    hashed = spread(docs).select("doc_id", th.alias("th"))
+def _simhash_fold(hashed: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, simhash) from the token-hash table via the one-pass JVM
+    fold (token-hash array in its own projection, the one-count array in
+    a second — the CollapseProject argument of _doc_shingles — and the
+    threshold/assemble step on top). This was ``_doc_simhash``'s build
+    through r11; it is kept as the exactness REFERENCE for the Arrow
+    kernel that replaced it (r12 opt: the two must stay bit-identical,
+    pinned by tests/test_invariants.py::test_simhash_kernel_matches_fold)."""
     staged = hashed.select(
         "doc_id",
         F.size("th").cast("long").alias("n_th"),
@@ -855,6 +853,72 @@ def _doc_simhash(
         "doc_id",
         _simhash_from_ones(F.col("ones"), F.col("n_th"), bits).alias("simhash"),
     )
+
+
+def _simhash_kernel(hashed: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, simhash) from the token-hash table via a vectorized
+    Arrow kernel (r12 optimization round; guide §4.1/§4.2).
+
+    The per-bit vote count is exact integer arithmetic, but Spark
+    higher-order functions (``aggregate``/``zip_with``) are
+    CodegenFallback — the r11 single-pass fold evaluated ~2 array
+    allocations plus 63 interpreted-expression steps PER TOKEN, and the
+    measured sig build was ~1.0 s of dedup_simhash_clusters' 2.4 s cell
+    at sf0.1 (stage split in OPTIMIZATION_r12.md #8). Here each Arrow
+    batch concatenates its token-hash arrays once and takes 63
+    ``np.add.reduceat`` passes over the flat stream — C-speed, O(tokens)
+    transients (no tokens x bits matrix), no slab logic needed for
+    pathological doc sizes, and the same mapInPandas pattern as
+    graph._cc_local. Only (doc_id, th) crosses the boundary.
+
+    Exactness: ones[j] = count of tokens with bit j set (integer), bit j
+    of the fingerprint set iff 2*ones[j] > n — identical to the fold and
+    to the SQL oracle's list_sum votes. numpy's ``>>`` on int64 is the
+    arithmetic shift, so bit extraction matches the JVM for negative
+    hashes too. Null/empty token arrays yield fingerprint 0 exactly as
+    the fold's null-condition ``when`` does."""
+    assert 0 < bits <= 63, bits
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            vals = pdf["th"].to_numpy()
+            lens = np.array(
+                [0 if v is None else len(v) for v in vals], dtype=np.int64
+            )
+            out = np.zeros(len(vals), dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if nz.size:
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in vals[nz]]
+                )
+                seg = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+                ones = np.empty((nz.size, bits), dtype=np.int64)
+                for j in range(bits):
+                    ones[:, j] = np.add.reduceat((flat >> j) & 1, seg)
+                out[nz] = (((2 * ones) > lens[nz][:, None]) * weights).sum(
+                    axis=1
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    t = hashed.schema["doc_id"].dataType.simpleString()
+    return hashed.mapInPandas(kernel, f"doc_id {t}, simhash long")
+
+
+def _doc_simhash(
+    spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash): tokenize + portable h2 in native codegen'd
+    expressions, then the per-bit vote count in the vectorized Arrow
+    kernel (see ``_simhash_kernel``; ``_simhash_fold`` is the retained
+    bit-identical reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.transform(F.array_distinct(_toks(F.col("text"))), lambda t: P.h2(t))
+    hashed = spread(docs).select("doc_id", th.alias("th"))
+    return _simhash_kernel(hashed, bits)
 
 
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
